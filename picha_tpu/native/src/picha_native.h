@@ -1,0 +1,98 @@
+// C ABI for picha_tpu's host-side native runtime.
+//
+// The TPU owns the pixel math (Pallas/XLA); this library owns the
+// inherently serial bitstream work the reference did in C++ on libuv
+// threads (SURVEY.md §2): PNG scanline filter (re)construction, JPEG
+// entropy coding via libjpeg (full host path + raw DCT-coefficient
+// import/export for the TPU pixel-stage path), TIFF LZW/PackBits, and
+// a libwebp shim. All functions are thread-safe (no globals) and
+// release the GIL naturally (called via ctypes).
+#pragma once
+#include <stddef.h>
+#include <stdint.h>
+
+#define PICHA_API extern "C" __attribute__((visibility("default")))
+
+// Free any buffer returned through an out-parameter by this library.
+PICHA_API void picha_free(void* p);
+
+// ---- PNG scanline filters (the row-sequential recurrence) ----------------
+// in:  height * (1 + rowbytes) bytes of filtered scanlines
+// out: height * rowbytes reconstructed bytes
+// bpp: filter delta distance in bytes (max(1, channels*bytedepth))
+// returns 0, or -1 on an invalid filter byte
+PICHA_API int picha_png_unfilter(const uint8_t* in, uint8_t* out,
+                                 int height, int rowbytes, int bpp);
+
+// strategy -1 = adaptive per-row minimum-sum-of-absolute-differences
+// heuristic, 0..4 = fixed filter. out: height * (1 + rowbytes) bytes.
+PICHA_API int picha_png_filter(const uint8_t* in, uint8_t* out,
+                               int height, int rowbytes, int bpp,
+                               int strategy);
+
+// ---- JPEG (libjpeg-backed entropy + host reference path) -----------------
+// want_channels: 0 = source default (grey stays grey, colour -> rgb),
+//                1 = grey, 3 = rgb.
+// CMYK/YCCK sources are folded to RGB with the reference's
+// rgb = c*k/255 rule (src/jpegcodec.cc:36-42) when rgb is requested.
+PICHA_API int picha_jpeg_stat(const uint8_t* src, size_t len,
+                              int* width, int* height, int* channels);
+PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
+                                int want_channels, uint8_t* out,
+                                int out_stride, char** err);
+// quality clamped 0..100 (default handling is the caller's), baseline
+// Huffman tables; channels 1 -> grayscale, 3 -> YCbCr 4:2:0 (libjpeg
+// defaults, matching the reference's encoder src/jpegcodec.cc:334-370).
+PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
+                                int stride, int channels, int quality,
+                                uint8_t** out, size_t* outlen, char** err);
+
+// Raw DCT coefficient access for the TPU pixel-stage path.
+typedef struct PichaJpegCoefs PichaJpegCoefs;  // opaque
+PICHA_API int picha_jpeg_coef_open(const uint8_t* src, size_t len,
+                                   PichaJpegCoefs** handle, char** err);
+// info[0]=ncomp info[1]=width info[2]=height info[3]=jpeg_color_space
+//   (1 grayscale, 2 RGB, 3 YCbCr, 4 CMYK, 5 YCCK)
+PICHA_API int picha_jpeg_coef_info(PichaJpegCoefs* h, int* info);
+// per-component: comp_info[0]=h_samp [1]=v_samp [2]=blocks_w (width in
+// blocks, padded) [3]=blocks_h [4]=downsampled_w [5]=downsampled_h
+PICHA_API int picha_jpeg_coef_comp_info(PichaJpegCoefs* h, int comp,
+                                        int* comp_info, uint16_t* qtable64);
+// copies the (blocks_h, blocks_w, 64) int16 coefficient tensor
+PICHA_API int picha_jpeg_coef_read(PichaJpegCoefs* h, int comp, int16_t* out);
+PICHA_API void picha_jpeg_coef_close(PichaJpegCoefs* h);
+
+// Assemble a JPEG from quantised coefficients (TPU encode path).
+// comps: ncomp arrays of (blocks_h*blocks_w*64) int16; samp factors and
+// qtables per component; grey: ncomp==1.
+PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
+                                    const int16_t** comps,
+                                    const int* h_samp, const int* v_samp,
+                                    const int* blocks_w, const int* blocks_h,
+                                    const uint16_t** qtables,
+                                    int optimize_huffman,
+                                    uint8_t** out, size_t* outlen, char** err);
+
+// ---- TIFF compression primitives -----------------------------------------
+PICHA_API int picha_lzw_decode(const uint8_t* src, size_t srclen,
+                               uint8_t* out, size_t outcap, size_t* outlen);
+PICHA_API int picha_lzw_encode(const uint8_t* src, size_t srclen,
+                               uint8_t** out, size_t* outlen);
+PICHA_API int picha_packbits_decode(const uint8_t* src, size_t srclen,
+                                    uint8_t* out, size_t outcap,
+                                    size_t* outlen);
+
+// ---- WebP (libwebp shim) -------------------------------------------------
+PICHA_API int picha_webp_stat(const uint8_t* src, size_t len,
+                              int* width, int* height, int* has_alpha);
+// channels: 3 (rgb) or 4 (rgba); out must hold height*stride bytes
+PICHA_API int picha_webp_decode(const uint8_t* src, size_t len, int channels,
+                                uint8_t* out, int stride,
+                                int width, int height);
+// preset: 0 default 1 picture 2 photo 3 drawing 4 icon 5 text
+// lossless: use default preset + lossless mode (reference
+// src/webpcodec.cc:155-195); exact preserves RGB under transparent alpha
+PICHA_API int picha_webp_encode(const uint8_t* src, int width, int height,
+                                int stride, int channels, int preset,
+                                float quality, int alpha_quality, int exact,
+                                int lossless, uint8_t** out, size_t* outlen);

@@ -1,0 +1,52 @@
+"""Async execution substrate.
+
+The reference ran every async op on a libuv pool thread and marshalled
+the result back via a callback (SURVEY.md §2 "Async execution"). Here
+the equivalent is a process-wide ThreadPoolExecutor: host codec stages
+(entropy coding, numpy marshalling) release the GIL inside C calls
+(ctypes/zlib/numpy), so pool threads give real parallelism, and JAX
+dispatch is itself async.
+
+Every async API call ``op(args..., cb)`` runs on the pool and invokes
+``cb(err, result)`` from the worker thread — same (err, result)
+convention as the reference — and also returns a Future for
+Python-idiomatic use.
+"""
+from __future__ import annotations
+
+import os
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Callable, Optional
+
+_lock = threading.Lock()
+_executor: Optional[ThreadPoolExecutor] = None
+
+
+def get_executor() -> ThreadPoolExecutor:
+    global _executor
+    with _lock:
+        if _executor is None:
+            workers = int(os.environ.get("PICHA_THREADS", "0")) or min(
+                32, (os.cpu_count() or 4))
+            _executor = ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="picha")
+        return _executor
+
+
+def run_async(fn: Callable, cb: Optional[Callable] = None) -> Future:
+    """Run fn() on the pool; deliver (err, result) to cb; return a Future."""
+    def task():
+        return fn()
+
+    fut = get_executor().submit(task)
+    if cb is not None:
+        def done(f: Future):
+            try:
+                result = f.result()
+            except Exception as e:  # noqa: BLE001 — error-callback convention
+                cb(e, None)
+            else:
+                cb(None, result)
+        fut.add_done_callback(done)
+    return fut

@@ -1,0 +1,103 @@
+"""Resize tests.
+
+The matmul (MXU) formulation is validated against an independent
+windowed-loop implementation of the reference algorithm
+(src/resize.cc:66-134), plus option-semantics unit checks. The golden
+fixture parity test (test2.jpg -> 32x24 vs test2.png, reference
+test/resize.js) lives in test_golden.py once the JPEG codec is up.
+"""
+import numpy as np
+import pytest
+
+import picha_tpu as picha
+from picha_tpu import Image
+from picha_tpu.errors import InvalidOptionsError
+from picha_tpu.ops.resize import (DEFAULT_FILTER_SCALE, FILTERS,
+                                  parse_resize_options, resize_array,
+                                  resize_weights)
+
+
+def loop_resize(arr, dst_w, dst_h, name, fscale):
+    """Direct per-pixel windowed resize — independent oracle."""
+    wh = resize_weights(dst_w, arr.shape[1], name, fscale)
+    wv = resize_weights(dst_h, arr.shape[0], name, fscale)
+    maxv = np.float32(np.iinfo(arr.dtype).max)
+    f = arr.astype(np.float32) / maxv
+    tmp = np.einsum("ow,hwc->hoc", wh, f)
+    out = np.einsum("oh,hwc->owc", wv, tmp)
+    return np.floor(np.clip(out * maxv + 0.5, 0, maxv)).astype(arr.dtype)
+
+
+def test_weights_rows_sum_to_one():
+    for name in FILTERS:
+        w = resize_weights(17, 53, name, 1.0)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+        assert w.shape == (17, 53)
+
+
+def test_weights_band_structure():
+    w = resize_weights(10, 100, "cubic", 1.0)
+    # downscale 10x with support 2 -> window ~ 2*2*10 = 40 taps
+    nz = (w != 0).sum(axis=1)
+    assert nz.max() <= 41
+    assert nz.min() >= 20
+
+
+def test_option_semantics():
+    # default: cubic at 0.70
+    assert parse_resize_options({}) == ("cubic", DEFAULT_FILTER_SCALE)
+    # naming a filter resets the scale to 1.0 (resize.cc:180-183)
+    assert parse_resize_options({"filter": "lanczos"}) == ("lanczos", 1.0)
+    # explicit filterScale wins
+    assert parse_resize_options({"filter": "box", "filterScale": 0.5}) == ("box", 0.5)
+    assert parse_resize_options({"filterScale": 2.0}) == ("cubic", 2.0)
+    with pytest.raises(InvalidOptionsError):
+        parse_resize_options({"filter": "gaussian"})
+    with pytest.raises(InvalidOptionsError):
+        parse_resize_options({"filterScale": 0})
+
+
+@pytest.mark.parametrize("name", list(FILTERS))
+def test_matmul_matches_loop_all_filters(name):
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (37, 29, 3), dtype=np.uint8)
+    got = resize_array(arr, 13, 11, filter=name, filter_scale=1.0)
+    want = loop_resize(arr, 13, 11, name, 1.0)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_upscale_and_deep():
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 65536, (9, 7, 4), dtype=np.uint16)
+    got = resize_array(arr, 21, 17)
+    assert got.shape == (17, 21, 4)
+    assert got.dtype == np.uint16
+
+
+def test_image_level_api():
+    rng = np.random.default_rng(9)
+    img = Image.from_array(
+        rng.integers(0, 256, (40, 30, 4), dtype=np.uint8), "rgba")
+    out = picha.resizeSync(img, {"width": 15, "height": 20})
+    assert (out.width, out.height, out.pixel) == (15, 20, "rgba")
+    with pytest.raises(InvalidOptionsError):
+        picha.resizeSync(img, {"width": 0, "height": 5})
+
+
+def test_async_matches_sync():
+    rng = np.random.default_rng(10)
+    img = Image.from_array(
+        rng.integers(0, 256, (20, 20, 3), dtype=np.uint8), "rgb")
+    res = {}
+    picha.resize(img, {"width": 10, "height": 10},
+                 lambda e, r: res.update(e=e, r=r)).result(timeout=60)
+    assert res["e"] is None
+    assert res["r"].equal_pixels(picha.resizeSync(img, {"width": 10, "height": 10}))
+
+
+def test_batched_resize():
+    rng = np.random.default_rng(11)
+    batch = rng.integers(0, 256, (5, 16, 16, 3), dtype=np.uint8)
+    got = resize_array(batch, 8, 8)
+    single = np.stack([resize_array(b, 8, 8) for b in batch])
+    np.testing.assert_array_equal(got, single)
