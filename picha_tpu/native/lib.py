@@ -1,0 +1,346 @@
+"""ctypes bindings over libpicha_native.so.
+
+ctypes releases the GIL for the duration of each foreign call, so the
+runtime's pool threads (runtime/executor.py) get real host parallelism
+for entropy stages — the TPU-era replacement for the reference's libuv
+worker pattern.
+"""
+from __future__ import annotations
+
+import ctypes as C
+import threading
+
+import numpy as np
+
+from ..errors import CodecError
+from . import build as _build
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _u8ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(C.POINTER(C.c_uint8))
+
+
+def get_lib():
+    global _lib
+    with _lock:
+        if _lib is None:
+            path = _build.build()
+            lib = C.CDLL(str(path))
+
+            lib.picha_free.argtypes = [C.c_void_p]
+            lib.picha_free.restype = None
+
+            lib.picha_png_unfilter.argtypes = [
+                C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+                C.c_int, C.c_int, C.c_int]
+            lib.picha_png_unfilter.restype = C.c_int
+            lib.picha_png_filter.argtypes = [
+                C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+                C.c_int, C.c_int, C.c_int, C.c_int]
+            lib.picha_png_filter.restype = C.c_int
+
+            lib.picha_jpeg_stat.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t,
+                C.POINTER(C.c_int), C.POINTER(C.c_int), C.POINTER(C.c_int)]
+            lib.picha_jpeg_stat.restype = C.c_int
+            lib.picha_jpeg_decode.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t, C.c_int,
+                C.POINTER(C.c_uint8), C.c_int, C.POINTER(C.c_char_p)]
+            lib.picha_jpeg_decode.restype = C.c_int
+            lib.picha_jpeg_encode.argtypes = [
+                C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int, C.c_int,
+                C.c_int, C.POINTER(C.POINTER(C.c_uint8)),
+                C.POINTER(C.c_size_t), C.POINTER(C.c_char_p)]
+            lib.picha_jpeg_encode.restype = C.c_int
+
+            lib.picha_jpeg_coef_open.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t,
+                C.POINTER(C.c_void_p), C.POINTER(C.c_char_p)]
+            lib.picha_jpeg_coef_open.restype = C.c_int
+            lib.picha_jpeg_coef_info.argtypes = [C.c_void_p, C.POINTER(C.c_int)]
+            lib.picha_jpeg_coef_info.restype = C.c_int
+            lib.picha_jpeg_coef_comp_info.argtypes = [
+                C.c_void_p, C.c_int, C.POINTER(C.c_int), C.POINTER(C.c_uint16)]
+            lib.picha_jpeg_coef_comp_info.restype = C.c_int
+            lib.picha_jpeg_coef_read.argtypes = [
+                C.c_void_p, C.c_int, C.POINTER(C.c_int16)]
+            lib.picha_jpeg_coef_read.restype = C.c_int
+            lib.picha_jpeg_coef_close.argtypes = [C.c_void_p]
+            lib.picha_jpeg_coef_close.restype = None
+            lib.picha_jpeg_coef_write.argtypes = [
+                C.c_int, C.c_int, C.c_int,
+                C.POINTER(C.POINTER(C.c_int16)),
+                C.POINTER(C.c_int), C.POINTER(C.c_int),
+                C.POINTER(C.c_int), C.POINTER(C.c_int),
+                C.POINTER(C.POINTER(C.c_uint16)), C.c_int,
+                C.POINTER(C.POINTER(C.c_uint8)), C.POINTER(C.c_size_t),
+                C.POINTER(C.c_char_p)]
+            lib.picha_jpeg_coef_write.restype = C.c_int
+
+            lib.picha_lzw_decode.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t, C.POINTER(C.c_uint8),
+                C.c_size_t, C.POINTER(C.c_size_t)]
+            lib.picha_lzw_decode.restype = C.c_int
+            lib.picha_lzw_encode.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t,
+                C.POINTER(C.POINTER(C.c_uint8)), C.POINTER(C.c_size_t)]
+            lib.picha_lzw_encode.restype = C.c_int
+            lib.picha_packbits_decode.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t, C.POINTER(C.c_uint8),
+                C.c_size_t, C.POINTER(C.c_size_t)]
+            lib.picha_packbits_decode.restype = C.c_int
+
+            lib.picha_webp_stat.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t,
+                C.POINTER(C.c_int), C.POINTER(C.c_int), C.POINTER(C.c_int)]
+            lib.picha_webp_stat.restype = C.c_int
+            lib.picha_webp_decode.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t, C.c_int,
+                C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int]
+            lib.picha_webp_decode.restype = C.c_int
+            lib.picha_webp_encode.argtypes = [
+                C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int, C.c_int,
+                C.c_int, C.c_float, C.c_int, C.c_int, C.c_int,
+                C.POINTER(C.POINTER(C.c_uint8)), C.POINTER(C.c_size_t)]
+            lib.picha_webp_encode.restype = C.c_int
+
+            _lib = lib
+        return _lib
+
+
+def take_buffer(lib, ptr, length: int) -> bytes:
+    """Copy a lib-allocated buffer into Python and free it."""
+    try:
+        return C.string_at(ptr, length)
+    finally:
+        lib.picha_free(ptr)
+
+
+def take_error(lib, errp) -> str:
+    if errp.value is None:
+        return "native codec error"
+    try:
+        return errp.value.decode("utf-8", "replace")
+    finally:
+        lib.picha_free(errp)
+
+
+# ---------------------------------------------------------------------------
+# PNG filters
+# ---------------------------------------------------------------------------
+
+def png_unfilter(raw: np.ndarray, height: int, rowbytes: int, bpp: int) -> np.ndarray:
+    lib = get_lib()
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    out = np.empty(height * rowbytes, dtype=np.uint8)
+    rc = lib.picha_png_unfilter(_u8ptr(raw), _u8ptr(out), height, rowbytes, bpp)
+    if rc != 0:
+        raise CodecError("invalid PNG filter type")
+    return out
+
+
+def png_filter(img: np.ndarray, height: int, rowbytes: int, bpp: int,
+               strategy: int = -1) -> np.ndarray:
+    lib = get_lib()
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    out = np.empty(height * (rowbytes + 1), dtype=np.uint8)
+    lib.picha_png_filter(_u8ptr(img), _u8ptr(out), height, rowbytes, bpp, strategy)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+def jpeg_stat(buf: bytes):
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    w, h, ch = C.c_int(), C.c_int(), C.c_int()
+    rc = lib.picha_jpeg_stat(_u8ptr(src), src.size, C.byref(w), C.byref(h), C.byref(ch))
+    if rc != 0:
+        return None
+    return w.value, h.value, ch.value
+
+
+def jpeg_decode(buf: bytes, want_channels: int, width: int, height: int) -> np.ndarray:
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    ch = want_channels
+    out = np.empty((height, width, ch), dtype=np.uint8)
+    err = C.c_char_p()
+    rc = lib.picha_jpeg_decode(_u8ptr(src), src.size, ch, _u8ptr(out),
+                               width * ch, C.byref(err))
+    if rc != 0:
+        raise CodecError(take_error(lib, err))
+    return out
+
+
+def jpeg_encode(arr: np.ndarray, quality: int) -> bytes:
+    lib = get_lib()
+    arr = np.ascontiguousarray(arr)
+    h, w, ch = arr.shape
+    out = C.POINTER(C.c_uint8)()
+    outlen = C.c_size_t()
+    err = C.c_char_p()
+    rc = lib.picha_jpeg_encode(_u8ptr(arr.reshape(-1)), w, h, w * ch, ch,
+                               quality, C.byref(out), C.byref(outlen),
+                               C.byref(err))
+    if rc != 0:
+        raise CodecError(take_error(lib, err))
+    return take_buffer(lib, out, outlen.value)
+
+
+class JpegCoefficients:
+    """Entropy-decoded JPEG: quantised DCT coefficients + tables.
+
+    The TPU pixel-stage input (ops/jpeg_tpu.py): per component a
+    (blocks_h, blocks_w, 64) int16 tensor and a (64,) uint16 qtable.
+    """
+
+    __slots__ = ("width", "height", "ncomp", "color_space", "comps")
+
+    def __init__(self, buf: bytes):
+        lib = get_lib()
+        src = np.frombuffer(buf, dtype=np.uint8)
+        handle = C.c_void_p()
+        err = C.c_char_p()
+        rc = lib.picha_jpeg_coef_open(_u8ptr(src), src.size, C.byref(handle),
+                                      C.byref(err))
+        if rc != 0:
+            raise CodecError(take_error(lib, err))
+        try:
+            info = (C.c_int * 4)()
+            lib.picha_jpeg_coef_info(handle, info)
+            self.ncomp, self.width, self.height, self.color_space = list(info)
+            self.comps = []
+            for c in range(self.ncomp):
+                cinfo = (C.c_int * 6)()
+                qtable = np.empty(64, dtype=np.uint16)
+                rc = lib.picha_jpeg_coef_comp_info(
+                    handle, c, cinfo, qtable.ctypes.data_as(C.POINTER(C.c_uint16)))
+                if rc != 0:
+                    raise CodecError("jpeg component info failed")
+                h_samp, v_samp, bw, bh, dw, dh = list(cinfo)
+                coefs = np.empty((bh, bw, 64), dtype=np.int16)
+                rc = lib.picha_jpeg_coef_read(
+                    handle, c, coefs.ctypes.data_as(C.POINTER(C.c_int16)))
+                if rc != 0:
+                    raise CodecError("jpeg coefficient read failed")
+                self.comps.append({
+                    "h_samp": h_samp, "v_samp": v_samp,
+                    "blocks_w": bw, "blocks_h": bh,
+                    "width": dw, "height": dh,
+                    "qtable": qtable, "coefs": coefs,
+                })
+        finally:
+            lib.picha_jpeg_coef_close(handle)
+
+
+def jpeg_coef_write(width: int, height: int, comps: list,
+                    optimize_huffman: bool = False) -> bytes:
+    """comps: list of dicts with coefs (bh, bw, 64) int16, qtable (64,)
+    uint16, h_samp, v_samp."""
+    lib = get_lib()
+    n = len(comps)
+    coef_arrays = [np.ascontiguousarray(c["coefs"], dtype=np.int16) for c in comps]
+    qtables = [np.ascontiguousarray(c["qtable"], dtype=np.uint16) for c in comps]
+    comp_ptrs = (C.POINTER(C.c_int16) * n)(
+        *[a.ctypes.data_as(C.POINTER(C.c_int16)) for a in coef_arrays])
+    q_ptrs = (C.POINTER(C.c_uint16) * n)(
+        *[q.ctypes.data_as(C.POINTER(C.c_uint16)) for q in qtables])
+    h_samp = (C.c_int * n)(*[c["h_samp"] for c in comps])
+    v_samp = (C.c_int * n)(*[c["v_samp"] for c in comps])
+    bw = (C.c_int * n)(*[c["coefs"].shape[1] for c in comps])
+    bh = (C.c_int * n)(*[c["coefs"].shape[0] for c in comps])
+    out = C.POINTER(C.c_uint8)()
+    outlen = C.c_size_t()
+    err = C.c_char_p()
+    rc = lib.picha_jpeg_coef_write(width, height, n, comp_ptrs, h_samp, v_samp,
+                                   bw, bh, q_ptrs, int(optimize_huffman),
+                                   C.byref(out), C.byref(outlen), C.byref(err))
+    if rc != 0:
+        raise CodecError(take_error(lib, err))
+    return take_buffer(lib, out, outlen.value)
+
+
+# ---------------------------------------------------------------------------
+# TIFF compression primitives
+# ---------------------------------------------------------------------------
+
+def lzw_decode(buf: bytes, expected: int) -> bytes:
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty(expected, dtype=np.uint8)
+    outlen = C.c_size_t()
+    rc = lib.picha_lzw_decode(_u8ptr(src), src.size, _u8ptr(out), expected,
+                              C.byref(outlen))
+    if rc != 0:
+        raise CodecError("LZW decode failed")
+    return out[:outlen.value].tobytes()
+
+
+def lzw_encode(buf: bytes) -> bytes:
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    out = C.POINTER(C.c_uint8)()
+    outlen = C.c_size_t()
+    rc = lib.picha_lzw_encode(_u8ptr(src), src.size, C.byref(out), C.byref(outlen))
+    if rc != 0:
+        raise CodecError("LZW encode failed")
+    return take_buffer(lib, out, outlen.value)
+
+
+def packbits_decode(buf: bytes, expected: int) -> bytes:
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty(expected, dtype=np.uint8)
+    outlen = C.c_size_t()
+    rc = lib.picha_packbits_decode(_u8ptr(src), src.size, _u8ptr(out), expected,
+                                   C.byref(outlen))
+    if rc != 0:
+        raise CodecError("PackBits decode failed")
+    return out[:outlen.value].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# WebP
+# ---------------------------------------------------------------------------
+
+def webp_stat(buf: bytes):
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    w, h, a = C.c_int(), C.c_int(), C.c_int()
+    rc = lib.picha_webp_stat(_u8ptr(src), src.size, C.byref(w), C.byref(h),
+                             C.byref(a))
+    if rc != 0:
+        return None
+    return w.value, h.value, bool(a.value)
+
+
+def webp_decode(buf: bytes, channels: int, width: int, height: int) -> np.ndarray:
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty((height, width, channels), dtype=np.uint8)
+    rc = lib.picha_webp_decode(_u8ptr(src), src.size, channels,
+                               _u8ptr(out), width * channels, width, height)
+    if rc != 0:
+        raise CodecError("WebP decode failed")
+    return out
+
+
+def webp_encode(arr: np.ndarray, preset: int, quality: float,
+                alpha_quality: int, exact: bool, lossless: bool) -> bytes:
+    lib = get_lib()
+    arr = np.ascontiguousarray(arr)
+    h, w, ch = arr.shape
+    out = C.POINTER(C.c_uint8)()
+    outlen = C.c_size_t()
+    rc = lib.picha_webp_encode(_u8ptr(arr.reshape(-1)), w, h, w * ch, ch,
+                               preset, quality, alpha_quality, int(exact),
+                               int(lossless), C.byref(out), C.byref(outlen))
+    if rc != 0:
+        raise CodecError(f"WebP encode failed ({rc})")
+    return take_buffer(lib, out, outlen.value)

@@ -1,0 +1,321 @@
+// JPEG host stages over libjpeg.
+//
+// Two roles (SURVEY.md §7 step 5):
+//  * full host decode/encode — the bit-parity reference path, same
+//    library the reference used (src/jpegcodec.cc), independent code;
+//  * raw DCT coefficient import/export (jpeg_read_coefficients /
+//    jpeg_write_coefficients) — the serial entropy stage of the TPU
+//    pipeline, where dequant+IDCT+upsample+YCbCr->RGB run on-chip.
+//
+// All error paths convert libjpeg longjmp aborts into error strings
+// (caller frees with picha_free), mirroring the reference's setjmp
+// traps (src/jpegcodec.cc:47,125-131).
+#include <csetjmp>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+
+#include <jpeglib.h>
+
+#include "picha_native.h"
+
+namespace {
+
+struct ErrorTrap {
+  jpeg_error_mgr mgr;
+  jmp_buf jmp;
+  char msg[JMSG_LENGTH_MAX];
+};
+
+void on_error(j_common_ptr cinfo) {
+  ErrorTrap* trap = (ErrorTrap*)cinfo->err;
+  cinfo->err->format_message(cinfo, trap->msg);
+  longjmp(trap->jmp, 1);
+}
+
+void on_emit(j_common_ptr, int) {}  // swallow warnings
+
+void setup_trap(jpeg_error_mgr* err, ErrorTrap* trap) {
+  jpeg_std_error(err);
+  err->error_exit = on_error;
+  err->emit_message = on_emit;
+  trap->msg[0] = 0;
+}
+
+char* dup_error(const ErrorTrap& trap) {
+  return strdup(trap.msg[0] ? trap.msg : "jpeg error");
+}
+
+// Fold (already Adobe-inverted) CMYK to RGB: rgb = c*k/255 — the
+// reference's rule (src/jpegcodec.cc:36-42).
+void cmyk_row_to_rgb(const uint8_t* cmyk, uint8_t* rgb, int width) {
+  for (int i = 0; i < width; ++i, cmyk += 4, rgb += 3) {
+    rgb[0] = (uint8_t)(int(cmyk[0]) * cmyk[3] / 255);
+    rgb[1] = (uint8_t)(int(cmyk[1]) * cmyk[3] / 255);
+    rgb[2] = (uint8_t)(int(cmyk[2]) * cmyk[3] / 255);
+  }
+}
+
+}  // namespace
+
+PICHA_API void picha_free(void* p) { free(p); }
+
+PICHA_API int picha_jpeg_stat(const uint8_t* src, size_t len, int* width,
+                              int* height, int* channels) {
+  jpeg_decompress_struct cinfo;
+  ErrorTrap trap;
+  cinfo.err = &trap.mgr;
+  setup_trap(&trap.mgr, &trap);
+  if (setjmp(trap.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, src, (unsigned long)len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  *width = (int)cinfo.image_width;
+  *height = (int)cinfo.image_height;
+  // default output space channel count: grayscale -> 1, everything the
+  // decoder folds to colour -> 3 (CMYK reported as 3: decode folds it)
+  *channels = cinfo.jpeg_color_space == JCS_GRAYSCALE ? 1 : 3;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
+                                int want_channels, uint8_t* out,
+                                int out_stride, char** err) {
+  jpeg_decompress_struct cinfo;
+  ErrorTrap trap;
+  cinfo.err = &trap.mgr;
+  setup_trap(&trap.mgr, &trap);
+  uint8_t* cmyk_row = nullptr;
+  if (setjmp(trap.jmp)) {
+    free(cmyk_row);
+    jpeg_destroy_decompress(&cinfo);
+    if (err) *err = dup_error(trap);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, src, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+
+  bool cmyk = cinfo.jpeg_color_space == JCS_CMYK ||
+              cinfo.jpeg_color_space == JCS_YCCK;
+  if (want_channels == 1) {
+    cinfo.out_color_space = JCS_GRAYSCALE;
+    cmyk = false;
+  } else if (want_channels == 3 && !cmyk) {
+    cinfo.out_color_space = JCS_RGB;
+  }
+  // cmyk sources keep JCS_CMYK output; folded per row below
+
+  jpeg_start_decompress(&cinfo);
+  int w = (int)cinfo.output_width;
+  if (cmyk) cmyk_row = (uint8_t*)malloc((size_t)w * 4);
+
+  for (unsigned y = 0; y < cinfo.output_height; ++y) {
+    uint8_t* dst = out + (size_t)y * out_stride;
+    if (cmyk) {
+      JSAMPROW p = cmyk_row;
+      jpeg_read_scanlines(&cinfo, &p, 1);
+      cmyk_row_to_rgb(cmyk_row, dst, w);
+    } else {
+      JSAMPROW p = dst;
+      jpeg_read_scanlines(&cinfo, &p, 1);
+    }
+  }
+  jpeg_finish_decompress(&cinfo);
+  free(cmyk_row);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
+                                int stride, int channels, int quality,
+                                uint8_t** out, size_t* outlen, char** err) {
+  jpeg_compress_struct cinfo;
+  ErrorTrap trap;
+  cinfo.err = &trap.mgr;
+  setup_trap(&trap.mgr, &trap);
+  unsigned char* buf = nullptr;
+  unsigned long buflen = 0;
+  if (setjmp(trap.jmp)) {
+    jpeg_destroy_compress(&cinfo);
+    free(buf);
+    if (err) *err = dup_error(trap);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &buflen);
+
+  cinfo.image_width = (JDIMENSION)width;
+  cinfo.image_height = (JDIMENSION)height;
+  cinfo.input_components = channels;
+  cinfo.in_color_space = channels == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  if (quality < 0) quality = 0;
+  if (quality > 100) quality = 100;
+  jpeg_set_quality(&cinfo, quality, TRUE /* force_baseline */);
+  jpeg_start_compress(&cinfo, TRUE);
+  for (int y = 0; y < height; ++y) {
+    JSAMPROW p = (JSAMPROW)(src + (size_t)y * stride);
+    jpeg_write_scanlines(&cinfo, &p, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  *out = (uint8_t*)buf;
+  *outlen = (size_t)buflen;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Raw coefficient access (TPU pixel-stage path)
+// ---------------------------------------------------------------------------
+
+struct PichaJpegCoefs {
+  jpeg_decompress_struct cinfo;
+  ErrorTrap trap;
+  jvirt_barray_ptr* arrays = nullptr;
+  bool open = false;
+};
+
+PICHA_API int picha_jpeg_coef_open(const uint8_t* src, size_t len,
+                                   PichaJpegCoefs** handle, char** err) {
+  PichaJpegCoefs* h = new PichaJpegCoefs;
+  h->cinfo.err = &h->trap.mgr;
+  setup_trap(&h->trap.mgr, &h->trap);
+  if (setjmp(h->trap.jmp)) {
+    if (err) *err = dup_error(h->trap);
+    if (h->open) jpeg_destroy_decompress(&h->cinfo);
+    delete h;
+    return -1;
+  }
+  jpeg_create_decompress(&h->cinfo);
+  h->open = true;
+  jpeg_mem_src(&h->cinfo, src, (unsigned long)len);
+  jpeg_read_header(&h->cinfo, TRUE);
+  h->arrays = jpeg_read_coefficients(&h->cinfo);
+  if (!h->arrays) {
+    if (err) *err = strdup("jpeg coefficient read failed");
+    jpeg_destroy_decompress(&h->cinfo);
+    delete h;
+    return -1;
+  }
+  *handle = h;
+  return 0;
+}
+
+PICHA_API int picha_jpeg_coef_info(PichaJpegCoefs* h, int* info) {
+  info[0] = h->cinfo.num_components;
+  info[1] = (int)h->cinfo.image_width;
+  info[2] = (int)h->cinfo.image_height;
+  info[3] = (int)h->cinfo.jpeg_color_space;
+  return 0;
+}
+
+PICHA_API int picha_jpeg_coef_comp_info(PichaJpegCoefs* h, int comp,
+                                        int* comp_info, uint16_t* qtable64) {
+  if (comp < 0 || comp >= h->cinfo.num_components) return -1;
+  jpeg_component_info* ci = &h->cinfo.comp_info[comp];
+  comp_info[0] = ci->h_samp_factor;
+  comp_info[1] = ci->v_samp_factor;
+  comp_info[2] = (int)ci->width_in_blocks;
+  comp_info[3] = (int)ci->height_in_blocks;
+  comp_info[4] = (int)ci->downsampled_width;
+  comp_info[5] = (int)ci->downsampled_height;
+  JQUANT_TBL* qt = ci->quant_table;
+  if (!qt) qt = h->cinfo.quant_tbl_ptrs[ci->quant_tbl_no];
+  if (!qt) return -2;
+  for (int i = 0; i < DCTSIZE2; ++i) qtable64[i] = qt->quantval[i];
+  return 0;
+}
+
+PICHA_API int picha_jpeg_coef_read(PichaJpegCoefs* h, int comp, int16_t* out) {
+  if (comp < 0 || comp >= h->cinfo.num_components) return -1;
+  if (setjmp(h->trap.jmp)) return -1;
+  jpeg_component_info* ci = &h->cinfo.comp_info[comp];
+  JDIMENSION bw = ci->width_in_blocks, bh = ci->height_in_blocks;
+  for (JDIMENSION row = 0; row < bh; ++row) {
+    JBLOCKARRAY rows = (h->cinfo.mem->access_virt_barray)(
+        (j_common_ptr)&h->cinfo, h->arrays[comp], row, 1, FALSE);
+    memcpy(out + (size_t)row * bw * DCTSIZE2, rows[0],
+           (size_t)bw * DCTSIZE2 * sizeof(int16_t));
+  }
+  return 0;
+}
+
+PICHA_API void picha_jpeg_coef_close(PichaJpegCoefs* h) {
+  if (!h) return;
+  if (setjmp(h->trap.jmp) == 0) {
+    jpeg_finish_decompress(&h->cinfo);
+  }
+  jpeg_destroy_decompress(&h->cinfo);
+  delete h;
+}
+
+PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
+                                    const int16_t** comps, const int* h_samp,
+                                    const int* v_samp, const int* blocks_w,
+                                    const int* blocks_h,
+                                    const uint16_t** qtables,
+                                    int optimize_huffman, uint8_t** out,
+                                    size_t* outlen, char** err) {
+  jpeg_compress_struct cinfo;
+  ErrorTrap trap;
+  cinfo.err = &trap.mgr;
+  setup_trap(&trap.mgr, &trap);
+  unsigned char* buf = nullptr;
+  unsigned long buflen = 0;
+  if (setjmp(trap.jmp)) {
+    jpeg_destroy_compress(&cinfo);
+    free(buf);
+    if (err) *err = dup_error(trap);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &buflen);
+
+  cinfo.image_width = (JDIMENSION)width;
+  cinfo.image_height = (JDIMENSION)height;
+  cinfo.input_components = ncomp;
+  cinfo.in_color_space = ncomp == 1 ? JCS_GRAYSCALE : JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);
+  cinfo.optimize_coding = optimize_huffman ? TRUE : FALSE;
+
+  for (int c = 0; c < ncomp; ++c) {
+    cinfo.comp_info[c].h_samp_factor = h_samp[c];
+    cinfo.comp_info[c].v_samp_factor = v_samp[c];
+    int tbl = c == 0 ? 0 : 1;
+    cinfo.comp_info[c].quant_tbl_no = tbl;
+    unsigned int basic[DCTSIZE2];
+    for (int i = 0; i < DCTSIZE2; ++i) basic[i] = qtables[c][i];
+    jpeg_add_quant_table(&cinfo, tbl, basic, 100, FALSE);
+  }
+
+  // build virtual coefficient arrays
+  jvirt_barray_ptr* arrays = (jvirt_barray_ptr*)(cinfo.mem->alloc_small)(
+      (j_common_ptr)&cinfo, JPOOL_IMAGE, ncomp * sizeof(jvirt_barray_ptr));
+  for (int c = 0; c < ncomp; ++c) {
+    arrays[c] = (cinfo.mem->request_virt_barray)(
+        (j_common_ptr)&cinfo, JPOOL_IMAGE, FALSE, (JDIMENSION)blocks_w[c],
+        (JDIMENSION)blocks_h[c], (JDIMENSION)v_samp[c]);
+  }
+  jpeg_write_coefficients(&cinfo, arrays);
+  for (int c = 0; c < ncomp; ++c) {
+    for (int row = 0; row < blocks_h[c]; ++row) {
+      JBLOCKARRAY rows = (cinfo.mem->access_virt_barray)(
+          (j_common_ptr)&cinfo, arrays[c], (JDIMENSION)row, 1, TRUE);
+      memcpy(rows[0], comps[c] + (size_t)row * blocks_w[c] * DCTSIZE2,
+             (size_t)blocks_w[c] * DCTSIZE2 * sizeof(int16_t));
+    }
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  *out = (uint8_t*)buf;
+  *outlen = (size_t)buflen;
+  return 0;
+}
