@@ -1,0 +1,94 @@
+"""JPEG codec.
+
+Two execution paths, same surface (SURVEY.md §7 step 5):
+
+  * host path (default for the single-image API): libjpeg end to end
+    via native/jpegshim.cc — handles baseline, progressive, restart
+    markers, grayscale, CMYK/YCCK with the reference's c*k/255 fold
+    (src/jpegcodec.cc:36-42). Bit-parity reference.
+  * TPU path (``opts['backend'] == 'tpu'``, and the batched pipeline):
+    host entropy decode to DCT coefficients, then the fused
+    dequant+IDCT+upsample+YCbCr graph in ops/jpeg_tpu.py. Held to
+    ≤1 LSB of the host path by tests.
+
+Pixel selection follows the reference (src/jpegcodec.cc:112-121):
+grayscale sources decode to 'grey', everything else to 'rgb'; there is
+no pixel option. Encode accepts 'rgb'/'grey' only — the reference
+mis-encoded other formats as if RGB (jpegcodec.cc:345-352, masked by
+its negotiation bug); we reject instead, and the API layer's
+negotiation converts first (SURVEY.md appendix).
+
+Options: quality 0-100, default 85, clamped (jpegcodec.cc:434-441).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import CodecError, InvalidOptionsError
+from ..image import Image
+from ..native import lib as native
+
+DEFAULT_QUALITY = 85
+
+
+def stat(buf: bytes):
+    st = native.jpeg_stat(bytes(buf))
+    if st is None:
+        return None
+    w, h, ch = st
+    return {"width": w, "height": h, "pixel": "grey" if ch == 1 else "rgb"}
+
+
+def decode(buf: bytes, opts: dict) -> Image:
+    buf = bytes(buf)
+    st = native.jpeg_stat(buf)
+    if st is None:
+        raise CodecError("not a JPEG file")
+    w, h, ch = st
+    if opts.get("backend") == "tpu":
+        from ..ops import jpeg_tpu
+
+        co = native.JpegCoefficients(buf)
+        arr = jpeg_tpu.decode_coefficients(co)
+        pixel = "grey" if arr.shape[-1] == 1 else "rgb"
+        return Image.from_array(arr, pixel)
+    arr = native.jpeg_decode(buf, ch, w, h)
+    return Image.from_array(arr, "grey" if ch == 1 else "rgb")
+
+
+def encode(img: Image, opts: dict) -> bytes:
+    if img.pixel not in ("rgb", "grey"):
+        raise InvalidOptionsError(
+            f"jpeg encode supports rgb/grey, got {img.pixel}")
+    quality = int(opts.get("quality", DEFAULT_QUALITY))
+    quality = max(0, min(100, quality))
+    arr = img.to_array()
+    if opts.get("backend") == "tpu":
+        from ..ops import jpeg_tpu
+
+        comps = jpeg_tpu.encode_to_coefficients(
+            arr, quality, subsample=bool(opts.get("subsample", True)))
+        return native.jpeg_coef_write(
+            img.width, img.height, comps,
+            optimize_huffman=bool(opts.get("optimize", False)))
+    return native.jpeg_encode(arr, quality)
+
+
+class JpegCodec:
+    mimetype = "image/jpeg"
+    encodes = ["rgb", "grey"]  # jpegcodec.cc:512-514
+
+    @staticmethod
+    def stat(buf):
+        return stat(bytes(buf))
+
+    @staticmethod
+    def decode_sync(buf, opts):
+        return decode(buf, opts)
+
+    @staticmethod
+    def encode_sync(img, opts):
+        return encode(img, opts)
+
+
+CODEC = JpegCodec()

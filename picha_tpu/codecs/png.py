@@ -1,0 +1,361 @@
+"""PNG codec — an independent implementation of RFC 2083 / PNG spec.
+
+Pipeline split (SURVEY.md §7 step 4): inflate (zlib, C-speed) and the
+row-sequential filter reconstruction (native C++, pngfilter.cc) run on
+the host; everything downstream — bit expansion, palette, tRNS, grey
+<-> rgb mapping, 8/16-bit depth moves — is pure array math (numpy here
+for the single-image path; the batched pipeline reuses the same
+functions under jit).
+
+Behavioural parity targets (reference src/pngcodec.cc):
+  * default pixel selection by colour type, `deep` honoured only for
+    16-bit sources (pngcodec.cc:61-86)
+  * `opts['pixel']` target request with deep->shallow downgrade for
+    non-16-bit sources (pngcodec.cc:75-85)
+  * statPng reports the deep format for 16-bit files (pngcodec.cc:310)
+  * 16->8 conversion takes the high byte (png_set_strip_16 chop)
+  * rgb->grey uses libpng's fixed-point BT.709 default
+    (6968r+23434g+2366b)>>15 (png_set_rgb_to_gray with negative
+    weights, pngcodec.cc:152,157)
+  * encodes all 8 pixel formats, 8- or 16-bit depth from the format
+    (pngcodec.cc:385-387, 517-520)
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..errors import CodecError, InvalidOptionsError
+from ..image import Image
+from ..native import lib as native
+from ..pixels import PIXEL_FORMATS, SHALLOW_OF, pixel_format
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# colour types
+CT_GREY, CT_RGB, CT_PALETTE, CT_GREYA, CT_RGBA = 0, 2, 3, 4, 6
+_CHANNELS = {CT_GREY: 1, CT_RGB: 3, CT_PALETTE: 1, CT_GREYA: 2, CT_RGBA: 4}
+
+# libpng png_set_rgb_to_gray default coefficients (BT.709, 15-bit fixed)
+_GREY_R, _GREY_G, _GREY_B = 6968, 23434, 2366
+
+# Adam7 interlace pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+class _Header:
+    __slots__ = ("width", "height", "bit_depth", "color_type", "interlace")
+
+
+def _parse_chunks(buf: bytes):
+    if len(buf) < 8 or buf[:8] != PNG_SIGNATURE:
+        raise CodecError("not a PNG file")
+    pos = 8
+    while pos + 8 <= len(buf):
+        length, ctype = struct.unpack_from(">I4s", buf, pos)
+        data_start = pos + 8
+        data_end = data_start + length
+        if data_end + 4 > len(buf):
+            raise CodecError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", buf, data_end)[0]
+        if zlib.crc32(buf[pos + 4 : data_end]) & 0xFFFFFFFF != crc:
+            raise CodecError(f"PNG CRC mismatch in {ctype!r}")
+        yield ctype, buf[data_start:data_end]
+        pos = data_end + 4
+        if ctype == b"IEND":
+            return
+    raise CodecError("PNG missing IEND")
+
+
+def _parse_header(buf: bytes) -> _Header:
+    for ctype, data in _parse_chunks(buf):
+        if ctype != b"IHDR":
+            raise CodecError("PNG missing IHDR")
+        if len(data) != 13:
+            raise CodecError("bad IHDR")
+        h = _Header()
+        (h.width, h.height, h.bit_depth, h.color_type,
+         comp, filt, h.interlace) = struct.unpack(">IIBBBBB", data)
+        if comp != 0 or filt != 0 or h.interlace not in (0, 1):
+            raise CodecError("unsupported PNG compression/filter/interlace")
+        if h.color_type not in _CHANNELS:
+            raise CodecError("bad PNG colour type")
+        valid_depths = {CT_GREY: (1, 2, 4, 8, 16), CT_RGB: (8, 16),
+                        CT_PALETTE: (1, 2, 4, 8), CT_GREYA: (8, 16),
+                        CT_RGBA: (8, 16)}[h.color_type]
+        if h.bit_depth not in valid_depths:
+            raise CodecError("bad PNG bit depth")
+        if h.width == 0 or h.height == 0:
+            raise CodecError("bad PNG dimensions")
+        return h
+    raise CodecError("empty PNG")
+
+
+def _default_pixel(h: _Header, deep: bool) -> str:
+    """pngcodec.cc:61-74: choose by colour/alpha masks."""
+    deep = deep and h.bit_depth == 16
+    color = h.color_type in (CT_RGB, CT_PALETTE, CT_RGBA)
+    alpha = h.color_type in (CT_GREYA, CT_RGBA)
+    if color and alpha:
+        return "r16g16b16a16" if deep else "rgba"
+    if color:
+        return "r16g16b16" if deep else "rgb"
+    if alpha:
+        return "r16g16" if deep else "greya"
+    return "r16" if deep else "grey"
+
+
+def _resolve_pixel(h: _Header, req: str | None, deep: bool) -> str:
+    """pngcodec.cc:61-86: requests for deep formats downgrade when the
+    source is not 16-bit."""
+    if req is None:
+        return _default_pixel(h, deep)
+    if req not in PIXEL_FORMATS:
+        raise InvalidOptionsError("invalid pixel mode")
+    if h.bit_depth != 16 and req in SHALLOW_OF:
+        return SHALLOW_OF[req]
+    return req
+
+
+def stat(buf: bytes):
+    try:
+        h = _parse_header(bytes(buf))
+    except CodecError:
+        return None
+    return {"width": h.width, "height": h.height,
+            "pixel": _default_pixel(h, True)}
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _rowbytes(width: int, channels: int, depth: int) -> int:
+    return (width * channels * depth + 7) // 8
+
+
+def _unfilter_to_plane(raw: bytes, width: int, height: int, channels: int,
+                       depth: int) -> np.ndarray:
+    """Filtered scanline stream -> (height, rowbytes) reconstructed bytes."""
+    rb = _rowbytes(width, channels, depth)
+    bpp = max(1, (channels * depth) // 8)
+    need = height * (rb + 1)
+    if len(raw) < need:
+        raise CodecError("PNG pixel data truncated")
+    arr = np.frombuffer(raw, dtype=np.uint8, count=need)
+    out = native.png_unfilter(arr, height, rb, bpp)
+    return out.reshape(height, rb)
+
+
+def _expand_bits(plane: np.ndarray, width: int, channels: int,
+                 depth: int) -> np.ndarray:
+    """(h, rowbytes) bytes -> (h, w, channels) uint8/16 samples (no
+    value scaling for sub-byte depths — raw sample values)."""
+    h = plane.shape[0]
+    if depth == 8:
+        return plane[:, : width * channels].reshape(h, width, channels)
+    if depth == 16:
+        arr = plane[:, : width * channels * 2].reshape(h, width * channels, 2)
+        vals = (arr[:, :, 0].astype(np.uint16) << 8) | arr[:, :, 1]
+        return vals.reshape(h, width, channels)
+    # 1/2/4-bit: MSB-first within each byte
+    per_byte = 8 // depth
+    shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * depth
+    mask = (1 << depth) - 1
+    expanded = (plane[:, :, None] >> shifts[None, None, :]) & mask
+    expanded = expanded.reshape(h, -1)[:, : width * channels]
+    return expanded.reshape(h, width, channels)
+
+
+def _scale_sub_byte(samples: np.ndarray, depth: int) -> np.ndarray:
+    """Grayscale 1/2/4-bit -> full 8-bit range (libpng expand_gray)."""
+    factor = 255 // ((1 << depth) - 1)
+    return (samples * np.uint8(factor)).astype(np.uint8)
+
+
+def _decode_samples(buf: bytes, h: _Header):
+    """Returns (samples (H,W,C) uint8|uint16, palette, trns)."""
+    idat = []
+    palette = None
+    trns = None
+    for ctype, data in _parse_chunks(buf):
+        if ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"PLTE":
+            if len(data) % 3:
+                raise CodecError("bad PLTE")
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = data
+    if not idat:
+        raise CodecError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise CodecError(f"PNG inflate failed: {e}") from None
+
+    ch = _CHANNELS[h.color_type]
+    if h.interlace == 0:
+        plane = _unfilter_to_plane(raw, h.width, h.height, ch, h.bit_depth)
+        samples = _expand_bits(plane, h.width, ch, h.bit_depth)
+    else:  # Adam7
+        dtype = np.uint16 if h.bit_depth == 16 else np.uint8
+        samples = np.zeros((h.height, h.width, ch), dtype=dtype)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (h.width - x0 + dx - 1) // dx
+            ph = (h.height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            rb = _rowbytes(pw, ch, h.bit_depth)
+            need = ph * (rb + 1)
+            plane = _unfilter_to_plane(raw[pos : pos + need], pw, ph, ch,
+                                       h.bit_depth)
+            pos += need
+            samples[y0::dy, x0::dx] = _expand_bits(plane, pw, ch, h.bit_depth)
+    return samples, palette, trns
+
+
+def _to_target(samples: np.ndarray, h: _Header, palette, trns,
+               target: str) -> np.ndarray:
+    """libpng-transform-equivalent mapping to the requested format
+    (pngcodec.cc:138-168)."""
+    fmt = pixel_format(target)
+    depth = h.bit_depth
+    maxval = np.uint16(65535) if depth == 16 else np.uint8(255)
+
+    alpha = None
+    if h.color_type == CT_PALETTE:
+        idx = samples[:, :, 0]
+        if palette is None:
+            raise CodecError("palette PNG missing PLTE")
+        rgb = palette[idx]  # (H, W, 3) uint8
+        if trns is not None:
+            ta = np.frombuffer(trns, dtype=np.uint8)
+            lut = np.full(palette.shape[0], 255, dtype=np.uint8)
+            lut[: len(ta)] = ta
+            alpha = lut[idx]
+        color = rgb
+        depth = 8
+        maxval = np.uint8(255)
+    else:
+        if h.color_type == CT_GREY and h.bit_depth < 8:
+            samples = _scale_sub_byte(samples, h.bit_depth)
+            depth = 8
+        if h.color_type in (CT_GREYA, CT_RGBA):
+            alpha = samples[:, :, -1]
+            color = samples[:, :, :-1]
+        else:
+            color = samples
+        if trns is not None and h.color_type in (CT_GREY, CT_RGB):
+            # exact-match transparent colour -> alpha (tRNS_to_alpha)
+            vals = np.frombuffer(trns, dtype=">u2").astype(np.uint16)
+            if h.color_type == CT_GREY:
+                key = vals[0] if h.bit_depth == 16 else (
+                    _scale_sub_byte(np.array(vals[0] & 0xFF), h.bit_depth)
+                    if h.bit_depth < 8 else vals[0] & 0xFF)
+                match = color[:, :, 0] == key
+            else:
+                key = vals[:3] if h.bit_depth == 16 else (vals[:3] & 0xFF)
+                match = np.all(color == key.astype(color.dtype), axis=-1)
+            alpha = np.where(match, 0, int(maxval)).astype(color.dtype)
+
+    # grey <-> colour mapping
+    want_color = fmt.is_color
+    have_color = color.shape[-1] == 3
+    if want_color and not have_color:
+        color = np.repeat(color, 3, axis=-1)
+    elif not want_color and have_color:
+        # libpng fixed-point rgb->grey (15-bit coefficients)
+        r = color[..., 0].astype(np.uint32)
+        g = color[..., 1].astype(np.uint32)
+        b = color[..., 2].astype(np.uint32)
+        grey = (_GREY_R * r + _GREY_G * g + _GREY_B * b + 16384) >> 15
+        color = grey.astype(color.dtype)[..., None]
+
+    # alpha channel handling
+    if fmt.has_alpha:
+        if alpha is None:
+            alpha = np.full(color.shape[:2], int(maxval), dtype=color.dtype)
+        out = np.concatenate([color, alpha[..., None].astype(color.dtype)],
+                             axis=-1)
+    else:
+        out = color
+
+    # depth moves
+    if fmt.is_deep:
+        if depth != 16:
+            raise CodecError("deep target from non-16-bit source")
+        return out.astype(np.uint16)
+    if depth == 16:
+        out = (out >> 8).astype(np.uint8)  # png_set_strip_16 chop
+    return out.astype(np.uint8)
+
+
+def decode(buf: bytes, opts: dict) -> Image:
+    buf = bytes(buf)
+    h = _parse_header(buf)
+    target = _resolve_pixel(h, opts.get("pixel"), bool(opts.get("deep")))
+    samples, palette, trns = _decode_samples(buf, h)
+    out = _to_target(samples, h, palette, trns, target)
+    return Image.from_array(out, target)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+_COLOR_TYPE_OF = {1: CT_GREY, 2: CT_GREYA, 3: CT_RGB, 4: CT_RGBA}
+
+
+def encode(img: Image, opts: dict) -> bytes:
+    fmt = img.format
+    arr = img.to_array()
+    depth = 16 if fmt.is_deep else 8
+    color_type = _COLOR_TYPE_OF[fmt.channels]
+    h, w = arr.shape[:2]
+
+    if fmt.is_deep:
+        raw = arr.astype(">u2").tobytes()
+    else:
+        raw = np.ascontiguousarray(arr).tobytes()
+    rb = _rowbytes(w, fmt.channels, depth)
+    bpp = max(1, (fmt.channels * depth) // 8)
+    filtered = native.png_filter(
+        np.frombuffer(raw, dtype=np.uint8), h, rb, bpp,
+        int(opts.get("filter_strategy", -1)))
+    level = int(opts.get("compressionLevel", opts.get("compression_level", 6)))
+    idat = zlib.compress(filtered.tobytes(), level)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    return (PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+class PngCodec:
+    mimetype = "image/png"
+    encodes = ["rgb", "rgba", "grey", "greya", "r16", "r16g16",
+               "r16g16b16", "r16g16b16a16"]  # pngcodec.cc:517-520
+
+    @staticmethod
+    def stat(buf):
+        return stat(bytes(buf))
+
+    @staticmethod
+    def decode_sync(buf, opts):
+        return decode(buf, opts)
+
+    @staticmethod
+    def encode_sync(img, opts):
+        return encode(img, opts)
+
+
+CODEC = PngCodec()

@@ -1,0 +1,493 @@
+"""TIFF codec — an independent implementation of TIFF 6.0.
+
+The reference wrapped libtiff (src/tiffcodec.cc); this container
+parser/writer is written from the spec because the image only ships
+libtiff's .so without headers — and the pixel work lands in numpy/XLA
+anyway. Behavioural parity targets:
+
+  * decode always produces 'rgba' top-left oriented, like
+    TIFFReadRGBAImageOriented(..., ORIENTATION_TOPLEFT)
+    (tiffcodec.cc:130-137; README.md:158-159)
+  * multi-page via ``opts['index']`` -> directory select
+    (tiffcodec.cc:110-113, 189-195)
+  * stat reports {width, height, pixel: 'rgba'} (tiffcodec.cc:254-274)
+  * encode: all 8 pixel formats as contiguous scanlines,
+    photometric = MINISBLACK (<3 samples) else RGB, compression
+    'lzw' (default) / 'deflate' / 'none' (tiffcodec.cc:314-340,446)
+
+Decoder support matrix: bilevel/gray 1/2/4/8/16-bit (both MinIsWhite
+and MinIsBlack), RGB(A) 8/16-bit, palette, CMYK, separated planes,
+strips and tiles, compressions none/LZW/PackBits/deflate/old-JPEG
+(embedded interchange stream, the smallliz.tif case)/new-JPEG
+(JPEGTables + per-strip streams), horizontal predictor, orientations
+1-8. Entropy work (LZW, inflate, JPEG) is host-native; array
+reassembly is numpy.
+"""
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+
+import numpy as np
+
+from ..errors import CodecError, InvalidOptionsError
+from ..image import Image
+from ..native import lib as native
+
+# tag ids
+T_WIDTH, T_HEIGHT, T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 256, 257, 258, 259, 262
+T_FILLORDER, T_STRIP_OFFSETS, T_ORIENTATION, T_SPP, T_ROWS_PER_STRIP = 266, 273, 274, 277, 278
+T_STRIP_COUNTS, T_PLANAR, T_PREDICTOR, T_COLORMAP, T_TILE_W = 279, 284, 317, 320, 322
+T_TILE_H, T_TILE_OFFSETS, T_TILE_COUNTS, T_EXTRASAMPLES, T_SAMPLEFORMAT = 323, 324, 325, 338, 339
+T_JPEG_TABLES, T_JPEG_IF, T_JPEG_IF_LEN, T_YCBCR_SUBSAMPLING = 347, 513, 514, 530
+
+# compressions
+C_NONE, C_CCITT, C_OLDJPEG, C_JPEG, C_ADEFLATE, C_PACKBITS = 1, 2, 6, 7, 8, 32773
+C_LZW, C_DEFLATE = 5, 32946
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+               11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+class _Ifd:
+    __slots__ = ("tags",)
+
+    def __init__(self):
+        self.tags = {}
+
+    def get(self, tag, default=None):
+        v = self.tags.get(tag)
+        if v is None:
+            return default
+        return v
+
+    def one(self, tag, default=None):
+        v = self.tags.get(tag)
+        if v is None:
+            return default
+        return v[0] if isinstance(v, (list, tuple)) else v
+
+
+def _parse_ifds(buf: bytes):
+    if len(buf) < 8:
+        raise CodecError("not a TIFF file")
+    bom = buf[:2]
+    if bom == b"II":
+        e = "<"
+    elif bom == b"MM":
+        e = ">"
+    else:
+        raise CodecError("not a TIFF file")
+    magic, off = struct.unpack(e + "HI", buf[2:8])
+    if magic != 42:
+        raise CodecError("not a TIFF file")
+    ifds = []
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)
+        if off + 2 > len(buf):
+            raise CodecError("truncated TIFF IFD")
+        (n,) = struct.unpack_from(e + "H", buf, off)
+        ifd = _Ifd()
+        pos = off + 2
+        if pos + n * 12 + 4 > len(buf):
+            raise CodecError("truncated TIFF IFD")
+        for _ in range(n):
+            tag, typ, count = struct.unpack_from(e + "HHI", buf, pos)
+            size = _TYPE_SIZES.get(typ, 1) * count
+            if size <= 4:
+                data = buf[pos + 8 : pos + 8 + size]
+            else:
+                (voff,) = struct.unpack_from(e + "I", buf, pos + 8)
+                if voff + size > len(buf):
+                    raise CodecError("truncated TIFF value")
+                data = buf[voff : voff + size]
+            if typ in _TYPE_FMT:
+                vals = list(struct.unpack(e + _TYPE_FMT[typ] * count, data))
+            elif typ == 5 or typ == 10:  # rational
+                ints = struct.unpack(e + ("i" if typ == 10 else "I") * (2 * count), data)
+                vals = [ints[2 * i] / (ints[2 * i + 1] or 1) for i in range(count)]
+            else:
+                vals = [data]
+            ifd.tags[tag] = vals
+            pos += 12
+        (off,) = struct.unpack_from(e + "I", buf, pos)
+        ifds.append(ifd)
+    return e, ifds
+
+
+def stat(buf: bytes):
+    try:
+        _, ifds = _parse_ifds(bytes(buf))
+        ifd = ifds[0]
+        w, h = ifd.one(T_WIDTH), ifd.one(T_HEIGHT)
+        if not w or not h:
+            return None
+    except CodecError:
+        return None
+    return {"width": int(w), "height": int(h), "pixel": "rgba"}
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def _decompress(data: bytes, comp: int, expected: int) -> bytes:
+    if comp == C_NONE:
+        return data
+    if comp == C_LZW:
+        return native.lzw_decode(data, expected)
+    if comp in (C_ADEFLATE, C_DEFLATE):
+        return zlib.decompress(data)
+    if comp == C_PACKBITS:
+        return native.packbits_decode(data, expected)
+    raise CodecError(f"unsupported TIFF compression {comp}")
+
+
+def _undo_predictor(rows: np.ndarray, bits: int, spp: int) -> np.ndarray:
+    """Horizontal differencing predictor (tag 317 == 2)."""
+    h, rowbytes = rows.shape
+    if bits == 8:
+        arr = rows.reshape(h, rowbytes // spp, spp)
+        return np.cumsum(arr, axis=1, dtype=np.uint8).reshape(h, rowbytes)
+    if bits == 16:
+        arr = rows.view(np.uint16).reshape(h, -1, spp)
+        out = np.cumsum(arr, axis=1, dtype=np.uint16)
+        return out.reshape(h, -1).view(np.uint8)
+    raise CodecError("predictor unsupported for sub-byte samples")
+
+
+def _expand_to_samples(rows: np.ndarray, width: int, spp: int,
+                      bits: int) -> np.ndarray:
+    """(h, rowbytes) -> (h, width, spp) uint8/uint16 raw sample values."""
+    h = rows.shape[0]
+    if bits == 8:
+        return rows[:, : width * spp].reshape(h, width, spp)
+    if bits == 16:
+        return rows.view(np.uint16)[:, : width * spp].reshape(h, width, spp)
+    per_byte = 8 // bits
+    shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * bits
+    mask = (1 << bits) - 1
+    ex = (rows[:, :, None] >> shifts[None, None, :]) & mask
+    return ex.reshape(h, -1)[:, : width * spp].reshape(h, width, spp)
+
+
+def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
+              planar, predictor):
+    """Decode strips or tiles into a (height, width, spp) sample array."""
+    bytedepth = 2 if bits == 16 else 1
+    if T_TILE_OFFSETS in ifd.tags:
+        tw, th = ifd.one(T_TILE_W), ifd.one(T_TILE_H)
+        offsets = ifd.get(T_TILE_OFFSETS)
+        counts = ifd.get(T_TILE_COUNTS)
+        tiles_x = math.ceil(width / tw)
+        tiles_y = math.ceil(height / th)
+        planes = spp if planar == 2 else 1
+        cpp = 1 if planar == 2 else spp
+        rowbytes = (tw * cpp * bits + 7) // 8
+        out = np.zeros((height, width, spp),
+                       dtype=np.uint16 if bits == 16 else np.uint8)
+        i = 0
+        for p in range(planes):
+            for ty in range(tiles_y):
+                for tx in range(tiles_x):
+                    raw = _decompress(buf[offsets[i] : offsets[i] + counts[i]],
+                                      comp, rowbytes * th)
+                    i += 1
+                    rows = np.frombuffer(raw, np.uint8, rowbytes * th).reshape(
+                        th, rowbytes).copy()
+                    if predictor == 2:
+                        rows = _undo_predictor(rows, bits, cpp)
+                    if endian == ">" and bits == 16:
+                        rows = rows.reshape(th, -1, 2)[:, :, ::-1].reshape(th, -1)
+                    samples = _expand_to_samples(rows, tw, cpp, bits)
+                    y0, x0 = ty * th, tx * tw
+                    hh = min(th, height - y0)
+                    ww = min(tw, width - x0)
+                    if planar == 2:
+                        out[y0:y0+hh, x0:x0+ww, p] = samples[:hh, :ww, 0]
+                    else:
+                        out[y0:y0+hh, x0:x0+ww] = samples[:hh, :ww]
+        return out
+
+    offsets = ifd.get(T_STRIP_OFFSETS)
+    if offsets is None:
+        raise CodecError("TIFF missing strip offsets")
+    rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
+    counts = ifd.get(T_STRIP_COUNTS)
+    if counts is None:
+        counts = [len(buf) - offsets[0]]
+    strips_per_plane = math.ceil(height / rps)
+    planes = spp if planar == 2 else 1
+    cpp = 1 if planar == 2 else spp
+    rowbytes = (width * cpp * bits + 7) // 8
+    out = np.zeros((height, width, spp),
+                   dtype=np.uint16 if bits == 16 else np.uint8)
+    for p in range(planes):
+        for s in range(strips_per_plane):
+            i = p * strips_per_plane + s
+            y0 = s * rps
+            nrows = min(rps, height - y0)
+            raw = _decompress(buf[offsets[i] : offsets[i] + counts[i]], comp,
+                              rowbytes * nrows)
+            if len(raw) < rowbytes * nrows:
+                raise CodecError("TIFF strip too short")
+            rows = np.frombuffer(raw, np.uint8, rowbytes * nrows).reshape(
+                nrows, rowbytes).copy()
+            if predictor == 2:
+                rows = _undo_predictor(rows, bits, cpp)
+            if endian == ">" and bits == 16:
+                rows = rows.reshape(nrows, -1, 2)[:, :, ::-1].reshape(nrows, -1)
+            samples = _expand_to_samples(rows, width, cpp, bits)
+            if planar == 2:
+                out[y0:y0+nrows, :, p] = samples[:, :, 0]
+            else:
+                out[y0:y0+nrows] = samples
+    return out
+
+
+def _decode_jpeg_in_tiff(ifd: _Ifd, buf: bytes, width: int, height: int,
+                         comp: int) -> np.ndarray:
+    from . import jpeg as jpeg_codec
+
+    if comp == C_OLDJPEG:
+        off = ifd.one(T_JPEG_IF)
+        length = ifd.one(T_JPEG_IF_LEN)
+        if off is None:
+            raise CodecError("old-style JPEG TIFF without interchange stream")
+        if length is None or off + length > len(buf):
+            length = len(buf) - off
+        img = jpeg_codec.decode(buf[off : off + length], {})
+        arr = img.to_array()
+    else:  # C_JPEG: JPEGTables + per-strip streams
+        tables = ifd.one(T_JPEG_TABLES)
+        offsets = ifd.get(T_STRIP_OFFSETS)
+        counts = ifd.get(T_STRIP_COUNTS)
+        rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
+        parts = []
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            strip = buf[o : o + c]
+            if tables is not None and len(tables) > 4:
+                strip = b"\xff\xd8" + bytes(tables[2:-2]) + strip[2:]
+            img = jpeg_codec.decode(strip, {})
+            a = img.to_array()
+            nrows = min(rps, height - i * rps)
+            parts.append(a[:nrows])
+        arr = np.concatenate(parts, axis=0)
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    return arr[:height, :width]
+
+
+def _orient(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Normalise to top-left (TIFFReadRGBAImageOriented TOPLEFT)."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:
+        return arr.transpose(1, 0, 2)
+    if orientation == 6:
+        return arr.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return arr.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return arr.transpose(1, 0, 2)[::-1]
+    return arr
+
+
+def decode(buf: bytes, opts: dict) -> Image:
+    buf = bytes(buf)
+    endian, ifds = _parse_ifds(buf)
+    idx = int(opts.get("index", 0))
+    if idx < 0 or idx >= len(ifds):
+        raise CodecError("invalid directory index")
+    ifd = ifds[idx]
+
+    width = int(ifd.one(T_WIDTH, 0))
+    height = int(ifd.one(T_HEIGHT, 0))
+    if width <= 0 or height <= 0:
+        raise CodecError("bad TIFF dimensions")
+    spp = int(ifd.one(T_SPP, 1))
+    bits_list = ifd.get(T_BITS, [1])
+    bits = int(bits_list[0])
+    comp = int(ifd.one(T_COMPRESSION, C_NONE))
+    photometric = int(ifd.one(T_PHOTOMETRIC, 1))
+    planar = int(ifd.one(T_PLANAR, 1))
+    predictor = int(ifd.one(T_PREDICTOR, 1))
+    orientation = int(ifd.one(T_ORIENTATION, 1))
+    maxv = (1 << bits) - 1
+
+    if comp in (C_OLDJPEG, C_JPEG):
+        rgb = _decode_jpeg_in_tiff(ifd, buf, width, height, comp)
+        alpha = np.full(rgb.shape[:2] + (1,), 255, np.uint8)
+        out = np.concatenate([rgb[..., :3], alpha], axis=-1)
+        return Image.from_array(_orient(out, orientation), "rgba")
+
+    samples = _segments(ifd, endian, buf, width, height, spp, bits, comp,
+                        planar, predictor)
+
+    alpha = None
+    extras = ifd.get(T_EXTRASAMPLES)
+
+    def to8(x):
+        if bits == 16:
+            return (x >> 8).astype(np.uint8)
+        if bits == 8:
+            return x.astype(np.uint8)
+        return ((x.astype(np.uint16) * 255) // maxv).astype(np.uint8)
+
+    if photometric in (0, 1):  # grayscale
+        grey = to8(samples[:, :, 0])
+        if photometric == 0:
+            grey = 255 - grey
+        rgb = np.repeat(grey[:, :, None], 3, axis=-1)
+        if spp > 1 and extras:
+            alpha = to8(samples[:, :, 1])
+    elif photometric == 2:  # RGB
+        rgb = to8(samples[:, :, :3])
+        if spp > 3:
+            alpha = to8(samples[:, :, 3])
+    elif photometric == 3:  # palette
+        cmap = ifd.get(T_COLORMAP)
+        if cmap is None:
+            raise CodecError("palette TIFF missing colormap")
+        n = len(cmap) // 3
+        lut = (np.array(cmap, dtype=np.uint32).reshape(3, n).T >> 8).astype(np.uint8)
+        rgb = lut[samples[:, :, 0]]
+    elif photometric == 5:  # CMYK (separated)
+        c8 = to8(samples[:, :, :4])
+        c, m, y_, k = (c8[..., i].astype(np.int32) for i in range(4))
+        rgb = np.stack([(255 - c) * (255 - k) // 255,
+                        (255 - m) * (255 - k) // 255,
+                        (255 - y_) * (255 - k) // 255], axis=-1).astype(np.uint8)
+        if spp > 4:
+            alpha = to8(samples[:, :, 4])
+    elif photometric == 6:  # YCbCr (uncompressed)
+        subs = ifd.get(T_YCBCR_SUBSAMPLING, [2, 2])
+        if list(subs) != [1, 1]:
+            raise CodecError("subsampled uncompressed YCbCr TIFF unsupported")
+        y = samples[:, :, 0].astype(np.int32)
+        cb = samples[:, :, 1].astype(np.int32) - 128
+        cr = samples[:, :, 2].astype(np.int32) - 128
+        r = y + (91881 * cr + 32768 >> 16)
+        g = y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+        b = y + (116130 * cb + 32768 >> 16)
+        rgb = np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+    else:
+        raise CodecError(f"unsupported TIFF photometric {photometric}")
+
+    if alpha is None:
+        alpha = np.full((height, width), 255, np.uint8)
+    out = np.concatenate([rgb, alpha[:, :, None]], axis=-1)
+    return Image.from_array(_orient(out, orientation), "rgba")
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+_COMP_OF = {"none": C_NONE, "lzw": C_LZW, "deflate": C_ADEFLATE}
+
+
+def encode(img: Image, opts: dict) -> bytes:
+    comp_name = opts.get("compression", "lzw")
+    if comp_name not in _COMP_OF:
+        raise InvalidOptionsError("invalid compression option")
+    comp = _COMP_OF[comp_name]
+    fmt = img.format
+    arr = np.ascontiguousarray(img.to_array())
+    h, w, spp = arr.shape
+    bits = 16 if fmt.is_deep else 8
+    raw = arr.tobytes()  # little-endian samples, matching the II header
+    rowbytes = w * spp * (bits // 8)
+
+    rps = max(1, min(h, 8192 // max(1, rowbytes)))
+    nstrips = math.ceil(h / rps)
+    strips = []
+    for s in range(nstrips):
+        chunk = raw[s * rps * rowbytes : min(h, (s + 1) * rps) * rowbytes]
+        if comp == C_LZW:
+            strips.append(native.lzw_encode(chunk))
+        elif comp == C_ADEFLATE:
+            strips.append(zlib.compress(chunk, 6))
+        else:
+            strips.append(chunk)
+
+    # layout: header | strip data | IFD | external values
+    header = struct.pack("<2sHI", b"II", 42, 0)  # IFD offset patched below
+    data_off = 8
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos
+
+    entries = []
+    external = b""
+
+    def add(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    add(T_WIDTH, 4, [w])
+    add(T_HEIGHT, 4, [h])
+    add(T_BITS, 3, [bits] * spp)
+    add(T_COMPRESSION, 3, [comp])
+    add(T_PHOTOMETRIC, 3, [1 if spp < 3 else 2])
+    add(T_STRIP_OFFSETS, 4, offsets)
+    add(T_ORIENTATION, 3, [1])
+    add(T_SPP, 3, [spp])
+    add(T_ROWS_PER_STRIP, 4, [rps])
+    add(T_STRIP_COUNTS, 4, [len(s) for s in strips])
+    add(T_PLANAR, 3, [1])
+    if fmt.has_alpha:
+        add(T_EXTRASAMPLES, 3, [2])  # unassociated alpha
+    entries.sort(key=lambda x: x[0])
+
+    ifd_size = 2 + len(entries) * 12 + 4
+    ext_off = ifd_off + ifd_size
+    body = struct.pack("<H", len(entries))
+    for tag, typ, vals in entries:
+        fmt_ch = _TYPE_FMT[typ]
+        size = _TYPE_SIZES[typ] * len(vals)
+        packed = struct.pack("<" + fmt_ch * len(vals), *vals)
+        if size <= 4:
+            body += struct.pack("<HHI", tag, typ, len(vals)) + packed.ljust(4, b"\0")
+        else:
+            body += struct.pack("<HHII", tag, typ, len(vals), ext_off + len(external))
+            external += packed
+    body += struct.pack("<I", 0)  # next IFD
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    for s in strips:
+        out += s
+    out += body
+    out += external
+    return bytes(out)
+
+
+class TiffCodec:
+    mimetype = "image/tiff"
+    encodes = ["rgb", "rgba", "grey", "greya", "r16", "r16g16",
+               "r16g16b16", "r16g16b16a16"]  # tiffcodec.cc:516-519
+
+    @staticmethod
+    def stat(buf):
+        return stat(bytes(buf))
+
+    @staticmethod
+    def decode_sync(buf, opts):
+        return decode(buf, opts)
+
+    @staticmethod
+    def encode_sync(img, opts):
+        return encode(img, opts)
+
+
+CODEC = TiffCodec()

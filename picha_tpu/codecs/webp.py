@@ -1,0 +1,82 @@
+"""WebP codec over the libwebp shim (native/webpshim.cc).
+
+The reference linked libwebp for the full codec (src/webpcodec.cc);
+VP8/VP8L entropy coding is host-serial so the shim does the same.
+Parity surface:
+
+  * decode to 'rgba' when the bitstream has alpha else 'rgb'
+    (webpcodec.cc:63-67, 105-109); no other formats
+  * encode accepts rgb/rgba (webpcodec.cc:399-401) with options:
+    preset ('default', 'picture', 'photo', 'drawing', 'icon', 'text',
+    'lossless'), quality (default 85), alphaQuality (default 100),
+    exact flag; 'lossless' = default preset + lossless mode
+    (webpcodec.cc:155-195)
+  * stat -> {width, height, pixel} via WebPGetFeatures
+"""
+from __future__ import annotations
+
+from ..errors import CodecError, InvalidOptionsError
+from ..image import Image
+from ..native import lib as native
+
+_PRESETS = {"default": 0, "picture": 1, "photo": 2, "drawing": 3,
+            "icon": 4, "text": 5, "lossless": 0}
+
+DEFAULT_QUALITY = 85.0  # webpcodec.cc:156
+DEFAULT_ALPHA_QUALITY = 100  # webpcodec.cc:188-189
+
+
+def stat(buf: bytes):
+    st = native.webp_stat(bytes(buf))
+    if st is None:
+        return None
+    w, h, has_alpha = st
+    return {"width": w, "height": h, "pixel": "rgba" if has_alpha else "rgb"}
+
+
+def decode(buf: bytes, opts: dict) -> Image:
+    buf = bytes(buf)
+    st = native.webp_stat(buf)
+    if st is None:
+        raise CodecError("not a WebP file")
+    w, h, has_alpha = st
+    channels = 4 if has_alpha else 3
+    arr = native.webp_decode(buf, channels, w, h)
+    return Image.from_array(arr, "rgba" if has_alpha else "rgb")
+
+
+def encode(img: Image, opts: dict) -> bytes:
+    if img.pixel not in ("rgb", "rgba"):
+        raise InvalidOptionsError(
+            f"webp encode supports rgb/rgba, got {img.pixel}")
+    preset_name = opts.get("preset", "default")
+    if preset_name not in _PRESETS:
+        raise InvalidOptionsError("invalid preset")
+    quality = float(opts.get("quality", DEFAULT_QUALITY))
+    alpha_quality = int(opts.get("alphaQuality",
+                                 opts.get("alpha_quality",
+                                          DEFAULT_ALPHA_QUALITY)))
+    exact = bool(opts.get("exact", False))
+    lossless = preset_name == "lossless"
+    return native.webp_encode(img.to_array(), _PRESETS[preset_name], quality,
+                              alpha_quality, exact, lossless)
+
+
+class WebPCodec:
+    mimetype = "image/webp"
+    encodes = ["rgb", "rgba"]  # webpcodec.cc:399-401
+
+    @staticmethod
+    def stat(buf):
+        return stat(bytes(buf))
+
+    @staticmethod
+    def decode_sync(buf, opts):
+        return decode(buf, opts)
+
+    @staticmethod
+    def encode_sync(img, opts):
+        return encode(img, opts)
+
+
+CODEC = WebPCodec()

@@ -296,13 +296,19 @@ PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
     jpeg_add_quant_table(&cinfo, tbl, basic, 100, FALSE);
   }
 
-  // build virtual coefficient arrays
+  // build virtual coefficient arrays; the transcoder walks them in
+  // v_samp-row chunks, so round dims up to sampling multiples and
+  // pre-zero the padding (as jdcoefct does on the decode side)
   jvirt_barray_ptr* arrays = (jvirt_barray_ptr*)(cinfo.mem->alloc_small)(
       (j_common_ptr)&cinfo, JPOOL_IMAGE, ncomp * sizeof(jvirt_barray_ptr));
   for (int c = 0; c < ncomp; ++c) {
+    JDIMENSION bw = (JDIMENSION)((blocks_w[c] + h_samp[c] - 1) / h_samp[c] *
+                                 h_samp[c]);
+    JDIMENSION bh = (JDIMENSION)((blocks_h[c] + v_samp[c] - 1) / v_samp[c] *
+                                 v_samp[c]);
     arrays[c] = (cinfo.mem->request_virt_barray)(
-        (j_common_ptr)&cinfo, JPOOL_IMAGE, FALSE, (JDIMENSION)blocks_w[c],
-        (JDIMENSION)blocks_h[c], (JDIMENSION)v_samp[c]);
+        (j_common_ptr)&cinfo, JPOOL_IMAGE, TRUE, bw, bh,
+        (JDIMENSION)v_samp[c]);
   }
   jpeg_write_coefficients(&cinfo, arrays);
   for (int c = 0; c < ncomp; ++c) {

@@ -122,10 +122,10 @@ PICHA_API int picha_lzw_decode(const uint8_t* src, size_t srclen, uint8_t* out,
         return -1;
       }
       old_code = code;
-      // TIFF early change; the decoder's table lags the encoder's by
-      // one entry, so it widens at (1<<w)-2 where the encoder widens
-      // at (1<<w)-1 (TIFF 6.0 §13 pseudo-code)
-      if (next == (1 << width) - 2 && width < 12) ++width;
+      // TIFF early change (calibrated against libtiff): the decoder
+      // widens when its table reaches (1<<w)-1; the encoder — whose
+      // table leads by one entry — widens at (1<<w)
+      if (next == (1 << width) - 1 && width < 12) ++width;
     }
   }
   *outlen = written;
@@ -173,8 +173,8 @@ PICHA_API int picha_lzw_encode(const uint8_t* src, size_t srclen, uint8_t** out,
       hash_key[slot] = key;
       hash_val[slot] = (int16_t)next;
       ++next;
-      // early change on the encoder side too
-      if (next == (1 << width) - 1 && width < 12) ++width;
+      // see decoder note: encoder widens at (1<<w)
+      if (next == (1 << width) && width < 12) ++width;
       if (next > kMaxCode) {
         bw.write(kClear, width);
         width = 9;

@@ -1,0 +1,95 @@
+"""JPEG codec tests — mirrors reference test/jpeg_codec.js (parameterised
+fixtures incl. progressive/grey/CMYK, q100 round-trip < 8, alpha-input
+encodes) plus TPU-path parity vs the host path."""
+import numpy as np
+import pytest
+
+import picha_tpu as picha
+from picha_tpu import Image
+from conftest import fixture_bytes
+
+FILES = [
+    ("test2.jpg", 76, 50, "rgb"),
+    ("test2g.jpg", 76, 50, "grey"),
+    ("test2cmyk.jpg", 76, 50, "rgb"),   # CMYK folds to rgb
+    ("test.jpeg", 50, 50, "rgb"),       # progressive
+]
+
+
+@pytest.mark.parametrize("name,w,h,pixel", FILES)
+def test_stat_and_decode(name, w, h, pixel):
+    buf = fixture_bytes(name)
+    st = picha.statJpeg(buf)
+    assert st == {"width": w, "height": h, "pixel": pixel}
+    img = picha.decodeJpegSync(buf)
+    assert (img.width, img.height, img.pixel) == (w, h, pixel)
+
+
+@pytest.mark.parametrize("name,w,h,pixel", FILES)
+def test_tpu_path_matches_host(name, w, h, pixel):
+    buf = fixture_bytes(name)
+    host = picha.decodeJpegSync(buf)
+    tpu = picha.decodeJpegSync(buf, {"backend": "tpu"})
+    assert tpu.pixel == host.pixel
+    # ≤1 LSB average divergence (IDCT rounding only)
+    assert host.avg_channel_diff(tpu) <= 1.0
+
+
+def test_q100_roundtrip():
+    img = picha.decodeJpegSync(fixture_bytes("test2.jpg"))
+    back = picha.decodeJpegSync(picha.encodeJpegSync(img, {"quality": 100}))
+    assert img.avg_channel_diff(back) < 8  # test/jpeg_codec.js:57-69
+
+
+def test_tpu_encode_roundtrip():
+    img = picha.decodeJpegSync(fixture_bytes("test2.jpg"))
+    data = picha.encodeJpegSync(img, {"quality": 100, "backend": "tpu"})
+    back = picha.decodeJpegSync(data)
+    assert img.avg_channel_diff(back) < 8
+
+
+def test_alpha_input_encodes():
+    # encode negotiation converts rgba -> rgb (test/jpeg_codec.js:82-89;
+    # intended behaviour of the buggy index.js:48-50)
+    rng = np.random.default_rng(0)
+    img = Image.from_array(rng.integers(0, 256, (8, 8, 4), np.uint8), "rgba")
+    data = picha.encodeJpegSync(img)
+    assert picha.decodeJpegSync(data).pixel == "rgb"
+    # greya converts to grey (preference map)
+    img = Image.from_array(rng.integers(0, 256, (8, 8, 2), np.uint8), "greya")
+    assert picha.decodeJpegSync(picha.encodeJpegSync(img)).pixel == "grey"
+
+
+def test_grey_roundtrip():
+    img = picha.decodeJpegSync(fixture_bytes("test2g.jpg"))
+    assert img.pixel == "grey"
+    back = picha.decodeJpegSync(picha.encodeJpegSync(img, {"quality": 100}))
+    assert img.avg_channel_diff(back) < 8
+
+
+def test_sync_async_identical():
+    buf = fixture_bytes("test2.jpg")
+    res = {}
+    picha.decodeJpeg(buf, lambda e, r: res.update(e=e, r=r)).result(60)
+    assert res["e"] is None
+    assert res["r"].equal_pixels(picha.decodeJpegSync(buf))
+    img = res["r"]
+    enc = {}
+    picha.encodeJpeg(img, lambda e, r: enc.update(e=e, r=r)).result(60)
+    assert enc["r"] == picha.encodeJpegSync(img)
+
+
+def test_quality_clamps_and_defaults():
+    img = picha.decodeJpegSync(fixture_bytes("test2.jpg"))
+    # out-of-range quality is clamped (jpegcodec.cc:434-441)
+    a = picha.encodeJpegSync(img, {"quality": 150})
+    b = picha.encodeJpegSync(img, {"quality": 100})
+    assert a == b
+    lo = picha.encodeJpegSync(img, {"quality": 5})
+    assert len(lo) < len(b)
+
+
+def test_corrupt_raises():
+    with pytest.raises(picha.PichaError):
+        picha.decodeJpegSync(b"\xff\xd8\xff\xe0garbage")
+    assert picha.statJpeg(b"not a jpeg") is None

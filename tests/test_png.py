@@ -1,0 +1,121 @@
+"""PNG codec tests — mirrors reference test/png_codec.js plus interop
+and property checks."""
+import io
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+import picha_tpu as picha
+from picha_tpu import Image
+from conftest import fixture_bytes
+
+
+def test_stat():
+    st = picha.statPng(fixture_bytes("test.png"))
+    assert st == {"width": 50, "height": 50, "pixel": "rgba"}
+    # 16-bit file: stat reports the deep format (pngcodec.cc:310)
+    st16 = picha.statPng(fixture_bytes("test16.png"))
+    assert st16 == {"width": 50, "height": 50, "pixel": "r16g16b16"}
+    assert picha.statPng(b"not a png") is None
+
+
+def test_decode_matches_pil():
+    for name in ["test.png", "test16.png", "greytest.png", "test2.png"]:
+        img = picha.decodePngSync(fixture_bytes(name))
+        pil = np.array(PILImage.open(io.BytesIO(fixture_bytes(name))))
+        if pil.ndim == 2:
+            pil = pil[:, :, None]
+        np.testing.assert_array_equal(img.to_array(), pil)
+
+
+def test_sync_async_identical():
+    buf = fixture_bytes("test.png")
+    res = {}
+    picha.decodePng(buf, lambda e, r: res.update(e=e, r=r)).result(60)
+    assert res["e"] is None
+    assert res["r"].equal_pixels(picha.decodePngSync(buf))
+    img = res["r"]
+    enc_res = {}
+    picha.encodePng(img, lambda e, r: enc_res.update(e=e, r=r)).result(60)
+    assert enc_res["e"] is None
+    assert enc_res["r"] == picha.encodePngSync(img)  # byte-identical
+
+
+def test_lossless_roundtrip():
+    img = picha.decodePngSync(fixture_bytes("test.png"))
+    data = picha.encodePngSync(img)
+    assert picha.decodePngSync(data).equal_pixels(img)
+
+
+def test_deep_decode():
+    buf = fixture_bytes("test16.png")
+    deep = picha.decodePngSync(buf, {"deep": True})
+    assert deep.pixel == "r16g16b16"
+    shallow = picha.decodePngSync(buf)
+    assert shallow.pixel == "rgb"
+    # high-byte chop relation
+    np.testing.assert_array_equal(
+        (deep.to_array() >> 8).astype(np.uint8), shallow.to_array())
+    # deep round trip is lossless
+    data = picha.encodePngSync(deep)
+    assert picha.decodePngSync(data, {"deep": True}).equal_pixels(deep)
+
+
+def test_pixel_request():
+    # undocumented opts.pixel target (pngcodec.cc:218-236)
+    buf = fixture_bytes("test.png")
+    grey = picha.decodePngSync(buf, {"pixel": "grey"})
+    assert grey.pixel == "grey"
+    rgb = picha.decodePngSync(buf, {"pixel": "rgb"})
+    assert rgb.pixel == "rgb"
+    # deep request downgrades on non-16-bit source (pngcodec.cc:75-85)
+    assert picha.decodePngSync(buf, {"pixel": "r16g16b16"}).pixel == "rgb"
+
+
+def test_all_formats_roundtrip():
+    rng = np.random.default_rng(3)
+    for pix in ["rgb", "rgba", "grey", "greya", "r16", "r16g16",
+                "r16g16b16", "r16g16b16a16"]:
+        fmt = picha.Image(width=0, height=0, pixel=pix).format
+        arr = rng.integers(0, fmt.max_value + 1, (13, 11, fmt.channels),
+                           dtype=fmt.dtype)
+        img = Image.from_array(arr, pix)
+        back = picha.decodePngSync(picha.encodePngSync(img),
+                                   {"deep": fmt.is_deep})
+        assert back.equal_pixels(img), pix
+
+
+def test_pil_reads_our_output():
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (9, 9, 4), dtype=np.uint8)
+    data = picha.encodePngSync(Image.from_array(arr, "rgba"))
+    pil = np.array(PILImage.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(pil, arr)
+
+
+def test_interlaced_and_palette_decode():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
+    pim = PILImage.fromarray(arr, "RGB")
+    # interlaced
+    b = io.BytesIO()
+    pim.save(b, format="PNG", interlace=True)
+    img = picha.decodePngSync(b.getvalue())
+    np.testing.assert_array_equal(img.to_array(), arr)
+    # palette
+    b = io.BytesIO()
+    pim.convert("P", palette=PILImage.ADAPTIVE).save(b, format="PNG")
+    img = picha.decodePngSync(b.getvalue())
+    assert img.pixel == "rgb"
+    pil = np.array(PILImage.open(io.BytesIO(b.getvalue())).convert("RGB"))
+    np.testing.assert_array_equal(img.to_array(), pil)
+
+
+def test_corrupt_data_raises():
+    buf = bytearray(fixture_bytes("test.png"))
+    buf[40] ^= 0xFF  # corrupt IDAT area -> CRC failure
+    with pytest.raises(picha.CodecError):
+        picha.decodePngSync(bytes(buf))
+    with pytest.raises(picha.CodecError):
+        picha.decodePngSync(b"\x89PNG\r\n\x1a\ntruncated")

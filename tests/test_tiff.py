@@ -1,0 +1,98 @@
+"""TIFF codec tests — mirrors reference test/tiff_codec.js (always-RGBA
+decode, round trips per compression, directory index) plus libtiff
+interop via PIL."""
+import io
+
+import numpy as np
+import pytest
+from PIL import Image as PILImage
+
+import picha_tpu as picha
+from picha_tpu import Image
+from conftest import fixture_bytes
+
+
+def test_stat():
+    st = picha.statTiff(fixture_bytes("smallliz.tif"))
+    assert st == {"width": 160, "height": 160, "pixel": "rgba"}
+    assert picha.statTiff(b"not a tiff") is None
+
+
+def test_decode_always_rgba():
+    img = picha.decodeTiffSync(fixture_bytes("smallliz.tif"))
+    assert img.pixel == "rgba"
+    assert (img.width, img.height) == (160, 160)
+    assert (img.to_array()[:, :, 3] == 255).all()
+
+
+@pytest.mark.parametrize("comp", ["lzw", "none", "deflate"])
+def test_roundtrip_compressions(comp):
+    img = picha.decodeTiffSync(fixture_bytes("smallliz.tif"))
+    data = picha.encodeTiffSync(img, {"compression": comp})
+    assert picha.decodeTiffSync(data).equal_pixels(img)
+    # libtiff (via PIL) reads our output identically
+    pil = np.array(PILImage.open(io.BytesIO(data)))
+    np.testing.assert_array_equal(pil, img.to_array())
+
+
+def test_invalid_compression_rejected():
+    img = Image.from_array(np.zeros((2, 2, 4), np.uint8), "rgba")
+    with pytest.raises(picha.InvalidOptionsError):
+        picha.encodeTiffSync(img, {"compression": "jpeg"})
+
+
+def test_directory_index():
+    rng = np.random.default_rng(0)
+    a = PILImage.fromarray(rng.integers(0, 256, (12, 10, 3), np.uint8), "RGB")
+    b = PILImage.fromarray(rng.integers(0, 256, (6, 8, 3), np.uint8), "RGB")
+    buf = io.BytesIO()
+    a.save(buf, format="TIFF", save_all=True, append_images=[b])
+    img0 = picha.decodeTiffSync(buf.getvalue())
+    img1 = picha.decodeTiffSync(buf.getvalue(), {"index": 1})
+    np.testing.assert_array_equal(img0.to_array()[:, :, :3], np.array(a))
+    np.testing.assert_array_equal(img1.to_array()[:, :, :3], np.array(b))
+    with pytest.raises(picha.CodecError):
+        picha.decodeTiffSync(buf.getvalue(), {"index": 2})
+
+
+def test_pil_interop_compressions():
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    pim = PILImage.fromarray(arr, "RGB")
+    for comp in ["tiff_lzw", "tiff_adobe_deflate", "packbits", None]:
+        b = io.BytesIO()
+        pim.save(b, format="TIFF", compression=comp)
+        ours = picha.decodeTiffSync(b.getvalue())
+        np.testing.assert_array_equal(ours.to_array()[:, :, :3], arr)
+
+
+def test_grey_and_deep_sources():
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 256, (9, 9), dtype=np.uint8)
+    b = io.BytesIO()
+    PILImage.fromarray(g, "L").save(b, format="TIFF")
+    img = picha.decodeTiffSync(b.getvalue())
+    assert img.pixel == "rgba"
+    np.testing.assert_array_equal(img.to_array()[:, :, 0], g)
+    np.testing.assert_array_equal(img.to_array()[:, :, 1], g)
+    # our own 16-bit encode decodes with high-byte semantics
+    deep = Image.from_array(
+        rng.integers(0, 65536, (5, 5, 3), np.uint16), "r16g16b16")
+    back = picha.decodeTiffSync(picha.encodeTiffSync(deep, {}))
+    np.testing.assert_array_equal(
+        back.to_array()[:, :, :3], (deep.to_array() >> 8).astype(np.uint8))
+
+
+def test_alpha_roundtrip():
+    rng = np.random.default_rng(3)
+    img = Image.from_array(rng.integers(0, 256, (7, 7, 4), np.uint8), "rgba")
+    back = picha.decodeTiffSync(picha.encodeTiffSync(img, {}))
+    assert back.equal_pixels(img)
+
+
+def test_sync_async_identical():
+    img = picha.decodeTiffSync(fixture_bytes("smallliz.tif"))
+    res = {}
+    picha.encodeTiff(img, lambda e, r: res.update(e=e, r=r)).result(60)
+    assert res["e"] is None
+    assert res["r"] == picha.encodeTiffSync(img)
