@@ -1,0 +1,114 @@
+"""Spatially-sharded resize with halo exchange — the CP/SP analog.
+
+The reference's "large image with bounded memory" story was a
+row-streaming ring buffer (resize.cc:52-64,83-132) plus O(1) subView
+crops. On TPU the equivalent is sharding the image's H axis across the
+mesh and exchanging a filter-support halo of rows between neighbours
+over ICI (SURVEY.md §5.7): each device resizes its output-row slab
+using only its local rows plus the halo, so gigapixel inputs never
+need to be resident on one chip.
+
+Implementation: shard_map over the 'sp' axis. The horizontal pass is
+embarrassingly local; the vertical pass needs input rows within
+``fsupport`` of the slab boundary, fetched with two ppermute shifts
+(up + down). Boundary wrap-around rows carry zero weight in the
+per-device vertical weight block (built from the zero-padded global
+contribution matrix), so the ring permutation needs no edge casing.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+from ..ops.resize import FILTERS, parse_resize_options, resize_weights
+
+
+def _halo_rows(src_h: int, dst_h: int, filter_name: str, fscale: float) -> int:
+    base_support, _ = FILTERS[filter_name]
+    support = fscale * base_support
+    scale = src_h / dst_h
+    f = max(scale, 1.0, 1.0 / support)
+    return int(math.ceil(support * f)) + 1
+
+
+@functools.lru_cache(maxsize=64)
+def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
+           filter_name: str, fscale: float, n_shards: int, axis: str,
+           mesh_key):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    mesh = _MESHES[mesh_key]
+    if src_h % n_shards or dst_h % n_shards:
+        raise ValueError("src/dst heights must divide the mesh axis size")
+    local_in = src_h // n_shards
+    local_out = dst_h // n_shards
+    halo = min(_halo_rows(src_h, dst_h, filter_name, fscale), local_in)
+
+    wh = resize_weights(dst_w, src_w, filter_name, fscale)
+    wv = resize_weights(dst_h, src_h, filter_name, fscale)
+    # per-shard vertical blocks over the zero-padded row axis:
+    # columns j of block k map to global rows k*local_in - halo + j
+    wvpad = np.pad(wv, ((0, 0), (halo, halo)))
+    blocks = np.stack([
+        wvpad[k * local_out:(k + 1) * local_out,
+              k * local_in: k * local_in + local_in + 2 * halo]
+        for k in range(n_shards)
+    ])  # (n, local_out, local_in + 2*halo)
+
+    def local_fn(img, wv_block):
+        # img: (local_in, W, C) float32; wv_block: (1, local_out, ...)
+        up_perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+        dn_perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+        prev_tail = jax.lax.ppermute(img[-halo:], axis, up_perm)
+        next_head = jax.lax.ppermute(img[:halo], axis, dn_perm)
+        ext = jnp.concatenate([prev_tail, img, next_head], axis=0)
+        tmp = jnp.einsum("ow,hwc->hoc", jnp.asarray(wh), ext,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("oh,hwc->owc", wv_block[0], tmp,
+                         preferred_element_type=jnp.float32)
+        return out
+
+    smapped = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None)),
+        out_specs=P(axis, None, None))
+
+    def fn(img_u8):
+        f = img_u8.astype(jnp.float32) / jnp.float32(255.0)
+        out = smapped(f, jnp.asarray(blocks))
+        return jnp.floor(jnp.clip(out * 255.0 + 0.5, 0, 255)).astype(jnp.uint8)
+
+    sharding = NamedSharding(mesh, P(axis, None, None))
+    return jax.jit(fn, in_shardings=sharding, out_shardings=sharding)
+
+
+_MESHES: dict = {}
+
+
+def resize_sharded(img, dst_w: int, dst_h: int, mesh, axis: str = "sp",
+                   filter: str | None = None, filter_scale: float | None = None):
+    """Resize an (H, W, C) uint8 image sharded over rows on `mesh[axis]`.
+
+    Returns a (dst_h, dst_w, C) uint8 array sharded the same way. Same
+    numerics as ops.resize (reference resize.cc semantics)."""
+    opts = {}
+    if filter is not None:
+        opts["filter"] = filter
+    if filter_scale is not None:
+        opts["filterScale"] = filter_scale
+    name, fscale = parse_resize_options(opts)
+    n = mesh.shape[axis]
+    mesh_key = id(mesh)
+    _MESHES[mesh_key] = mesh
+    h, w, c = img.shape
+    fn = _build(h, w, c, dst_h, dst_w, name, fscale, n, axis, mesh_key)
+    return fn(img)

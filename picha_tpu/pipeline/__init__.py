@@ -1,0 +1,10 @@
+"""Batched TPU pipelines: where the throughput lives.
+
+  JpegBatchPipeline — decode -> resize -> {uint8|normalize|re-encode}
+  TrainingInput     — deterministic resumable training-input iterator
+  prefetch          — double-buffered host->device overlap
+"""
+
+from .jpeg_batch import JpegBatchPipeline, entropy_decode, signature  # noqa: F401
+from .prefetch import map_prefetch, prefetch  # noqa: F401
+from .training import TrainingInput  # noqa: F401

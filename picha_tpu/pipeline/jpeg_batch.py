@@ -1,0 +1,214 @@
+"""Batched JPEG pipeline: the throughput path.
+
+The reference's concurrency story was one libuv thread per request
+(SURVEY.md §2 "Async execution"). The TPU-native equivalent is a
+two-stage pipeline (SURVEY.md §5.8):
+
+  host threads:  bytes -> entropy decode -> DCT coefficient tensors
+  TPU (one jit): dequant + IDCT + upsample + YCbCr + resize + pack
+                 (optionally + fDCT + quantise for re-encode)
+
+Images are grouped into shape buckets — XLA requires static shapes —
+keyed by the coefficient-geometry signature; each bucket compiles once
+and is reused (SURVEY.md §7 hard part (c)).
+
+All pixel math runs batched over (N, ...) tensors, so the MXU sees
+large matmuls (IDCT: N*blocks 8x8 contractions; resize: banded weight
+matmuls over N*H rows).
+"""
+from __future__ import annotations
+
+import functools
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..native import lib as native
+from ..ops import jpeg_tpu
+from ..ops.resize import parse_resize_options, resize_weights
+
+
+def entropy_decode(bufs: Sequence[bytes], pool: Optional[ThreadPoolExecutor] = None
+                   ) -> List[native.JpegCoefficients]:
+    """Parallel host entropy decode (ctypes releases the GIL)."""
+    if pool is None:
+        return [native.JpegCoefficients(b) for b in bufs]
+    return list(pool.map(native.JpegCoefficients, bufs))
+
+
+def signature(co: native.JpegCoefficients):
+    return (co.width, co.height, co.color_space,
+            tuple((c["blocks_h"], c["blocks_w"], c["h_samp"], c["v_samp"])
+                  for c in co.comps))
+
+
+@functools.lru_cache(maxsize=256)
+def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
+                     filter_name: str, filter_scale: float,
+                     normalize: bool, encode_quality: Optional[int]):
+    """Build the fused batched graph for one signature bucket.
+
+    Stages: coefficients -> RGB/grey (N,H,W,C int32) -> optional resize
+    (u8 semantics preserved: unpack/pack round-half-up) -> one of
+      * uint8 image batch
+      * normalized float32 (training input)
+      * re-encoded quantised coefficients (encode_quality set)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    width, height, color_space, comp_sig = sig
+    max_h = max(s[2] for s in comp_sig)
+    max_v = max(s[3] for s in comp_sig)
+
+    def decode_stage(coefs, qtabs):
+        planes = []
+        for i, (bh, bw, hs, vs) in enumerate(comp_sig):
+            dw, dh = jpeg_tpu._plane_geometry(width, height, hs, vs, max_h, max_v)
+            p = jpeg_tpu.dequant_idct_plane(coefs[i], qtabs[i], dh, dw)
+            if (hs, vs) != (max_h, max_v):
+                p = jpeg_tpu.upsample_to(p, max_h // hs, max_v // vs,
+                                         height, width)
+            else:
+                p = p[..., :height, :width]
+            planes.append(p)
+        if color_space == jpeg_tpu.CS_GRAYSCALE or len(planes) == 1:
+            return planes[0][..., None]
+        if color_space == jpeg_tpu.CS_YCBCR:
+            return jpeg_tpu.ycbcr_to_rgb_int(*planes[:3])
+        if color_space == jpeg_tpu.CS_RGB:
+            return jnp.stack(planes[:3], axis=-1)
+        if color_space == jpeg_tpu.CS_YCCK:
+            c, m_, y_, k = jpeg_tpu.ycck_to_cmyk(planes[0], planes[1],
+                                                 planes[2], planes[3])
+            return jpeg_tpu.cmyk_fold_to_rgb(c, m_, y_, k)
+        if color_space == jpeg_tpu.CS_CMYK:
+            return jpeg_tpu.cmyk_fold_to_rgb(planes[0], planes[1], planes[2],
+                                             planes[3])
+        raise ValueError(f"unsupported colour space {color_space}")
+
+    rw = rh = None
+    if out_w is not None:
+        rw = resize_weights(out_w, width, filter_name, filter_scale)
+        rh = resize_weights(out_h, height, filter_name, filter_scale)
+
+    def fn(*args):
+        n = len(comp_sig)
+        rgb = decode_stage(args[:n], args[n:2 * n])  # (N,H,W,C) int32
+        if rw is not None:
+            f = rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+            f = jnp.einsum("ow,nhwc->nhoc", jnp.asarray(rw), f,
+                           preferred_element_type=jnp.float32)
+            f = jnp.einsum("oh,nhwc->nowc", jnp.asarray(rh), f,
+                           preferred_element_type=jnp.float32)
+            if normalize:
+                return f  # [0,1] float32, (N,out_h,out_w,C)
+            img = jnp.floor(jnp.clip(f * 255.0 + 0.5, 0.0, 255.0))
+            img = img.astype(jnp.int32)
+        else:
+            if normalize:
+                return rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+            img = rgb
+        if encode_quality is not None:
+            qluma, qchroma = jpeg_tpu.quality_tables(encode_quality)
+            eh = out_h if out_h is not None else height
+            ew = out_w if out_w is not None else width
+            enc = jpeg_tpu._jit_encode.__wrapped__(eh, ew, img.shape[-1],
+                                                   img.shape[-1] == 3)
+            return enc(img.astype(jnp.uint8), qluma, qchroma)
+        return img.astype(jnp.uint8)
+
+    return jax.jit(fn)
+
+
+class JpegBatchPipeline:
+    """decode -> (resize) -> {uint8 | normalized | re-encoded} over
+    homogeneous-signature batches.
+
+    Parameters mirror the single-image ops: resize target + filter
+    options (resize.cc semantics), ``normalize`` for training input,
+    ``encode_quality`` to run the full decode->resize->encode loop with
+    host Huffman writing.
+    """
+
+    def __init__(self, width: Optional[int] = None,
+                 height: Optional[int] = None, filter: Optional[str] = None,
+                 filter_scale: Optional[float] = None,
+                 normalize: bool = False,
+                 encode_quality: Optional[int] = None,
+                 num_threads: Optional[int] = None):
+        opts = {}
+        if filter is not None:
+            opts["filter"] = filter
+        if filter_scale is not None:
+            opts["filterScale"] = filter_scale
+        self._filter, self._fscale = parse_resize_options(opts)
+        self._width, self._height = width, height
+        self._normalize = normalize
+        self._encode_quality = encode_quality
+        self._pool = ThreadPoolExecutor(max_workers=num_threads or 8,
+                                        thread_name_prefix="picha-entropy")
+
+    # -- host stage --------------------------------------------------------
+
+    def entropy_decode(self, bufs):
+        return entropy_decode(bufs, self._pool)
+
+    def stack_bucket(self, cos):
+        """Stack same-signature coefficient sets into batch tensors."""
+        sig = signature(cos[0])
+        args = []
+        for i in range(len(cos[0].comps)):
+            args.append(np.stack([co.comps[i]["coefs"] for co in cos]))
+        for i in range(len(cos[0].comps)):
+            q = np.stack([co.comps[i]["qtable"] for co in cos])
+            # (N, 1, 1, 64) so dequant broadcasts against (N, bh, bw, 64)
+            args.append(q[:, None, None, :])
+        return sig, args
+
+    # -- device stage ------------------------------------------------------
+
+    def run_bucket(self, sig, args):
+        fn = _jit_batch_graph(sig, self._width, self._height, self._filter,
+                              self._fscale, self._normalize,
+                              self._encode_quality)
+        return fn(*args)
+
+    def __call__(self, bufs: Sequence[bytes]):
+        """Full pipeline for a homogeneous batch; returns device array(s)
+        (or encoded JPEG bytes list when encode_quality is set)."""
+        cos = self.entropy_decode(bufs)
+        sigs = {signature(co) for co in cos}
+        if len(sigs) != 1:
+            raise ValueError(
+                "mixed-signature batch; group by pipeline.signature() first")
+        sig, args = self.stack_bucket(cos)
+        out = self.run_bucket(sig, args)
+        if self._encode_quality is None:
+            return out
+        return self.huffman_encode(out, sig)
+
+    def huffman_encode(self, coef_out, sig):
+        """Host stage: quantised coefficient batches -> JPEG bytes."""
+        width, height, _, _ = sig
+        ew = self._width if self._width is not None else width
+        eh = self._height if self._height is not None else height
+        qluma, qchroma = jpeg_tpu.quality_tables(self._encode_quality)
+        outs = [np.asarray(o) for o in coef_out]
+        n = outs[0].shape[0]
+        results = []
+        if len(outs) == 1:
+            def enc1(i):
+                comps = [{"coefs": outs[0][i], "qtable": qluma,
+                          "h_samp": 1, "v_samp": 1}]
+                return native.jpeg_coef_write(ew, eh, comps)
+            return list(self._pool.map(enc1, range(n)))
+        def enc3(i):
+            comps = [
+                {"coefs": outs[0][i], "qtable": qluma, "h_samp": 2, "v_samp": 2},
+                {"coefs": outs[1][i], "qtable": qchroma, "h_samp": 1, "v_samp": 1},
+                {"coefs": outs[2][i], "qtable": qchroma, "h_samp": 1, "v_samp": 1},
+            ]
+            return native.jpeg_coef_write(ew, eh, comps)
+        return list(self._pool.map(enc3, range(n)))

@@ -1,0 +1,175 @@
+"""Training-input pipeline (BASELINE.json config 5): batched JPEG decode
++ random crop + resize + normalize feeding a model step.
+
+Deterministic, seedable and resumable (SURVEY.md §5.4): the iterator's
+state is (epoch, position, seed) — save `state()`, rebuild with
+`TrainingInput(..., state=saved)` and the stream continues identically.
+
+Stage split:
+  host pool:   entropy decode -> coefficient tensors (per signature)
+  TPU graph:   dequant+IDCT+upsample+YCbCr -> random-crop -> resize ->
+               normalize (one jit per signature bucket)
+Random crops are applied on-device with dynamic slices driven by a
+counter-derived key, so the pixel pipeline stays a pure function of
+(bytes, step).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..native import lib as native
+from ..ops import jpeg_tpu
+from ..ops.resize import resize_weights
+from .jpeg_batch import signature
+
+
+@functools.lru_cache(maxsize=128)
+def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
+                               fscale: float):
+    import jax
+    import jax.numpy as jnp
+
+    width, height = sig[0], sig[1]
+    if crop > min(width, height):
+        raise ValueError("crop larger than image")
+    rw = resize_weights(out, crop, filter_name, fscale)
+    base = _decode_graph(sig)
+
+    def fn(coef_args, key):
+        rgb = base(*coef_args)  # (N,H,W,C) int32
+        n = rgb.shape[0]
+        kx, ky, kf = jax.random.split(key, 3)
+        xs = jax.random.randint(kx, (n,), 0, width - crop + 1)
+        ys = jax.random.randint(ky, (n,), 0, height - crop + 1)
+        flip = jax.random.bernoulli(kf, 0.5, (n,))
+
+        def crop_one(img, x, y, fl):
+            c = jax.lax.dynamic_slice(img, (y, x, 0), (crop, crop, 3))
+            return jax.lax.cond(fl, lambda t: t[:, ::-1], lambda t: t, c)
+
+        cropped = jax.vmap(crop_one)(rgb, xs, ys, flip)
+        f = cropped.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        f = jnp.einsum("ow,nhwc->nhoc", jnp.asarray(rw), f,
+                       preferred_element_type=jnp.float32)
+        f = jnp.einsum("oh,nhwc->nowc", jnp.asarray(rw), f,
+                       preferred_element_type=jnp.float32)
+        return f
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=128)
+def _decode_graph(sig):
+    """coefficients -> (N,H,W,3) int32 RGB decode stage (traceable)."""
+    import jax.numpy as jnp
+
+    width, height, color_space, comp_sig = sig
+    max_h = max(s[2] for s in comp_sig)
+    max_v = max(s[3] for s in comp_sig)
+
+    def decode_stage(*args):
+        n = len(comp_sig)
+        coefs, qtabs = args[:n], args[n:]
+        planes = []
+        for i, (bh, bw, hs, vs) in enumerate(comp_sig):
+            dw, dh = jpeg_tpu._plane_geometry(width, height, hs, vs,
+                                              max_h, max_v)
+            p = jpeg_tpu.dequant_idct_plane(coefs[i], qtabs[i], dh, dw)
+            if (hs, vs) != (max_h, max_v):
+                p = jpeg_tpu.upsample_to(p, max_h // hs, max_v // vs,
+                                         height, width)
+            else:
+                p = p[..., :height, :width]
+            planes.append(p)
+        if len(planes) == 1:
+            g = planes[0]
+            return jnp.stack([g, g, g], axis=-1)
+        if color_space == jpeg_tpu.CS_YCBCR:
+            return jpeg_tpu.ycbcr_to_rgb_int(*planes[:3])
+        if color_space == jpeg_tpu.CS_RGB:
+            return jnp.stack(planes[:3], axis=-1)
+        if color_space == jpeg_tpu.CS_YCCK:
+            return jpeg_tpu.cmyk_fold_to_rgb(
+                *jpeg_tpu.ycck_to_cmyk(planes[0], planes[1], planes[2],
+                                       planes[3]))
+        return jpeg_tpu.cmyk_fold_to_rgb(planes[0], planes[1], planes[2],
+                                         planes[3])
+
+    return decode_stage
+
+
+class TrainingInput:
+    """Deterministic resumable iterator over JPEG bytes.
+
+    >>> ti = TrainingInput(files, batch=256, crop=192, size=224, seed=0)
+    >>> batch = next(ti)            # (256, 224, 224, 3) float32 [0,1]
+    >>> saved = ti.state()
+    >>> ti2 = TrainingInput(files, batch=256, crop=192, size=224,
+    ...                     state=saved)   # continues identically
+    """
+
+    def __init__(self, items: Sequence[bytes], batch: int, crop: int,
+                 size: int, seed: int = 0, filter: str = "cubic",
+                 filter_scale: float = 1.0, state: Optional[dict] = None,
+                 num_threads: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.items = list(items)
+        self.batch = batch
+        self.crop = crop
+        self.size = size
+        self.filter = filter
+        self.fscale = filter_scale
+        self._pool = ThreadPoolExecutor(max_workers=num_threads,
+                                        thread_name_prefix="picha-train")
+        if state is not None:
+            self.seed = state["seed"]
+            self.epoch = state["epoch"]
+            self.pos = state["pos"]
+        else:
+            self.seed = seed
+            self.epoch = 0
+            self.pos = 0
+        self._perm = self._epoch_perm()
+
+    def state(self) -> dict:
+        return {"seed": self.seed, "epoch": self.epoch, "pos": self.pos}
+
+    def _epoch_perm(self):
+        rng = np.random.default_rng((self.seed, self.epoch))
+        return rng.permutation(len(self.items))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        import jax
+
+        if self.pos + self.batch > len(self.items):
+            self.epoch += 1
+            self.pos = 0
+            self._perm = self._epoch_perm()
+        idx = self._perm[self.pos : self.pos + self.batch]
+        step_key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed), self.epoch * 1_000_003 + self.pos)
+        self.pos += self.batch
+
+        bufs = [self.items[i] for i in idx]
+        cos = list(self._pool.map(native.JpegCoefficients, bufs))
+        sigs = {signature(co) for co in cos}
+        if len(sigs) != 1:
+            raise ValueError("TrainingInput requires homogeneous JPEGs; "
+                             "bucket your dataset by signature")
+        sig = sigs.pop()
+        args = []
+        for i in range(len(cos[0].comps)):
+            args.append(np.stack([co.comps[i]["coefs"] for co in cos]))
+        for i in range(len(cos[0].comps)):
+            args.append(np.stack([co.comps[i]["qtable"]
+                                  for co in cos])[:, None, None, :])
+        fn = _jit_crop_resize_normalize(sig, self.crop, self.size,
+                                        self.filter, self.fscale)
+        return fn(tuple(args), step_key)

@@ -1,0 +1,71 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest forces
+xla_force_host_platform_device_count=8) — SURVEY.md §4's fake-device
+mesh strategy."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from picha_tpu.ops.resize import resize_array
+from picha_tpu.parallel import make_mesh, resize_sharded, shard_batch
+
+
+def test_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_make_mesh_factorisations():
+    m = make_mesh()
+    assert m.shape == {"dp": 8}
+    m2 = make_mesh((("dp", 2), ("tp", 4)))
+    assert m2.shape == {"dp": 2, "tp": 4}
+    m3 = make_mesh((("dp", -1), ("tp", 2)))
+    assert m3.shape == {"dp": 4, "tp": 2}
+
+
+def test_dp_sharded_batch_pipeline_matches():
+    """The batched resize graph under a dp-sharded input equals the
+    unsharded result — DP is transparent to the op."""
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 256, (8, 24, 20, 3), dtype=np.uint8)
+    want = resize_array(batch, 10, 12)
+    mesh = make_mesh()
+    sharded = shard_batch(batch, mesh)
+    got = np.asarray(resize_array(sharded, 10, 12))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("filter_name", ["cubic", "triangle", "lanczos"])
+def test_spatial_halo_resize_matches_single_device(filter_name):
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (64, 40, 3), dtype=np.uint8)
+    want = resize_array(img, 20, 32, filter=filter_name, filter_scale=1.0)
+    mesh = make_mesh((("sp", 8),))
+    got = np.asarray(resize_sharded(jnp.asarray(img), 20, 32, mesh,
+                                    filter=filter_name, filter_scale=1.0))
+    # halo math must make the sharded result identical (same float ops)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_spatial_upscale():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (32, 16, 4), dtype=np.uint8)
+    want = resize_array(img, 32, 64)
+    mesh = make_mesh((("sp", 8),))
+    got = np.asarray(resize_sharded(jnp.asarray(img), 32, 64, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dryrun_multichip_entrypoints():
+    import importlib.util, pathlib
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", pathlib.Path(__file__).parent.parent / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # single-chip compile check
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 16)
+    # full multichip dryrun on the virtual mesh
+    mod.dryrun_multichip(8)

@@ -1,0 +1,91 @@
+"""Batched pipeline tests: bucket graphs, parity with single-image
+paths, training input determinism/resume, prefetch."""
+import numpy as np
+import pytest
+
+import picha_tpu as picha
+from picha_tpu.image import Image
+from picha_tpu.pipeline import (JpegBatchPipeline, TrainingInput,
+                                map_prefetch, prefetch)
+from conftest import fixture_bytes
+
+
+@pytest.fixture(scope="module")
+def jpeg_bufs():
+    return [fixture_bytes("test2.jpg")] * 4
+
+
+def test_batch_decode_matches_single(jpeg_bufs):
+    out = np.asarray(JpegBatchPipeline()(jpeg_bufs))
+    single = picha.decodeJpegSync(jpeg_bufs[0], {"backend": "tpu"}).to_array()
+    assert out.shape[0] == 4
+    np.testing.assert_array_equal(out[0], single)
+    np.testing.assert_array_equal(out[1], single)
+
+
+def test_batch_resize_golden(jpeg_bufs):
+    out = np.asarray(JpegBatchPipeline(width=32, height=24)(jpeg_bufs))
+    golden = picha.decodeSync(fixture_bytes("test2.png"))
+    got = Image.from_array(out[0], "rgb")
+    assert got.avg_channel_diff(golden) < 2
+
+
+def test_batch_normalize(jpeg_bufs):
+    out = np.asarray(JpegBatchPipeline(width=16, height=16,
+                                       normalize=True)(jpeg_bufs))
+    assert out.shape == (4, 16, 16, 3)
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_batch_reencode(jpeg_bufs):
+    encs = JpegBatchPipeline(width=32, height=24, encode_quality=90)(jpeg_bufs)
+    assert len(encs) == 4
+    img = picha.decodeJpegSync(encs[0])
+    assert (img.width, img.height) == (32, 24)
+    # deterministic across calls
+    encs2 = JpegBatchPipeline(width=32, height=24, encode_quality=90)(jpeg_bufs)
+    assert encs[0] == encs2[0]
+
+
+def test_mixed_signature_rejected(jpeg_bufs):
+    with pytest.raises(ValueError):
+        JpegBatchPipeline()([fixture_bytes("test2.jpg"),
+                             fixture_bytes("test.jpeg")])
+
+
+def test_grey_batch():
+    bufs = [fixture_bytes("test2g.jpg")] * 3
+    out = np.asarray(JpegBatchPipeline()(bufs))
+    assert out.shape == (3, 50, 76, 1)
+
+
+def test_training_input_deterministic_and_resumable(jpeg_bufs):
+    files = jpeg_bufs * 4  # 16 items
+    a = TrainingInput(files, batch=4, crop=40, size=32, seed=7)
+    b = TrainingInput(files, batch=4, crop=40, size=32, seed=7)
+    np.testing.assert_array_equal(np.asarray(next(a)), np.asarray(next(b)))
+    # advance a, save state, resume c from it
+    second_a = np.asarray(next(a))
+    saved = a.state()
+    c = TrainingInput(files, batch=4, crop=40, size=32, state=saved)
+    third_a = np.asarray(next(a))
+    third_c = np.asarray(next(c))
+    np.testing.assert_array_equal(third_a, third_c)
+    # different seed differs
+    d = TrainingInput(files, batch=4, crop=40, size=32, seed=8)
+    assert not np.array_equal(np.asarray(next(d)), second_a)
+
+
+def test_training_input_shapes(jpeg_bufs):
+    ti = TrainingInput(jpeg_bufs * 2, batch=4, crop=48, size=24, seed=0)
+    batch = np.asarray(next(ti))
+    assert batch.shape == (4, 24, 24, 3)
+    assert batch.dtype == np.float32
+
+
+def test_prefetch_order_and_completeness():
+    items = list(range(20))
+    got = list(map_prefetch(lambda x: x * x, items, depth=3))
+    assert got == [x * x for x in items]
+    assert list(prefetch(iter([]), depth=2)) == []
