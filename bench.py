@@ -1,0 +1,285 @@
+#!/usr/bin/env python
+"""picha_tpu benchmark — runs on the real TPU chip.
+
+Measures the BASELINE.json driver metric: megapixels/sec/chip for the
+batched JPEG decode -> resize -> encode pipeline (1080p inputs), plus
+p50 latency for a single 1080p image and the TPU-pixel-stage-only
+throughput, plus host<->device link bandwidth (this environment reaches
+the chip through a network tunnel, so the link — not the chip — can
+bound end-to-end numbers; the stage decomposition in `detail` shows
+where time goes).
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
+vs_baseline = ratio over a single-threaded CPU stand-in doing the same
+work through PIL/libjpeg (the reference is a single-threaded C path per
+request and publishes no numbers of its own — BASELINE.md).
+
+Supplementary logs go to stderr.
+"""
+from __future__ import annotations
+
+import io
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_test_images(n: int, w: int, h: int) -> list:
+    from picha_tpu.native import lib as native
+
+    rng = np.random.default_rng(42)
+    bufs = []
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    noise = rng.normal(0, 6, (h, w, 3)).astype(np.float32)
+    for i in range(n):
+        fx, fy = rng.uniform(1, 6, 2)
+        base = (127 + 60 * np.sin(2 * np.pi * fx * xx / w + i)
+                + 50 * np.cos(2 * np.pi * fy * yy / h))
+        img = np.stack([base, np.roll(base, 37, axis=1),
+                        np.roll(base, 71, axis=0)], axis=-1)
+        arr = np.clip(img + np.roll(noise, i * 13, axis=1), 0, 255).astype(np.uint8)
+        bufs.append(native.jpeg_encode(arr, 85))
+    return bufs
+
+
+def measure_link():
+    import jax
+
+    x = np.zeros((8 * 1024 * 1024,), np.uint8)
+    d = jax.device_put(x)
+    jax.block_until_ready(d)  # warm
+    t0 = time.perf_counter()
+    d2 = jax.device_put(np.ones((8 * 1024 * 1024,), np.uint8))
+    jax.block_until_ready(d2)
+    up = 8 / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    np.asarray(d2)
+    down = 8 / (time.perf_counter() - t0)
+    return up, down
+
+
+def bench_tpu_stage(p, sig, dargs, batch, mpix, iters=20):
+    """Device-only throughput.
+
+    This environment's platform does not reliably block in
+    block_until_ready, and may memoize identical dispatches — so every
+    iteration perturbs its input with a salt (distinct executions) and
+    completion is forced by a small readback of the LAST output (TPU
+    executes a single in-order stream, so the last completing implies
+    all completed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from picha_tpu.pipeline.jpeg_batch import _jit_batch_graph
+
+    base = _jit_batch_graph(sig, p._width, p._height, p._filter, p._fscale,
+                            False, None, None)
+
+    @jax.jit
+    def step(salt, *args):
+        perturbed = args[0] + (salt % 2).astype(args[0].dtype)
+        return base(perturbed, *args[1:])
+
+    out = step(jnp.int32(0), *dargs)
+    np.asarray(out[0, :2, 0])  # warm + force
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(iters):
+        outs.append(step(jnp.int32(i), *dargs))
+    np.asarray(outs[-1][0, :2, 0])  # dependent readback: forces the stream
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_e2e(bufs, batch, out_w, out_h, rounds=8):
+    """Pipelined, stage-overlapped decode -> resize -> encode.
+
+    Host->device ships sparse (index, value) coefficient pairs via
+    async device_put; device->host ships resized uint8 pixels; libjpeg
+    re-encode on host threads. Producer runs 3 batches ahead."""
+    import jax
+
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import JpegBatchPipeline
+    from picha_tpu.pipeline.prefetch import prefetch
+
+    p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                          encode_backend="host", upload="sparse")
+    # warm up compile + link caches
+    p(bufs[:batch])
+
+    def produce():
+        for r in range(rounds):
+            cos = p.entropy_decode(bufs[:batch])
+            sig, ks, args = p.stack_bucket(cos)
+            dargs = [jax.device_put(a) for a in args]  # async upload
+            yield p.run_bucket(sig, dargs, sparse_ks=ks)
+
+    t0 = time.perf_counter()
+    n = 0
+    for dev in prefetch(produce(), depth=3):
+        pixels = np.asarray(dev)
+        encs = [native.jpeg_encode(img, 85) for img in pixels]
+        n += len(encs)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_train_ingest(bufs, batch, rounds=10):
+    """Training-input ingest (BASELINE config 5): JPEG bytes ->
+    normalized 224x224 float batches resident on device — no readback."""
+    import jax
+
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    p = JpegBatchPipeline(width=224, height=224, normalize=True,
+                          upload="sparse")
+    out = p(bufs[:batch])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(rounds):
+        cos = p.entropy_decode(bufs[:batch])
+        sig, ks, args = p.stack_bucket(cos)
+        dargs = [jax.device_put(a) for a in args]
+        outs.append(p.run_bucket(sig, dargs, sparse_ks=ks))
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return batch * rounds / dt
+
+
+def bench_entropy(bufs, batch, iters=4):
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    p = JpegBatchPipeline()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        p.entropy_decode(bufs[:batch])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_single_latency(buf, out_w, out_h, reps=9):
+    import picha_tpu as picha
+
+    picha.encodeJpegSync(
+        picha.resizeSync(picha.decodeJpegSync(buf),
+                         {"width": out_w, "height": out_h}), {"quality": 85})
+    lat = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        img = picha.decodeJpegSync(buf)
+        small = picha.resizeSync(img, {"width": out_w, "height": out_h})
+        picha.encodeJpegSync(small, {"quality": 85})
+        lat.append((time.perf_counter() - t0) * 1e3)
+    return statistics.median(lat)
+
+
+def bench_cpu_standin(bufs, out_w, out_h, n=24):
+    from PIL import Image as PILImage
+
+    t0 = time.perf_counter()
+    for i in range(n):
+        im = PILImage.open(io.BytesIO(bufs[i % len(bufs)]))
+        im = im.resize((out_w, out_h), PILImage.BICUBIC)
+        out = io.BytesIO()
+        im.save(out, format="JPEG", quality=85)
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    import jax
+
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    log(f"devices: {jax.devices()}")
+
+    W, H = 1920, 1088
+    mpix = W * H / 1e6
+    batch = 16
+    bufs = make_test_images(batch, W, H)
+    log(f"generated {len(bufs)} jpegs, ~{len(bufs[0])//1024} KiB each")
+
+    out_w, out_h = 960, 544
+    detail = {"host_cores": 1}
+
+    def stage(name, fn, *a):
+        try:
+            return fn(*a)
+        except Exception as e:  # noqa: BLE001 — flaky platform, keep going
+            log(f"{name} FAILED: {type(e).__name__}: {e}")
+            return None
+
+    # warm the device->host path once (first readback on this tunnel can
+    # take minutes; everything after is fast)
+    stage("link warmup", lambda: np.asarray(
+        jax.device_put(np.zeros(1024 * 1024, np.uint8))))
+
+    link = stage("link", measure_link)
+    if link:
+        detail["link_up_MBps"] = round(link[0], 1)
+        detail["link_down_MBps"] = round(link[1], 1)
+        log(f"link bandwidth: up {link[0]:.0f} MB/s, down {link[1]:.1f} MB/s")
+
+    entropy_ips = stage("entropy", bench_entropy, bufs, batch)
+    if entropy_ips:
+        detail["host_entropy_mpix_s"] = round(entropy_ips * mpix, 1)
+        log(f"host entropy decode: {entropy_ips:.1f} img/s "
+            f"({entropy_ips * mpix:.0f} Mpix/s)")
+
+    def tpu_stage():
+        p = JpegBatchPipeline(width=out_w, height=out_h)
+        cos = p.entropy_decode(bufs[:batch])
+        sig, args = p.stack_bucket(cos)
+        dargs = [jax.device_put(a) for a in args]
+        return bench_tpu_stage(p, sig, dargs, batch, mpix)
+
+    tpu_ips = stage("tpu pixel stage", tpu_stage)
+    if tpu_ips:
+        detail["tpu_pixel_stage_mpix_s"] = round(tpu_ips * mpix, 1)
+        log(f"TPU pixel stage (dequant+IDCT+upsample+YCbCr+resize+pack): "
+            f"{tpu_ips:.1f} img/s ({tpu_ips * mpix:.0f} Mpix/s)")
+
+    train_ips = stage("train ingest", bench_train_ingest, bufs, batch)
+    if train_ips:
+        detail["train_ingest_mpix_s"] = round(train_ips * mpix, 1)
+        log(f"training-input ingest (decode+resize 224+normalize, on-device): "
+            f"{train_ips:.1f} img/s ({train_ips * mpix:.0f} Mpix/s)")
+
+    e2e_ips = stage("e2e", bench_e2e, bufs, batch, out_w, out_h)
+    if e2e_ips:
+        log(f"e2e decode->resize->encode (pipelined): {e2e_ips:.1f} img/s "
+            f"({e2e_ips * mpix:.0f} Mpix/s)")
+
+    p50 = stage("latency", bench_single_latency, bufs[0], out_w, out_h)
+    if p50:
+        detail["p50_ms_1080p"] = round(p50, 1)
+        log(f"p50 single-image 1080p decode->resize->encode: {p50:.1f} ms")
+
+    cpu_ips = stage("cpu standin", bench_cpu_standin, bufs, out_w, out_h)
+    if cpu_ips:
+        detail["cpu_standin_mpix_s"] = round(cpu_ips * mpix, 1)
+        log(f"CPU stand-in (PIL single-thread): {cpu_ips:.1f} img/s "
+            f"({cpu_ips * mpix:.0f} Mpix/s)")
+
+    e2e_ips = e2e_ips or 0.0
+    result = {
+        "metric": "batched 1080p JPEG decode->resize(960x544 cubic)->encode q85, end-to-end per chip",
+        "value": round(e2e_ips * mpix, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": round(e2e_ips / cpu_ips, 2) if cpu_ips else 0.0,
+        "detail": detail,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

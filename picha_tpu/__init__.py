@@ -105,11 +105,16 @@ def _make_format_api(mimetype: str, name: str):
         return
     g = globals()
 
+    from .runtime import metrics
+
     def stat_fn(buf):
         return codec.stat(bytes(buf) if not isinstance(buf, (bytes, bytearray)) else buf)
 
     def decode_sync_fn(buf, opts: Optional[dict] = None) -> Image:
-        return codec.decode_sync(buf, opts or {})
+        metrics.count(f"decode.{name.lower()}")
+        metrics.count("bytes_in", len(buf))
+        with metrics.timer(f"decode.{name.lower()}"):
+            return codec.decode_sync(buf, opts or {})
 
     def decode_fn(buf, opts=None, cb=None):
         if callable(opts):
@@ -117,7 +122,12 @@ def _make_format_api(mimetype: str, name: str):
         return run_async(lambda: codec.decode_sync(buf, opts or {}), cb)
 
     def encode_sync_fn(img: Image, opts: Optional[dict] = None) -> bytes:
-        return codec.encode_sync(to_supported_sync(img, codec.encodes), opts or {})
+        metrics.count(f"encode.{name.lower()}")
+        with metrics.timer(f"encode.{name.lower()}"):
+            out = codec.encode_sync(to_supported_sync(img, codec.encodes),
+                                    opts or {})
+        metrics.count("bytes_out", len(out))
+        return out
 
     def encode_fn(img, opts=None, cb=None):
         if callable(opts):

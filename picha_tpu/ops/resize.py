@@ -161,24 +161,120 @@ def resize_weights(dst_size: int, src_size: int, filter_name: str,
 
 
 # ---------------------------------------------------------------------------
-# JAX execution
+# Banded (tiled) execution plan — large sizes
+#
+# The dense (dst, src) matmul costs O(dst*src) MACs although the
+# contribution matrix is banded with bandwidth ~2*support*scale
+# (resize.cc:78-79 maxcontrib). For big images we tile the output axis:
+# each tile of TILE outputs reads one contiguous input slice of
+# uniform length, giving a (T, TILE, in_len) block-banded weight tensor
+# and a batched small matmul — O(dst*in_len) MACs, in_len ≈
+# TILE*scale + kernel width. Numerically identical taps (the blocks are
+# slices of the same float32 matrix; extra entries are exact zeros).
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=64)
-def _jit_resize(dtype_name: str):
+BANDED_THRESHOLD = 512  # use the banded plan when src_size exceeds this
+BAND_TILE = 64
+
+
+@functools.lru_cache(maxsize=256)
+def banded_resize_plan(dst_size: int, src_size: int, filter_name: str,
+                       filter_scale: float, tile: int = BAND_TILE,
+                       align: int = 1):
+    """(starts (T,) int32, weights (T, tile, in_len) f32, dst_pad).
+
+    `align` forces every window start to a multiple of that value
+    (lane alignment for the Pallas kernel); the windows widen to
+    compensate, extra taps are exact zeros."""
+    W = resize_weights(dst_size, src_size, filter_name, filter_scale)
+    T = -(-dst_size // tile)
+    dst_pad = T * tile
+    if dst_pad != dst_size:
+        W = np.pad(W, ((0, dst_pad - dst_size), (0, 0)))
+    los, his = [], []
+    for t in range(T):
+        block = W[t * tile:(t + 1) * tile]
+        nz = np.nonzero(block.any(axis=0))[0]
+        if nz.size == 0:  # all-zero padding tile
+            los.append(0)
+            his.append(1)
+        else:
+            los.append(int(nz[0]) // align * align)
+            his.append(int(nz[-1]) + 1)
+    in_len = min(src_size, max(h - l for l, h in zip(los, his)))
+    if align == 1:
+        # XLA gather path slices the unpadded source: clamp windows
+        # inside [0, src); coverage holds because window width <= in_len
+        starts = np.array([min(l, max(0, src_size - in_len)) for l in los],
+                          dtype=np.int32)
+    else:
+        # Pallas path: starts stay aligned, the caller pads the source
+        # to starts.max() + in_len; out-of-range taps are exact zeros
+        in_len = -(-in_len // align) * align
+        starts = np.array(los, dtype=np.int32)
+    wpad = np.pad(W, ((0, 0), (0, max(0, int(starts.max()) + in_len - src_size))))
+    weights = np.stack([
+        wpad[t * tile:(t + 1) * tile, starts[t]:starts[t] + in_len]
+        for t in range(T)])
+    return starts, weights, dst_pad
+
+
+def _apply_axis(x, dst_size: int, src_size: int, filter_name: str,
+                fscale: float, axis: int):
+    """Resize one spatial axis of a float32 (..., H, W, C) tensor.
+
+    Traceable; picks the dense or banded plan by source size."""
     import jax
     import jax.numpy as jnp
 
+    if src_size <= BANDED_THRESHOLD:
+        w = jnp.asarray(resize_weights(dst_size, src_size, filter_name, fscale))
+        if axis == -2:  # width
+            return jnp.einsum("ow,...hwc->...hoc", w, x,
+                              preferred_element_type=jnp.float32)
+        return jnp.einsum("oh,...hwc->...owc", w, x,
+                          preferred_element_type=jnp.float32)
+
+    starts, weights, dst_pad = banded_resize_plan(dst_size, src_size,
+                                                  filter_name, fscale)
+    in_len = weights.shape[2]
+    x2 = jnp.moveaxis(x, axis, -2)  # (..., L, C)
+
+    def slice_one(s):
+        return jax.lax.dynamic_slice_in_dim(x2, s, in_len, axis=-2)
+
+    gathered = jax.vmap(slice_one)(jnp.asarray(starts))  # (T, ..., in_len, C)
+    out = jnp.einsum("toi,t...ic->t...oc", jnp.asarray(weights), gathered,
+                     preferred_element_type=jnp.float32)
+    # (T, ..., tile, C) -> (..., T*tile, C) -> crop -> original axis order
+    out = jnp.moveaxis(out, 0, -3)  # (..., T, tile, C)
+    out = out.reshape(out.shape[:-3] + (dst_pad, out.shape[-1]))
+    out = out[..., :dst_size, :]
+    return jnp.moveaxis(out, -2, axis)
+
+
+def resize_f32(f, dst_w: int, dst_h: int, filter_name: str, fscale: float):
+    """Resize a float32 (..., H, W, C) tensor — the shared traceable core
+    (horizontal then vertical, as resize.cc:103-132)."""
+    src_h, src_w = f.shape[-3], f.shape[-2]
+    tmp = _apply_axis(f, dst_w, src_w, filter_name, fscale, axis=-2)
+    return _apply_axis(tmp, dst_h, src_h, filter_name, fscale, axis=-3)
+
+
+# ---------------------------------------------------------------------------
+# JAX execution
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=256)
+def _jit_resize(dtype_name: str, dst_w: int, dst_h: int, filter_name: str,
+                fscale: float):
+    import jax
+
     from ..pixels import jpack, junpack_f32
 
-    def fn(img, wh, wv):
-        # img: (..., H, W, C) integer channels
+    def fn(img):
         f = junpack_f32(img)
-        # horizontal pass first, as the reference (resize.cc:103-119)
-        tmp = jnp.einsum("ow,...hwc->...hoc", wh, f,
-                         preferred_element_type=jnp.float32)
-        out = jnp.einsum("oh,...hwc->...owc", wv, tmp,
-                         preferred_element_type=jnp.float32)
+        out = resize_f32(f, dst_w, dst_h, filter_name, fscale)
         return jpack(out, np.dtype(dtype_name))
 
     return jax.jit(fn)
@@ -195,10 +291,7 @@ def resize_array(arr: np.ndarray, width: int, height: int,
     if filter_scale is not None:
         opts["filterScale"] = filter_scale
     name, fscale = parse_resize_options(opts)
-    src_h, src_w = arr.shape[-3], arr.shape[-2]
-    wh = resize_weights(width, src_w, name, fscale)
-    wv = resize_weights(height, src_h, name, fscale)
-    out = _jit_resize(arr.dtype.name)(arr, wh, wv)
+    out = _jit_resize(np.dtype(arr.dtype).name, width, height, name, fscale)(arr)
     return np.asarray(out)
 
 

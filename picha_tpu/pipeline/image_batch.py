@@ -1,0 +1,129 @@
+"""Generic batched image pipeline (any codec): host decode ->
+TPU crop/resize/convert -> host encode.
+
+Covers BASELINE.json config 4 ("256-image batched decode -> subView
+crop -> resize -> encodeWebP / encodeTiff"): formats whose bitstreams
+are fully host-bound (PNG/WebP/TIFF) decode on pool threads, then all
+pixel work runs as one jitted graph per (shape, op-chain) bucket, and
+encode returns to the pool. JPEG additionally has the
+coefficient-level TPU decode in jpeg_batch.py.
+"""
+from __future__ import annotations
+
+import functools
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from ..catalog import catalog as _codec_catalog
+from ..image import Image
+from ..ops.colorconvert import map_channels, normalize_weights
+from ..ops.resize import parse_resize_options, resize_f32
+from ..pixels import pixel_format
+
+
+@functools.lru_cache(maxsize=256)
+def _jit_transform(in_shape, in_dtype, crop, out_size, filter_name, fscale,
+                   dst_pixel, src_channels, normalize):
+    import jax
+    import jax.numpy as jnp
+
+    weights = normalize_weights()
+
+    def fn(batch):
+        maxv = float(np.iinfo(np.dtype(in_dtype)).max)
+        f = batch.astype(jnp.float32) / jnp.float32(maxv)
+        if crop is not None:
+            x, y, w, h = crop
+            f = f[:, y:y + h, x:x + w]
+        if out_size is not None:
+            f = resize_f32(f, out_size[0], out_size[1], filter_name, fscale)
+        if dst_pixel is not None:
+            dst_fmt = pixel_format(dst_pixel)
+            f = map_channels(f, src_channels, dst_fmt.channels, weights, jnp)
+            out_dtype = dst_fmt.dtype
+        else:
+            out_dtype = np.dtype(in_dtype)
+        if normalize:
+            return f
+        omax = float(np.iinfo(out_dtype).max)
+        return jnp.floor(jnp.clip(f * omax + 0.5, 0, omax)).astype(out_dtype)
+
+    return jax.jit(fn)
+
+
+class ImageBatchPipeline:
+    """decode -> [crop] -> [resize] -> [convert] -> {arrays | encode}.
+
+    crop: (x, y, w, h) — the batched analog of Image.sub_view.
+    resize: (width, height) + filter options (reference resize.cc
+    semantics). convert: destination pixel format (reference
+    colorconvert.cc semantics). encode: (mimetype, opts) via the codec
+    catalog on pool threads.
+    """
+
+    def __init__(self, crop: Optional[tuple] = None,
+                 resize: Optional[tuple] = None,
+                 filter: Optional[str] = None,
+                 filter_scale: Optional[float] = None,
+                 convert: Optional[str] = None,
+                 normalize: bool = False,
+                 encode: Optional[tuple] = None,
+                 num_threads: int = 8):
+        opts = {}
+        if filter is not None:
+            opts["filter"] = filter
+        if filter_scale is not None:
+            opts["filterScale"] = filter_scale
+        self._filter, self._fscale = parse_resize_options(opts)
+        self.crop = crop
+        self.resize = resize
+        self.convert = convert
+        self.normalize = normalize
+        self.encode = encode
+        self._pool = ThreadPoolExecutor(max_workers=num_threads,
+                                        thread_name_prefix="picha-batch")
+
+    def decode_batch(self, bufs: Sequence[bytes], opts: Optional[dict] = None
+                     ) -> np.ndarray:
+        """Host decode on pool threads; all images must share one shape
+        and pixel format (shape-bucket upstream)."""
+        from .. import decode_sync
+
+        imgs = list(self._pool.map(
+            lambda b: decode_sync(b, opts or {}), bufs))
+        shapes = {(i.width, i.height, i.pixel) for i in imgs}
+        if len(shapes) != 1:
+            raise ValueError("mixed shapes/formats; bucket inputs first")
+        return np.stack([i.to_array() for i in imgs])
+
+    def transform(self, batch: np.ndarray):
+        """(N, H, W, C) -> device output of the fused op chain."""
+        fn = _jit_transform(batch.shape[1:], batch.dtype.name, self.crop,
+                            self.resize, self._filter, self._fscale,
+                            self.convert, batch.shape[-1], self.normalize)
+        return fn(batch)
+
+    def encode_batch(self, batch: np.ndarray) -> list:
+        mimetype, opts = self.encode
+        codec = _codec_catalog[mimetype]
+        pixel = _infer(batch)
+
+        def enc(arr):
+            return codec.encode_sync(Image.from_array(arr, pixel), opts or {})
+
+        return list(self._pool.map(enc, batch))
+
+    def __call__(self, bufs: Sequence[bytes], decode_opts: Optional[dict] = None):
+        batch = self.decode_batch(bufs, decode_opts)
+        out = self.transform(batch)
+        if self.encode is None:
+            return out
+        return self.encode_batch(np.asarray(out))
+
+
+def _infer(batch: np.ndarray) -> str:
+    from ..image import _infer_pixel
+
+    return _infer_pixel(batch.dtype, batch.shape[-1])

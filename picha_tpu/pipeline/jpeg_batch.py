@@ -26,7 +26,7 @@ import numpy as np
 
 from ..native import lib as native
 from ..ops import jpeg_tpu
-from ..ops.resize import parse_resize_options, resize_weights
+from ..ops.resize import parse_resize_options, resize_f32
 
 
 def entropy_decode(bufs: Sequence[bytes], pool: Optional[ThreadPoolExecutor] = None
@@ -46,7 +46,8 @@ def signature(co: native.JpegCoefficients):
 @functools.lru_cache(maxsize=256)
 def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                      filter_name: str, filter_scale: float,
-                     normalize: bool, encode_quality: Optional[int]):
+                     normalize: bool, encode_quality: Optional[int],
+                     sparse_ks: Optional[tuple] = None):
     """Build the fused batched graph for one signature bucket.
 
     Stages: coefficients -> RGB/grey (N,H,W,C int32) -> optional resize
@@ -88,20 +89,31 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                                              planes[3])
         raise ValueError(f"unsupported colour space {color_space}")
 
-    rw = rh = None
-    if out_w is not None:
-        rw = resize_weights(out_w, width, filter_name, filter_scale)
-        rh = resize_weights(out_h, height, filter_name, filter_scale)
+    def densify(idx, val, bh, bw):
+        # scatter-add the (index, value) pairs into dense blocks;
+        # padding entries are (0, 0) and add nothing
+        m = bh * bw * 64
+
+        def one(i, v):
+            return jnp.zeros((m,), jnp.int32).at[i].add(v.astype(jnp.int32))
+
+        dense = jax.vmap(one)(idx, val)
+        return dense.reshape((-1, bh, bw, 64))
 
     def fn(*args):
         n = len(comp_sig)
-        rgb = decode_stage(args[:n], args[n:2 * n])  # (N,H,W,C) int32
-        if rw is not None:
+        if sparse_ks is not None:
+            coefs = tuple(
+                densify(args[2 * i], args[2 * i + 1],
+                        comp_sig[i][0], comp_sig[i][1])
+                for i in range(n))
+            qtabs = args[2 * n:3 * n]
+        else:
+            coefs, qtabs = args[:n], args[n:2 * n]
+        rgb = decode_stage(coefs, qtabs)  # (N,H,W,C) int32
+        if out_w is not None:
             f = rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-            f = jnp.einsum("ow,nhwc->nhoc", jnp.asarray(rw), f,
-                           preferred_element_type=jnp.float32)
-            f = jnp.einsum("oh,nhwc->nowc", jnp.asarray(rh), f,
-                           preferred_element_type=jnp.float32)
+            f = resize_f32(f, out_w, out_h, filter_name, filter_scale)
             if normalize:
                 return f  # [0,1] float32, (N,out_h,out_w,C)
             img = jnp.floor(jnp.clip(f * 255.0 + 0.5, 0.0, 255.0))
@@ -137,7 +149,19 @@ class JpegBatchPipeline:
                  filter_scale: Optional[float] = None,
                  normalize: bool = False,
                  encode_quality: Optional[int] = None,
+                 encode_backend: str = "tpu",
+                 upload: str = "dense",
                  num_threads: Optional[int] = None):
+        """encode_backend: 'tpu' runs fDCT+quantise on device and only
+        Huffman on the host (minimal host compute); 'host' reads back the
+        resized uint8 pixels and runs the whole encode through libjpeg —
+        fewer device->host bytes (u8 pixels vs int16 coefficients),
+        preferable when readback bandwidth is the bottleneck.
+
+        upload: 'dense' ships full (N, bh, bw, 64) int16 coefficient
+        tensors; 'sparse' ships (index, value) pairs of the nonzero
+        coefficients (typically ~10% at q85 — ~4x fewer host->device
+        bytes) and scatter-adds them into dense blocks on device."""
         opts = {}
         if filter is not None:
             opts["filter"] = filter
@@ -147,6 +171,8 @@ class JpegBatchPipeline:
         self._width, self._height = width, height
         self._normalize = normalize
         self._encode_quality = encode_quality
+        self._encode_backend = encode_backend
+        self._upload = upload
         self._pool = ThreadPoolExecutor(max_workers=num_threads or 8,
                                         thread_name_prefix="picha-entropy")
 
@@ -156,12 +182,35 @@ class JpegBatchPipeline:
         return entropy_decode(bufs, self._pool)
 
     def stack_bucket(self, cos):
-        """Stack same-signature coefficient sets into batch tensors."""
+        """Stack same-signature coefficient sets into batch tensors.
+
+        Returns (sig, args) for dense upload, or (sig, ks, args) for
+        sparse upload (ks = static padded-nnz per component)."""
         sig = signature(cos[0])
+        n = len(cos[0].comps)
         args = []
-        for i in range(len(cos[0].comps)):
+        if self._upload == "sparse":
+            ks = []
+            for i in range(n):
+                flats = [co.comps[i]["coefs"].reshape(-1) for co in cos]
+                nzs = [np.flatnonzero(f) for f in flats]
+                k = max(1, max(nz.size for nz in nzs))
+                k = -(-k // 16384) * 16384  # bucket to limit recompiles
+                idx = np.zeros((len(cos), k), np.int32)
+                val = np.zeros((len(cos), k), np.int16)
+                for j, (f, nz) in enumerate(zip(flats, nzs)):
+                    idx[j, : nz.size] = nz
+                    val[j, : nz.size] = f[nz]
+                args.append(idx)
+                args.append(val)
+                ks.append(k)
+            for i in range(n):
+                q = np.stack([co.comps[i]["qtable"] for co in cos])
+                args.append(q[:, None, None, :])
+            return sig, tuple(ks), args
+        for i in range(n):
             args.append(np.stack([co.comps[i]["coefs"] for co in cos]))
-        for i in range(len(cos[0].comps)):
+        for i in range(n):
             q = np.stack([co.comps[i]["qtable"] for co in cos])
             # (N, 1, 1, 64) so dequant broadcasts against (N, bh, bw, 64)
             args.append(q[:, None, None, :])
@@ -169,10 +218,12 @@ class JpegBatchPipeline:
 
     # -- device stage ------------------------------------------------------
 
-    def run_bucket(self, sig, args):
+    def run_bucket(self, sig, args, sparse_ks=None):
+        device_quality = (self._encode_quality
+                          if self._encode_backend == "tpu" else None)
         fn = _jit_batch_graph(sig, self._width, self._height, self._filter,
-                              self._fscale, self._normalize,
-                              self._encode_quality)
+                              self._fscale, self._normalize, device_quality,
+                              sparse_ks)
         return fn(*args)
 
     def __call__(self, bufs: Sequence[bytes]):
@@ -183,10 +234,19 @@ class JpegBatchPipeline:
         if len(sigs) != 1:
             raise ValueError(
                 "mixed-signature batch; group by pipeline.signature() first")
-        sig, args = self.stack_bucket(cos)
-        out = self.run_bucket(sig, args)
+        if self._upload == "sparse":
+            sig, ks, args = self.stack_bucket(cos)
+            out = self.run_bucket(sig, args, sparse_ks=ks)
+        else:
+            sig, args = self.stack_bucket(cos)
+            out = self.run_bucket(sig, args)
         if self._encode_quality is None:
             return out
+        if self._encode_backend == "host":
+            batch = np.asarray(out)  # (N, h, w, C) uint8
+            q = self._encode_quality
+            return list(self._pool.map(
+                lambda img: native.jpeg_encode(img, q), batch))
         return self.huffman_encode(out, sig)
 
     def huffman_encode(self, coef_out, sig):

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..native import lib as native
 from ..ops import jpeg_tpu
-from ..ops.resize import resize_weights
+from ..ops.resize import resize_f32
 from .jpeg_batch import signature
 
 
@@ -35,7 +35,6 @@ def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
     width, height = sig[0], sig[1]
     if crop > min(width, height):
         raise ValueError("crop larger than image")
-    rw = resize_weights(out, crop, filter_name, fscale)
     base = _decode_graph(sig)
 
     def fn(coef_args, key):
@@ -52,11 +51,7 @@ def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
 
         cropped = jax.vmap(crop_one)(rgb, xs, ys, flip)
         f = cropped.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-        f = jnp.einsum("ow,nhwc->nhoc", jnp.asarray(rw), f,
-                       preferred_element_type=jnp.float32)
-        f = jnp.einsum("oh,nhwc->nowc", jnp.asarray(rw), f,
-                       preferred_element_type=jnp.float32)
-        return f
+        return resize_f32(f, out, out, filter_name, fscale)
 
     return jax.jit(fn)
 

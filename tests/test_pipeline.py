@@ -89,3 +89,62 @@ def test_prefetch_order_and_completeness():
     got = list(map_prefetch(lambda x: x * x, items, depth=3))
     assert got == [x * x for x in items]
     assert list(prefetch(iter([]), depth=2)) == []
+
+
+def test_image_batch_pipeline_crop_resize_encode():
+    from picha_tpu.pipeline import ImageBatchPipeline
+    bufs = [fixture_bytes("test.png")] * 3
+    p = ImageBatchPipeline(crop=(5, 5, 40, 40), resize=(16, 16),
+                           encode=("image/webp", {"preset": "lossless"}))
+    encs = p(bufs)
+    assert len(encs) == 3
+    img = picha.decodeWebPSync(encs[0])
+    assert (img.width, img.height) == (16, 16)
+    # parity with the single-image path: subView -> resize -> webp
+    src = picha.decodePngSync(bufs[0])
+    want = picha.resizeSync(src.sub_view(5, 5, 40, 40),
+                            {"width": 16, "height": 16})
+    got = picha.decodeWebPSync(encs[0])
+    assert got.avg_channel_diff(want) <= 1.0
+
+
+def test_image_batch_pipeline_convert_and_tiff():
+    from picha_tpu.pipeline import ImageBatchPipeline
+    bufs = [fixture_bytes("smallliz.tif")] * 2
+    p = ImageBatchPipeline(resize=(32, 32), convert="rgb",
+                           encode=("image/tiff", {"compression": "lzw"}))
+    encs = p(bufs)
+    img = picha.decodeTiffSync(encs[0])
+    assert (img.width, img.height, img.pixel) == (32, 32, "rgba")
+
+
+def test_metrics_counters():
+    from picha_tpu.runtime import metrics
+    metrics.reset()
+    metrics.enable(True)
+    try:
+        picha.decodePngSync(fixture_bytes("test.png"))
+        snap = metrics.snapshot()
+        assert snap["decode.png"] == 1
+        assert snap["bytes_in"] > 0
+        assert snap["decode.png_ms"] > 0
+    finally:
+        metrics.enable(False)
+        metrics.reset()
+
+
+def test_sparse_upload_matches_dense(jpeg_bufs):
+    dense = np.asarray(JpegBatchPipeline(width=32, height=24)(jpeg_bufs))
+    sparse = np.asarray(JpegBatchPipeline(width=32, height=24,
+                                          upload="sparse")(jpeg_bufs))
+    np.testing.assert_array_equal(dense, sparse)
+
+
+def test_pallas_resize_matches_xla_interpret():
+    from picha_tpu.ops.resize_pallas import resize_batch_pallas
+    from picha_tpu.ops.resize import resize_array
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (2, 40, 600, 3), dtype=np.uint8)
+    got = np.asarray(resize_batch_pallas(img, 300, 20, interpret=True))
+    want = resize_array(img, 300, 20)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1

@@ -101,3 +101,28 @@ def test_batched_resize():
     got = resize_array(batch, 8, 8)
     single = np.stack([resize_array(b, 8, 8) for b in batch])
     np.testing.assert_array_equal(got, single)
+
+
+def test_banded_plan_matches_dense():
+    # large sizes use the block-banded plan; must match the dense matmul
+    from picha_tpu.ops.resize import BANDED_THRESHOLD, resize_weights
+    rng = np.random.default_rng(12)
+    src_w = BANDED_THRESHOLD + 137  # odd size, forces banded on W only
+    arr = rng.integers(0, 256, (40, src_w, 3), dtype=np.uint8)
+    got = resize_array(arr, 100, 20)
+    # dense reference computed directly
+    wh = resize_weights(100, src_w, "cubic", 0.70)
+    wv = resize_weights(20, 40, "cubic", 0.70)
+    f = arr.astype(np.float32) / 255.0
+    want = np.einsum("oh,hwc->owc", wv, np.einsum("ow,hwc->hoc", wh, f))
+    want = np.floor(np.clip(want * 255 + 0.5, 0, 255)).astype(np.uint8)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_banded_upscale():
+    from picha_tpu.ops.resize import BANDED_THRESHOLD
+    rng = np.random.default_rng(13)
+    src = BANDED_THRESHOLD + 1
+    arr = rng.integers(0, 256, (src, 8, 1), dtype=np.uint8)
+    out = resize_array(arr, 8, 2 * src)
+    assert out.shape == (2 * src, 8, 1)
