@@ -1,0 +1,65 @@
+"""ViT model + train step + checkpoint tests (CPU mesh)."""
+import numpy as np
+
+import jax
+
+from picha_tpu.models import vit
+from picha_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _tiny_setup():
+    cfg = vit.TINY
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_forward_shapes_and_finite():
+    cfg, params = _tiny_setup()
+    images = np.random.default_rng(0).random((4, 32, 32, 3), np.float32)
+    logits = jax.jit(lambda p, x: vit.forward(p, x, cfg))(params, images)
+    assert logits.shape == (4, cfg.classes)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_train_step_reduces_loss():
+    cfg, params = _tiny_setup()
+    init_opt, train_step = vit.make_train_step(cfg, learning_rate=1e-2)
+    opt_state = init_opt(params)
+    rng = np.random.default_rng(1)
+    images = rng.random((8, 32, 32, 3), np.float32)
+    labels = (np.arange(8) % cfg.classes).astype(np.int32)
+    step = jax.jit(train_step)
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, images, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg, params = _tiny_setup()
+    init_opt, train_step = vit.make_train_step(cfg)
+    opt_state = init_opt(params)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, opt_state,
+                    input_state={"seed": 7, "epoch": 1, "pos": 4}, step=42)
+    p2, o2, inp, step = load_checkpoint(path, params, opt_state)
+    assert step == 42 and inp == {"seed": 7, "epoch": 1, "pos": 4}
+    flat1 = jax.tree.leaves(params)
+    flat2 = jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt_state), jax.tree.leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_dryrun_multichip_n4():
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry2",
+        pathlib.Path(__file__).parent.parent / "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(4)
