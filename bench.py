@@ -107,28 +107,25 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=8):
     re-encode on host threads. Producer runs 3 batches ahead."""
     import jax
 
-    from picha_tpu.native import lib as native
     from picha_tpu.pipeline import JpegBatchPipeline
     from picha_tpu.pipeline.prefetch import prefetch
 
     p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
-                          encode_backend="host", upload="sparse")
+                          encode_backend="raw420")
     # warm up compile + link caches
     p(bufs[:batch])
 
     def produce():
         for r in range(rounds):
             cos = p.entropy_decode(bufs[:batch])
-            sig, ks, args = p.stack_bucket(cos)
+            sig, args = p.stack_bucket(cos)
             dargs = [jax.device_put(a) for a in args]  # async upload
-            yield p.run_bucket(sig, dargs, sparse_ks=ks)
+            yield sig, p.run_bucket(sig, dargs)
 
     t0 = time.perf_counter()
     n = 0
-    for dev in prefetch(produce(), depth=3):
-        pixels = np.asarray(dev)
-        encs = [native.jpeg_encode(img, 85) for img in pixels]
-        n += len(encs)
+    for sig, dev in prefetch(produce(), depth=3):
+        n += len(p.raw420_encode(dev, sig))
     dt = time.perf_counter() - t0
     return n / dt
 
@@ -140,18 +137,17 @@ def bench_train_ingest(bufs, batch, rounds=10):
 
     from picha_tpu.pipeline import JpegBatchPipeline
 
-    p = JpegBatchPipeline(width=224, height=224, normalize=True,
-                          upload="sparse")
+    p = JpegBatchPipeline(width=224, height=224, normalize=True)
     out = p(bufs[:batch])
-    jax.block_until_ready(out)
+    np.asarray(out[0, :2, 0])  # force
     t0 = time.perf_counter()
     outs = []
     for _ in range(rounds):
         cos = p.entropy_decode(bufs[:batch])
-        sig, ks, args = p.stack_bucket(cos)
+        sig, args = p.stack_bucket(cos)
         dargs = [jax.device_put(a) for a in args]
-        outs.append(p.run_bucket(sig, dargs, sparse_ks=ks))
-    jax.block_until_ready(outs)
+        outs.append(p.run_bucket(sig, dargs))
+    np.asarray(outs[-1][0, :2, 0])  # dependent readback forces the stream
     dt = time.perf_counter() - t0
     return batch * rounds / dt
 

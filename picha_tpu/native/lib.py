@@ -56,6 +56,13 @@ def get_lib():
                 C.POINTER(C.c_size_t), C.POINTER(C.c_char_p)]
             lib.picha_jpeg_encode.restype = C.c_int
 
+            lib.picha_jpeg_encode_raw420.argtypes = [
+                C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+                C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int,
+                C.POINTER(C.POINTER(C.c_uint8)), C.POINTER(C.c_size_t),
+                C.POINTER(C.c_char_p)]
+            lib.picha_jpeg_encode_raw420.restype = C.c_int
+
             lib.picha_jpeg_coef_open.argtypes = [
                 C.POINTER(C.c_uint8), C.c_size_t,
                 C.POINTER(C.c_void_p), C.POINTER(C.c_char_p)]
@@ -188,6 +195,25 @@ def jpeg_encode(arr: np.ndarray, quality: int) -> bytes:
     rc = lib.picha_jpeg_encode(_u8ptr(arr.reshape(-1)), w, h, w * ch, ch,
                                quality, C.byref(out), C.byref(outlen),
                                C.byref(err))
+    if rc != 0:
+        raise CodecError(take_error(lib, err))
+    return take_buffer(lib, out, outlen.value)
+
+
+def jpeg_encode_raw420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                       width: int, height: int, quality: int) -> bytes:
+    """Encode from padded 4:2:0 planes: y (ceil16(h), ceil16(w)) u8,
+    cb/cr half-size. Host does only fDCT+quant+Huffman."""
+    lib = get_lib()
+    y = np.ascontiguousarray(y)
+    cb = np.ascontiguousarray(cb)
+    cr = np.ascontiguousarray(cr)
+    out = C.POINTER(C.c_uint8)()
+    outlen = C.c_size_t()
+    err = C.c_char_p()
+    rc = lib.picha_jpeg_encode_raw420(
+        _u8ptr(y.reshape(-1)), _u8ptr(cb.reshape(-1)), _u8ptr(cr.reshape(-1)),
+        width, height, quality, C.byref(out), C.byref(outlen), C.byref(err))
     if rc != 0:
         raise CodecError(take_error(lib, err))
     return take_buffer(lib, out, outlen.value)

@@ -172,6 +172,73 @@ PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
   return 0;
 }
 
+// Encode from pre-computed 4:2:0 planes (jpeg_write_raw_data): the TPU
+// already did RGB->YCbCr and chroma downsampling; the host does only
+// fDCT + quantisation + Huffman. Planes must be padded: Y to
+// (ceil16(h), ceil16(w)), Cb/Cr to half that.
+PICHA_API int picha_jpeg_encode_raw420(const uint8_t* y, const uint8_t* cb,
+                                       const uint8_t* cr, int width,
+                                       int height, int quality, uint8_t** out,
+                                       size_t* outlen, char** err) {
+  jpeg_compress_struct cinfo;
+  ErrorTrap trap;
+  cinfo.err = &trap.mgr;
+  setup_trap(&trap.mgr, &trap);
+  unsigned char* buf = nullptr;
+  unsigned long buflen = 0;
+  if (setjmp(trap.jmp)) {
+    jpeg_destroy_compress(&cinfo);
+    free(buf);
+    if (err) *err = dup_error(trap);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &buf, &buflen);
+
+  int wpad = (width + 15) & ~15;
+  int hpad = (height + 15) & ~15;
+
+  cinfo.image_width = (JDIMENSION)width;
+  cinfo.image_height = (JDIMENSION)height;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);
+  if (quality < 0) quality = 0;
+  if (quality > 100) quality = 100;
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  cinfo.raw_data_in = TRUE;
+  cinfo.comp_info[0].h_samp_factor = 2;
+  cinfo.comp_info[0].v_samp_factor = 2;
+  cinfo.comp_info[1].h_samp_factor = 1;
+  cinfo.comp_info[1].v_samp_factor = 1;
+  cinfo.comp_info[2].h_samp_factor = 1;
+  cinfo.comp_info[2].v_samp_factor = 1;
+  jpeg_start_compress(&cinfo, TRUE);
+
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  while (cinfo.next_scanline < cinfo.image_height) {
+    int base = (int)cinfo.next_scanline;
+    for (int i = 0; i < 16; ++i) {
+      int r = base + i;
+      if (r >= hpad) r = hpad - 1;
+      yrows[i] = (JSAMPROW)(y + (size_t)r * wpad);
+    }
+    for (int i = 0; i < 8; ++i) {
+      int r = base / 2 + i;
+      if (r >= hpad / 2) r = hpad / 2 - 1;
+      cbrows[i] = (JSAMPROW)(cb + (size_t)r * (wpad / 2));
+      crrows[i] = (JSAMPROW)(cr + (size_t)r * (wpad / 2));
+    }
+    jpeg_write_raw_data(&cinfo, planes, 16);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  *out = (uint8_t*)buf;
+  *outlen = (size_t)buflen;
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Raw coefficient access (TPU pixel-stage path)
 // ---------------------------------------------------------------------------

@@ -47,7 +47,8 @@ def signature(co: native.JpegCoefficients):
 def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                      filter_name: str, filter_scale: float,
                      normalize: bool, encode_quality: Optional[int],
-                     sparse_ks: Optional[tuple] = None):
+                     sparse_ks: Optional[tuple] = None,
+                     yuv420_out: bool = False):
     """Build the fused batched graph for one signature bucket.
 
     Stages: coefficients -> RGB/grey (N,H,W,C int32) -> optional resize
@@ -122,6 +123,32 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
             if normalize:
                 return rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
             img = rgb
+        if yuv420_out:
+            # padded 4:2:0 planes for the host raw-data encoder — halves
+            # the device->host bytes vs RGB (1.5 B/px vs 3 B/px)
+            eh = out_h if out_h is not None else height
+            ew = out_w if out_w is not None else width
+            hpad, wpad = (eh + 15) & ~15, (ew + 15) & ~15
+            if img.shape[-1] == 1:
+                yp = img[..., 0]
+                cbp = jnp.full(
+                    (yp.shape[0], hpad // 2, wpad // 2), 128, jnp.int32)
+                crp = cbp
+                yp = jnp.pad(yp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                             mode="edge")
+                return (yp.astype(jnp.uint8), cbp.astype(jnp.uint8),
+                        crp.astype(jnp.uint8))
+            yp, cbp, crp = jpeg_tpu.rgb_to_ycbcr(img)
+            yp = jnp.pad(yp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                         mode="edge")
+            cbp = jpeg_tpu.box_downsample_2x2(
+                jnp.pad(cbp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                        mode="edge"))
+            crp = jpeg_tpu.box_downsample_2x2(
+                jnp.pad(crp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                        mode="edge"))
+            return (yp.astype(jnp.uint8), cbp.astype(jnp.uint8),
+                    crp.astype(jnp.uint8))
         if encode_quality is not None:
             qluma, qchroma = jpeg_tpu.quality_tables(encode_quality)
             eh = out_h if out_h is not None else height
@@ -221,9 +248,11 @@ class JpegBatchPipeline:
     def run_bucket(self, sig, args, sparse_ks=None):
         device_quality = (self._encode_quality
                           if self._encode_backend == "tpu" else None)
+        yuv = (self._encode_backend == "raw420"
+               and self._encode_quality is not None)
         fn = _jit_batch_graph(sig, self._width, self._height, self._filter,
                               self._fscale, self._normalize, device_quality,
-                              sparse_ks)
+                              sparse_ks, yuv)
         return fn(*args)
 
     def __call__(self, bufs: Sequence[bytes]):
@@ -247,7 +276,25 @@ class JpegBatchPipeline:
             q = self._encode_quality
             return list(self._pool.map(
                 lambda img: native.jpeg_encode(img, q), batch))
+        if self._encode_backend == "raw420":
+            return self.raw420_encode(out, sig)
         return self.huffman_encode(out, sig)
+
+    def raw420_encode(self, planes, sig):
+        """Host stage for the yuv420 output mode: padded planes -> JPEG
+        via jpeg_write_raw_data (fDCT+quant+Huffman only on host)."""
+        width, height = sig[0], sig[1]
+        ew = self._width if self._width is not None else width
+        eh = self._height if self._height is not None else height
+        q = self._encode_quality
+        y = np.asarray(planes[0])
+        cb = np.asarray(planes[1])
+        cr = np.asarray(planes[2])
+
+        def enc(i):
+            return native.jpeg_encode_raw420(y[i], cb[i], cr[i], ew, eh, q)
+
+        return list(self._pool.map(enc, range(y.shape[0])))
 
     def huffman_encode(self, coef_out, sig):
         """Host stage: quantised coefficient batches -> JPEG bytes."""

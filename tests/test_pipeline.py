@@ -148,3 +148,27 @@ def test_pallas_resize_matches_xla_interpret():
     got = np.asarray(resize_batch_pallas(img, 300, 20, interpret=True))
     want = resize_array(img, 300, 20)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_raw420_encode_backend(jpeg_bufs):
+    p = JpegBatchPipeline(width=32, height=32, encode_quality=92,
+                          encode_backend="raw420")
+    encs = p(jpeg_bufs)
+    assert len(encs) == 4
+    img = picha.decodeJpegSync(encs[0])
+    assert (img.width, img.height, img.pixel) == (32, 32, "rgb")
+    # quality sanity vs the plain host-encode backend
+    ref = JpegBatchPipeline(width=32, height=32, encode_quality=92,
+                            encode_backend="host")(jpeg_bufs)
+    a = picha.decodeJpegSync(encs[0])
+    b = picha.decodeJpegSync(ref[0])
+    assert a.avg_channel_diff(b) < 3
+
+
+def test_raw420_grey(jpeg_bufs):
+    bufs = [fixture_bytes("test2g.jpg")] * 2
+    p = JpegBatchPipeline(width=32, height=32, encode_quality=92,
+                          encode_backend="raw420")
+    encs = p(bufs)
+    img = picha.decodeJpegSync(encs[0])
+    assert (img.width, img.height) == (32, 32)
