@@ -45,13 +45,25 @@ def decode(buf: bytes, opts: dict) -> Image:
     if st is None:
         raise CodecError("not a JPEG file")
     w, h, ch = st
+    req = opts.get("pixel")
+    if req is not None:
+        # extension over the reference (which always used the source's
+        # default space, jpegcodec.cc:112-121): let libjpeg convert
+        if req not in ("rgb", "grey"):
+            raise InvalidOptionsError("jpeg decode supports pixel rgb/grey")
+        ch = 1 if req == "grey" else 3
     if opts.get("backend") == "tpu":
         from ..ops import jpeg_tpu
 
         co = native.JpegCoefficients(buf)
         arr = jpeg_tpu.decode_coefficients(co)
         pixel = "grey" if arr.shape[-1] == 1 else "rgb"
-        return Image.from_array(arr, pixel)
+        img = Image.from_array(arr, pixel)
+        if req is not None and req != pixel:
+            from ..ops.colorconvert import color_convert_image
+
+            img = color_convert_image(img, {"pixel": req})
+        return img
     arr = native.jpeg_decode(buf, ch, w, h)
     return Image.from_array(arr, "grey" if ch == 1 else "rgb")
 

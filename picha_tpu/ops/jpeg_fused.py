@@ -1,0 +1,138 @@
+"""Fully-fused JPEG decode+resize: coefficients -> resized YCbCr in two
+matmuls per component.
+
+Every pixel stage between entropy decode and the colour transform is
+LINEAR: dequantisation (diagonal), IDCT (Kronecker of the 8-point DCT
+basis), fancy chroma upsampling (banded triangle operator) and the
+separable resize (banded contribution matrices). So they compose into
+one pair of per-component weight matrices applied directly to the
+coefficient grid:
+
+    tmp[n,bh,v,ox] = sum_{bw,u} coefq[n,bh,bw,v,u] * Th[ox,bw,u]
+    out[n,oy,ox]   = sum_{bh,v} tmp[n,bh,v,ox]   * Tv[oy,bh,v]
+
+where Th folds (resizeW ∘ crop ∘ upsampleH ∘ IDCTx) and Tv folds
+(resizeV ∘ upsampleV ∘ IDCTy). Compared to the staged graph this
+removes the block->plane transposes, the full-resolution intermediate
+planes, and runs YCbCr->RGB at the *target* resolution.
+
+Numerics: float32 end to end (the staged path clamps/rounds planes to
+uint8 between stages; this path doesn't), held to ~1 LSB of the staged
+path by tests. The tiny bias constants of libjpeg's integer fancy
+upsampler (+1/+2 >> 2) are dropped — they contribute < 0.5 LSB.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .jpeg_tpu import _IDCT_A, CS_CMYK, CS_GRAYSCALE, CS_RGB, CS_YCBCR, CS_YCCK
+from .resize import resize_weights
+
+
+def upsample_matrix(factor: int, n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) linear operator of libjpeg's upsampler: triangle
+    ("fancy") weights for 2x, replication otherwise; edge-replicated."""
+    U = np.zeros((n_out, n_in), dtype=np.float32)
+    if factor == 1:
+        for i in range(n_out):
+            U[i, min(i, n_in - 1)] = 1.0
+        return U
+    if factor == 2:
+        for o in range(n_out):
+            i = o // 2
+            near = i if i >= n_in else i
+            if o % 2 == 0:
+                far = max(i - 1, 0)
+            else:
+                far = min(i + 1, n_in - 1)
+            near = min(near, n_in - 1)
+            U[o, near] += 0.75
+            U[o, far] += 0.25
+        return U
+    for o in range(n_out):
+        U[o, min(o // factor, n_in - 1)] = 1.0
+    return U
+
+
+@functools.lru_cache(maxsize=512)
+def component_weights(dst_size: int, full_size: int, comp_size: int,
+                      factor: int, filter_name: str, fscale: float):
+    """(dst_size, blocks, 8) float32: resize ∘ upsample ∘ IDCT folded."""
+    W = resize_weights(dst_size, full_size, filter_name, fscale)
+    if factor != 1 or comp_size != full_size:
+        U = upsample_matrix(factor, full_size, comp_size)
+        W = W @ U  # (dst, comp_size)
+    blocks = -(-comp_size // 8)
+    Wp = np.zeros((dst_size, blocks * 8), dtype=np.float32)
+    Wp[:, :comp_size] = W[:, :comp_size]
+    # libjpeg edge-pads partial blocks with the last column during
+    # encode; weight mass beyond comp_size goes to the last sample
+    extra = W[:, comp_size:].sum(axis=1) if W.shape[1] > comp_size else 0
+    Wp[:, comp_size - 1] += extra
+    Wb = Wp.reshape(dst_size, blocks, 8)
+    # fold the IDCT basis: T[o, b, u] = sum_x Wb[o, b, x] * A[u, x]
+    T = np.einsum("obx,ux->obu", Wb, _IDCT_A).astype(np.float32)
+    return T
+
+
+def fused_component(coefs, qtable, th, tv):
+    """coefs (N, bh, bw, 64) int16, qtable (N,1,1,64) -> (N, oy, ox) f32
+    sample values (level-shifted, unclamped)."""
+    import jax.numpy as jnp
+
+    cq = coefs.astype(jnp.float32) * qtable.astype(jnp.float32)
+    n, bh, bw = cq.shape[0], cq.shape[1], cq.shape[2]
+    cq = cq.reshape(n, bh, bw, 8, 8)  # [v, u]
+    tmp = jnp.einsum("nhwvu,owu->nhvo", cq, jnp.asarray(th),
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("nhvo,yhv->nyo", tmp, jnp.asarray(tv),
+                     preferred_element_type=jnp.float32)
+    return out + 128.0
+
+
+def fused_decode_resize(comp_sig, color_space, width, height, out_w, out_h,
+                        filter_name, fscale, coefs, qtabs):
+    """Traceable: per-component fused matmuls -> colour transform at the
+    target resolution -> float RGB/grey in [0, 255] (unrounded)."""
+    import jax.numpy as jnp
+
+    max_h = max(s[2] for s in comp_sig)
+    max_v = max(s[3] for s in comp_sig)
+    planes = []
+    for i, (bh, bw, hs, vs) in enumerate(comp_sig):
+        dw = -(-width * hs // max_h)
+        dh = -(-height * vs // max_v)
+        th = component_weights(out_w, width, dw, max_h // hs,
+                               filter_name, fscale)
+        tv = component_weights(out_h, height, dh, max_v // vs,
+                               filter_name, fscale)
+        planes.append(fused_component(coefs[i], qtabs[i], th, tv))
+
+    if color_space == CS_GRAYSCALE or len(planes) == 1:
+        return planes[0][..., None]
+    if color_space == CS_RGB:
+        return jnp.stack(planes[:3], axis=-1)
+
+    def ycc_to_rgb(y, cb, cr):
+        cbs = cb - 128.0
+        crs = cr - 128.0
+        r = y + 1.40200 * crs
+        g = y - 0.34414 * cbs - 0.71414 * crs
+        b = y + 1.77200 * cbs
+        return jnp.stack([r, g, b], axis=-1)
+
+    if color_space == CS_YCBCR:
+        return ycc_to_rgb(planes[0], planes[1], planes[2])
+    if color_space == CS_YCCK:
+        cmy = 255.0 - jnp.clip(
+            ycc_to_rgb(planes[0], planes[1], planes[2]), 0.0, 255.0)
+        k = jnp.clip(planes[3], 0.0, 255.0)
+        return cmy * k[..., None] * (1.0 / 255.0)
+    if color_space == CS_CMYK:
+        cmy = jnp.stack(planes[:3], axis=-1)
+        k = planes[3]
+        return (jnp.clip(cmy, 0.0, 255.0)
+                * jnp.clip(k, 0.0, 255.0)[..., None] * (1.0 / 255.0))
+    raise ValueError(f"unsupported colour space {color_space}")

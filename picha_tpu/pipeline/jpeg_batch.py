@@ -48,7 +48,8 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                      filter_name: str, filter_scale: float,
                      normalize: bool, encode_quality: Optional[int],
                      sparse_ks: Optional[tuple] = None,
-                     yuv420_out: bool = False):
+                     yuv420_out: bool = False,
+                     fused: bool = False):
     """Build the fused batched graph for one signature bucket.
 
     Stages: coefficients -> RGB/grey (N,H,W,C int32) -> optional resize
@@ -111,8 +112,19 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
             qtabs = args[2 * n:3 * n]
         else:
             coefs, qtabs = args[:n], args[n:2 * n]
-        rgb = decode_stage(coefs, qtabs)  # (N,H,W,C) int32
-        if out_w is not None:
+        if fused and out_w is not None:
+            # single-shot path: dequant+IDCT+upsample+resize folded into
+            # two matmuls per component (ops/jpeg_fused.py)
+            from ..ops.jpeg_fused import fused_decode_resize
+
+            f255 = fused_decode_resize(comp_sig, color_space, width, height,
+                                       out_w, out_h, filter_name,
+                                       filter_scale, coefs, qtabs)
+            if normalize:
+                return jnp.clip(f255, 0.0, 255.0) * jnp.float32(1.0 / 255.0)
+            img = jnp.floor(jnp.clip(f255 + 0.5, 0.0, 255.0)).astype(jnp.int32)
+        elif out_w is not None:
+            rgb = decode_stage(coefs, qtabs)  # (N,H,W,C) int32
             f = rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
             f = resize_f32(f, out_w, out_h, filter_name, filter_scale)
             if normalize:
@@ -120,6 +132,7 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
             img = jnp.floor(jnp.clip(f * 255.0 + 0.5, 0.0, 255.0))
             img = img.astype(jnp.int32)
         else:
+            rgb = decode_stage(coefs, qtabs)  # (N,H,W,C) int32
             if normalize:
                 return rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
             img = rgb
@@ -178,6 +191,7 @@ class JpegBatchPipeline:
                  encode_quality: Optional[int] = None,
                  encode_backend: str = "tpu",
                  upload: str = "dense",
+                 fused: bool = False,
                  num_threads: Optional[int] = None):
         """encode_backend: 'tpu' runs fDCT+quantise on device and only
         Huffman on the host (minimal host compute); 'host' reads back the
@@ -188,7 +202,12 @@ class JpegBatchPipeline:
         upload: 'dense' ships full (N, bh, bw, 64) int16 coefficient
         tensors; 'sparse' ships (index, value) pairs of the nonzero
         coefficients (typically ~10% at q85 — ~4x fewer host->device
-        bytes) and scatter-adds them into dense blocks on device."""
+        bytes) and scatter-adds them into dense blocks on device
+        (note: TPU scatter is slow; profile before choosing).
+
+        fused: fold dequant+IDCT+upsample+resize into two matmuls per
+        component (ops/jpeg_fused.py) — the fastest decode+resize path;
+        float-linear numerics within ~1 LSB of the staged path."""
         opts = {}
         if filter is not None:
             opts["filter"] = filter
@@ -200,6 +219,7 @@ class JpegBatchPipeline:
         self._encode_quality = encode_quality
         self._encode_backend = encode_backend
         self._upload = upload
+        self._fused = fused
         self._pool = ThreadPoolExecutor(max_workers=num_threads or 8,
                                         thread_name_prefix="picha-entropy")
 
@@ -252,7 +272,7 @@ class JpegBatchPipeline:
                and self._encode_quality is not None)
         fn = _jit_batch_graph(sig, self._width, self._height, self._filter,
                               self._fscale, self._normalize, device_quality,
-                              sparse_ks, yuv)
+                              sparse_ks, yuv, self._fused)
         return fn(*args)
 
     def __call__(self, bufs: Sequence[bytes]):

@@ -93,3 +93,13 @@ def test_corrupt_raises():
     with pytest.raises(picha.PichaError):
         picha.decodeJpegSync(b"\xff\xd8\xff\xe0garbage")
     assert picha.statJpeg(b"not a jpeg") is None
+
+
+def test_pixel_request_extension():
+    buf = fixture_bytes("test2.jpg")
+    grey = picha.decodeJpegSync(buf, {"pixel": "grey"})
+    assert grey.pixel == "grey"
+    rgb = picha.decodeJpegSync(fixture_bytes("test2g.jpg"), {"pixel": "rgb"})
+    assert rgb.pixel == "rgb"
+    with pytest.raises(picha.InvalidOptionsError):
+        picha.decodeJpegSync(buf, {"pixel": "rgba"})

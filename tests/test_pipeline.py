@@ -172,3 +172,30 @@ def test_raw420_grey(jpeg_bufs):
     encs = p(bufs)
     img = picha.decodeJpegSync(encs[0])
     assert (img.width, img.height) == (32, 32)
+
+
+def test_fused_decode_resize_close_to_staged(jpeg_bufs):
+    staged = np.asarray(JpegBatchPipeline(width=38, height=25)(jpeg_bufs))
+    fused = np.asarray(JpegBatchPipeline(width=38, height=25,
+                                         fused=True)(jpeg_bufs))
+    d = np.abs(staged.astype(int) - fused.astype(int))
+    assert d.mean() <= 1.0
+    assert d.max() <= 16  # isolated ringing pixels may differ more
+
+
+def test_fused_matches_on_all_fixture_types():
+    for name in ["test2.jpg", "test2g.jpg", "test2cmyk.jpg", "test.jpeg"]:
+        bufs = [fixture_bytes(name)] * 2
+        staged = np.asarray(JpegBatchPipeline(width=30, height=20)(bufs))
+        fused = np.asarray(JpegBatchPipeline(width=30, height=20,
+                                             fused=True)(bufs))
+        d = np.abs(staged.astype(int) - fused.astype(int))
+        assert d.mean() <= 1.5, name
+
+
+def test_fused_golden(jpeg_bufs):
+    out = np.asarray(JpegBatchPipeline(width=32, height=24,
+                                       fused=True)(jpeg_bufs))
+    golden = picha.decodeSync(fixture_bytes("test2.png"))
+    got = Image.from_array(out[0], "rgb")
+    assert got.avg_channel_diff(golden) < 2
