@@ -66,7 +66,7 @@ def measure_link():
     return up, down
 
 
-def bench_tpu_stage(p, sig, dargs, batch, mpix, iters=20):
+def bench_tpu_stage(p, sig, dargs, batch, mpix, iters=20, fused=False):
     """Device-only throughput.
 
     This environment's platform does not reliably block in
@@ -81,7 +81,7 @@ def bench_tpu_stage(p, sig, dargs, batch, mpix, iters=20):
     from picha_tpu.pipeline.jpeg_batch import _jit_batch_graph
 
     base = _jit_batch_graph(sig, p._width, p._height, p._filter, p._fscale,
-                            False, None, None)
+                            False, None, None, False, fused)
 
     @jax.jit
     def step(salt, *args):
@@ -111,16 +111,16 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=8):
     from picha_tpu.pipeline.prefetch import prefetch
 
     p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
-                          encode_backend="raw420")
+                          encode_backend="raw420", fused=True, upload="sparse")
     # warm up compile + link caches
     p(bufs[:batch])
 
     def produce():
         for r in range(rounds):
             cos = p.entropy_decode(bufs[:batch])
-            sig, args = p.stack_bucket(cos)
+            sig, ks, args = p.stack_bucket(cos)
             dargs = [jax.device_put(a) for a in args]  # async upload
-            yield sig, p.run_bucket(sig, dargs)
+            yield sig, p.run_bucket(sig, dargs, sparse_ks=ks)
 
     t0 = time.perf_counter()
     n = 0
@@ -137,16 +137,16 @@ def bench_train_ingest(bufs, batch, rounds=10):
 
     from picha_tpu.pipeline import JpegBatchPipeline
 
-    p = JpegBatchPipeline(width=224, height=224, normalize=True)
+    p = JpegBatchPipeline(width=224, height=224, normalize=True, fused=True, upload="sparse")
     out = p(bufs[:batch])
     np.asarray(out[0, :2, 0])  # force
     t0 = time.perf_counter()
     outs = []
     for _ in range(rounds):
         cos = p.entropy_decode(bufs[:batch])
-        sig, args = p.stack_bucket(cos)
+        sig, ks, args = p.stack_bucket(cos)
         dargs = [jax.device_put(a) for a in args]
-        outs.append(p.run_bucket(sig, dargs))
+        outs.append(p.run_bucket(sig, dargs, sparse_ks=ks))
     np.asarray(outs[-1][0, :2, 0])  # dependent readback forces the stream
     dt = time.perf_counter() - t0
     return batch * rounds / dt
@@ -231,18 +231,24 @@ def main():
         log(f"host entropy decode: {entropy_ips:.1f} img/s "
             f"({entropy_ips * mpix:.0f} Mpix/s)")
 
-    def tpu_stage():
+    def tpu_stage(fused):
         p = JpegBatchPipeline(width=out_w, height=out_h)
         cos = p.entropy_decode(bufs[:batch])
         sig, args = p.stack_bucket(cos)
         dargs = [jax.device_put(a) for a in args]
-        return bench_tpu_stage(p, sig, dargs, batch, mpix)
+        return bench_tpu_stage(p, sig, dargs, batch, mpix, fused=fused)
 
-    tpu_ips = stage("tpu pixel stage", tpu_stage)
+    tpu_ips = stage("tpu pixel stage (fused)", tpu_stage, True)
     if tpu_ips:
-        detail["tpu_pixel_stage_mpix_s"] = round(tpu_ips * mpix, 1)
-        log(f"TPU pixel stage (dequant+IDCT+upsample+YCbCr+resize+pack): "
-            f"{tpu_ips:.1f} img/s ({tpu_ips * mpix:.0f} Mpix/s)")
+        detail["tpu_fused_stage_mpix_s"] = round(tpu_ips * mpix, 1)
+        log(f"TPU fused stage (dequant+IDCT+upsample+resize as 2 matmuls/comp "
+            f"+ YCbCr + pack): {tpu_ips:.1f} img/s ({tpu_ips * mpix:.0f} Mpix/s)")
+
+    staged_ips = stage("tpu pixel stage (staged)", tpu_stage, False)
+    if staged_ips:
+        detail["tpu_staged_stage_mpix_s"] = round(staged_ips * mpix, 1)
+        log(f"TPU staged stage: {staged_ips:.1f} img/s "
+            f"({staged_ips * mpix:.0f} Mpix/s)")
 
     train_ips = stage("train ingest", bench_train_ingest, bufs, batch)
     if train_ips:

@@ -9,3 +9,4 @@ from .image_batch import ImageBatchPipeline  # noqa: F401
 from .jpeg_batch import JpegBatchPipeline, entropy_decode, signature  # noqa: F401
 from .prefetch import map_prefetch, prefetch  # noqa: F401
 from .training import TrainingInput  # noqa: F401
+from .serving import DynamicBatcher  # noqa: F401

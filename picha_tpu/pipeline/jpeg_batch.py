@@ -92,12 +92,15 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
         raise ValueError(f"unsupported colour space {color_space}")
 
     def densify(idx, val, bh, bw):
-        # scatter-add the (index, value) pairs into dense blocks;
-        # padding entries are (0, 0) and add nothing
+        # scatter-add the (index, value) pairs into dense blocks.
+        # Indices are sorted (np.flatnonzero order) with tail padding at
+        # m-1 carrying value 0 — the sorted hint is what makes TPU
+        # scatter fast (~25 ms vs seconds unsorted for a 16x1080p batch)
         m = bh * bw * 64
 
         def one(i, v):
-            return jnp.zeros((m,), jnp.int32).at[i].add(v.astype(jnp.int32))
+            return jnp.zeros((m,), jnp.int32).at[i].add(
+                v.astype(jnp.int32), indices_are_sorted=True)
 
         dense = jax.vmap(one)(idx, val)
         return dense.reshape((-1, bh, bw, 64))
@@ -243,7 +246,10 @@ class JpegBatchPipeline:
                 nzs = [np.flatnonzero(f) for f in flats]
                 k = max(1, max(nz.size for nz in nzs))
                 k = -(-k // 16384) * 16384  # bucket to limit recompiles
-                idx = np.zeros((len(cos), k), np.int32)
+                m = flats[0].size
+                # pad with (m-1, 0): keeps indices sorted (fast TPU
+                # scatter) and adds zero
+                idx = np.full((len(cos), k), m - 1, np.int32)
                 val = np.zeros((len(cos), k), np.int16)
                 for j, (f, nz) in enumerate(zip(flats, nzs)):
                     idx[j, : nz.size] = nz

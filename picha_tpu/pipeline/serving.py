@@ -1,0 +1,116 @@
+"""Dynamic batching for serving.
+
+The reference's serving story was one libuv worker per request
+(SURVEY.md §2 "Async execution"); the TPU equivalent needs batching to
+keep the chip fed. `DynamicBatcher` accepts single-image requests,
+groups them by coefficient signature into shape buckets, and flushes a
+bucket when it reaches `max_batch` or its oldest request exceeds
+`max_delay_ms` — the standard latency/throughput knob of production
+inference servers. Results are delivered through per-request Futures,
+so the call surface stays the reference's async one-image-in,
+one-image-out shape.
+"""
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional
+
+import numpy as np
+
+from ..native import lib as native
+from .jpeg_batch import JpegBatchPipeline, signature
+
+
+class DynamicBatcher:
+    """JPEG decode(+resize) server: submit(bytes) -> Future[np.ndarray].
+
+    >>> b = DynamicBatcher(width=224, height=224, max_batch=32)
+    >>> fut = b.submit(jpeg_bytes)
+    >>> img = fut.result()            # (224, 224, C) uint8
+    """
+
+    def __init__(self, width: Optional[int] = None,
+                 height: Optional[int] = None,
+                 filter: Optional[str] = None,
+                 normalize: bool = False,
+                 fused: bool = True,
+                 max_batch: int = 32, max_delay_ms: float = 5.0):
+        self._pipe = JpegBatchPipeline(width=width, height=height,
+                                       filter=filter, normalize=normalize,
+                                       fused=fused and width is not None)
+        self.max_batch = max_batch
+        self.max_delay = max_delay_ms / 1e3
+        self._lock = threading.Condition()
+        self._queues: dict = {}  # sig -> list of (deadline, co, future)
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="picha-batcher")
+        self._worker.start()
+
+    def submit(self, buf: bytes) -> Future:
+        fut: Future = Future()
+        try:
+            co = native.JpegCoefficients(bytes(buf))
+        except Exception as e:  # noqa: BLE001 — deliver decode errors via future
+            fut.set_exception(e)
+            return fut
+        sig = signature(co)
+        with self._lock:
+            if self._closed:
+                fut.set_exception(RuntimeError("batcher closed"))
+                return fut
+            self._queues.setdefault(sig, []).append(
+                (time.monotonic() + self.max_delay, co, fut))
+            self._lock.notify()
+        return fut
+
+    def _take_ready(self):
+        now = time.monotonic()
+        for sig, items in self._queues.items():
+            if len(items) >= self.max_batch or (items and items[0][0] <= now):
+                batch = items[: self.max_batch]
+                rest = items[self.max_batch:]
+                if rest:
+                    self._queues[sig] = rest
+                else:
+                    del self._queues[sig]
+                return sig, batch
+        return None
+
+    def _next_deadline(self):
+        ds = [items[0][0] for items in self._queues.values() if items]
+        return min(ds) if ds else None
+
+    def _run(self):
+        while True:
+            with self._lock:
+                ready = self._take_ready()
+                if ready is None:
+                    if self._closed and not self._queues:
+                        return
+                    deadline = self._next_deadline()
+                    timeout = (max(0.0, deadline - time.monotonic())
+                               if deadline is not None else 0.1)
+                    self._lock.wait(timeout=timeout)
+                    continue
+            sig, batch = ready
+            cos = [b[1] for b in batch]
+            futs = [b[2] for b in batch]
+            try:
+                _, args = self._pipe.stack_bucket(cos)
+                out = np.asarray(self._pipe.run_bucket(sig, args))
+                for i, fut in enumerate(futs):
+                    fut.set_result(out[i])
+            except Exception as e:  # noqa: BLE001
+                for fut in futs:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def close(self, wait: bool = True):
+        with self._lock:
+            self._closed = True
+            self._lock.notify()
+        if wait:
+            self._worker.join(timeout=30)

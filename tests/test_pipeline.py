@@ -199,3 +199,25 @@ def test_fused_golden(jpeg_bufs):
     golden = picha.decodeSync(fixture_bytes("test2.png"))
     got = Image.from_array(out[0], "rgb")
     assert got.avg_channel_diff(golden) < 2
+
+
+def test_dynamic_batcher(jpeg_bufs):
+    from picha_tpu.pipeline import DynamicBatcher
+    b = DynamicBatcher(width=24, height=16, max_batch=4, max_delay_ms=20)
+    try:
+        futs = [b.submit(buf) for buf in jpeg_bufs * 2]
+        results = [f.result(timeout=120) for f in futs]
+        assert all(r.shape == (16, 24, 3) for r in results)
+        # same input -> same output; matches the direct pipeline
+        direct = np.asarray(JpegBatchPipeline(width=24, height=16)(jpeg_bufs))
+        np.testing.assert_array_equal(results[0], direct[0])
+        # mixed signatures batch separately but both resolve
+        f1 = b.submit(fixture_bytes("test2g.jpg"))
+        assert f1.result(timeout=120).shape == (16, 24, 1)
+        # invalid input -> exception on the future, server stays up
+        bad = b.submit(b"not a jpeg")
+        with pytest.raises(Exception):
+            bad.result(timeout=30)
+        assert b.submit(jpeg_bufs[0]).result(timeout=120).shape == (16, 24, 3)
+    finally:
+        b.close()
