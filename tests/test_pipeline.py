@@ -209,7 +209,8 @@ def test_dynamic_batcher(jpeg_bufs):
         results = [f.result(timeout=120) for f in futs]
         assert all(r.shape == (16, 24, 3) for r in results)
         # same input -> same output; matches the direct pipeline
-        direct = np.asarray(JpegBatchPipeline(width=24, height=16)(jpeg_bufs))
+        direct = np.asarray(JpegBatchPipeline(width=24, height=16,
+                                              fused=True)(jpeg_bufs))
         np.testing.assert_array_equal(results[0], direct[0])
         # mixed signatures batch separately but both resolve
         f1 = b.submit(fixture_bytes("test2g.jpg"))
