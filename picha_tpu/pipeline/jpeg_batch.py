@@ -49,7 +49,8 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                      normalize: bool, encode_quality: Optional[int],
                      sparse_ks: Optional[tuple] = None,
                      yuv420_out: bool = False,
-                     fused: bool = False):
+                     fused: bool = False,
+                     int8_ks: Optional[tuple] = None):
     """Build the fused batched graph for one signature bucket.
 
     Stages: coefficients -> RGB/grey (N,H,W,C int32) -> optional resize
@@ -105,6 +106,16 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
         dense = jax.vmap(one)(idx, val)
         return dense.reshape((-1, bh, bw, 64))
 
+    def int8_restore(c8, idx, val):
+        # int8 body + batch-flat sorted corrections for |v| > 127
+        # (padding at the last index adds zero)
+        dense = c8.astype(jnp.int32)
+        shape = dense.shape
+        flat = dense.reshape(-1)
+        flat = flat.at[idx].add(val.astype(jnp.int32),
+                                indices_are_sorted=True)
+        return flat.reshape(shape)
+
     def fn(*args):
         n = len(comp_sig)
         if sparse_ks is not None:
@@ -113,6 +124,11 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                         comp_sig[i][0], comp_sig[i][1])
                 for i in range(n))
             qtabs = args[2 * n:3 * n]
+        elif int8_ks is not None:
+            coefs = tuple(
+                int8_restore(args[3 * i], args[3 * i + 1], args[3 * i + 2])
+                for i in range(n))
+            qtabs = args[3 * n:4 * n]
         else:
             coefs, qtabs = args[:n], args[n:2 * n]
         if fused and out_w is not None:
@@ -206,7 +222,10 @@ class JpegBatchPipeline:
         tensors; 'sparse' ships (index, value) pairs of the nonzero
         coefficients (typically ~10% at q85 — ~4x fewer host->device
         bytes) and scatter-adds them into dense blocks on device
-        (note: TPU scatter is slow; profile before choosing).
+        (sorted-index scatter; host-side packing costs CPU — profile);
+        'int8' ships int8 coefficient bodies plus a tiny sorted
+        correction list for |v| > 127 — exactly half the dense bytes,
+        bit-exact, near-zero host cost.
 
         fused: fold dequant+IDCT+upsample+resize into two matmuls per
         component (ops/jpeg_fused.py) — the fastest decode+resize path;
@@ -261,6 +280,27 @@ class JpegBatchPipeline:
                 q = np.stack([co.comps[i]["qtable"] for co in cos])
                 args.append(q[:, None, None, :])
             return sig, tuple(ks), args
+        if self._upload == "int8":
+            ks = []
+            for i in range(n):
+                c16 = np.stack([co.comps[i]["coefs"] for co in cos])
+                c8 = np.clip(c16, -128, 127).astype(np.int8)
+                resid = c16.astype(np.int32) - c8
+                flat_idx = np.flatnonzero(resid)
+                vals = resid.reshape(-1)[flat_idx].astype(np.int16)
+                k = max(1, flat_idx.size)
+                k = -(-k // 4096) * 4096
+                m = resid.size
+                idx = np.full((k,), m - 1, np.int32)
+                val = np.zeros((k,), np.int16)
+                idx[: flat_idx.size] = flat_idx
+                val[: flat_idx.size] = vals
+                args.extend([c8, idx, val])
+                ks.append(k)
+            for i in range(n):
+                q = np.stack([co.comps[i]["qtable"] for co in cos])
+                args.append(q[:, None, None, :])
+            return sig, tuple(ks), args
         for i in range(n):
             args.append(np.stack([co.comps[i]["coefs"] for co in cos]))
         for i in range(n):
@@ -271,14 +311,14 @@ class JpegBatchPipeline:
 
     # -- device stage ------------------------------------------------------
 
-    def run_bucket(self, sig, args, sparse_ks=None):
+    def run_bucket(self, sig, args, sparse_ks=None, int8_ks=None):
         device_quality = (self._encode_quality
                           if self._encode_backend == "tpu" else None)
         yuv = (self._encode_backend == "raw420"
                and self._encode_quality is not None)
         fn = _jit_batch_graph(sig, self._width, self._height, self._filter,
                               self._fscale, self._normalize, device_quality,
-                              sparse_ks, yuv, self._fused)
+                              sparse_ks, yuv, self._fused, int8_ks)
         return fn(*args)
 
     def __call__(self, bufs: Sequence[bytes]):
@@ -292,6 +332,9 @@ class JpegBatchPipeline:
         if self._upload == "sparse":
             sig, ks, args = self.stack_bucket(cos)
             out = self.run_bucket(sig, args, sparse_ks=ks)
+        elif self._upload == "int8":
+            sig, ks, args = self.stack_bucket(cos)
+            out = self.run_bucket(sig, args, int8_ks=ks)
         else:
             sig, args = self.stack_bucket(cos)
             out = self.run_bucket(sig, args)

@@ -27,8 +27,9 @@ def get_executor() -> ThreadPoolExecutor:
     global _executor
     with _lock:
         if _executor is None:
+            # at least 4: GIL-released C calls overlap even on few cores
             workers = int(os.environ.get("PICHA_THREADS", "0")) or min(
-                32, (os.cpu_count() or 4))
+                32, max(4, os.cpu_count() or 4))
             _executor = ThreadPoolExecutor(
                 max_workers=workers, thread_name_prefix="picha")
         return _executor

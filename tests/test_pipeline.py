@@ -222,3 +222,16 @@ def test_dynamic_batcher(jpeg_bufs):
         assert b.submit(jpeg_bufs[0]).result(timeout=120).shape == (16, 24, 3)
     finally:
         b.close()
+
+
+def test_int8_upload_matches_dense(jpeg_bufs):
+    dense = np.asarray(JpegBatchPipeline(width=32, height=24)(jpeg_bufs))
+    i8 = np.asarray(JpegBatchPipeline(width=32, height=24,
+                                      upload="int8")(jpeg_bufs))
+    np.testing.assert_array_equal(dense, i8)
+    # also through the fused graph
+    df = np.asarray(JpegBatchPipeline(width=32, height=24,
+                                      fused=True)(jpeg_bufs))
+    i8f = np.asarray(JpegBatchPipeline(width=32, height=24, fused=True,
+                                       upload="int8")(jpeg_bufs))
+    np.testing.assert_array_equal(df, i8f)
