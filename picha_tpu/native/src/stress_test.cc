@@ -1,0 +1,97 @@
+// Thread-safety stress test for the native host runtime, built with
+// -fsanitize=thread by native/check_tsan.sh (SURVEY.md §5.2: "run CI
+// under TSAN for any host C++ codec shims").
+//
+// Exercises the PNG filter, LZW and JPEG entry points concurrently
+// from many threads over distinct and shared (read-only) inputs; any
+// hidden global mutable state (the reference's libtiff handler hazard,
+// tiffcodec.cc:21-41, is the cautionary tale) trips the sanitizer.
+#include <atomic>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include "picha_native.h"
+
+namespace {
+std::atomic<int> failures{0};
+
+void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
+  unsigned state = (unsigned)seed * 2654435761u + 12345u;
+  auto rnd = [&]() { state = state * 1664525u + 1013904223u; return state; };
+
+  // PNG filter round trip on private data
+  const int rows = 37, rowbytes = 120, bpp = 3;
+  std::vector<uint8_t> img(rows * rowbytes);
+  for (auto& b : img) b = (uint8_t)rnd();
+  std::vector<uint8_t> filt(rows * (rowbytes + 1));
+  std::vector<uint8_t> back(rows * rowbytes);
+  picha_png_filter(img.data(), filt.data(), rows, rowbytes, bpp, -1);
+  picha_png_unfilter(filt.data(), back.data(), rows, rowbytes, bpp);
+  if (memcmp(img.data(), back.data(), img.size()) != 0) ++failures;
+
+  // LZW round trip
+  std::vector<uint8_t> data(5000 + (rnd() % 5000));
+  for (auto& b : data) b = (uint8_t)(rnd() % 7);
+  uint8_t* enc = nullptr;
+  size_t enclen = 0;
+  picha_lzw_encode(data.data(), data.size(), &enc, &enclen);
+  std::vector<uint8_t> dec(data.size());
+  size_t declen = 0;
+  picha_lzw_decode(enc, enclen, dec.data(), dec.size(), &declen);
+  if (declen != data.size() || memcmp(dec.data(), data.data(), declen) != 0)
+    ++failures;
+  picha_free(enc);
+
+  // concurrent JPEG decode of the SHARED buffer + private encode
+  int w = 0, h = 0, ch = 0;
+  if (picha_jpeg_stat(shared_jpeg, jpeg_len, &w, &h, &ch) == 0) {
+    std::vector<uint8_t> out((size_t)w * h * 3);
+    char* err = nullptr;
+    if (picha_jpeg_decode(shared_jpeg, jpeg_len, 3, out.data(), w * 3, &err) != 0) {
+      ++failures;
+      picha_free(err);
+    } else {
+      uint8_t* jout = nullptr;
+      size_t jlen = 0;
+      if (picha_jpeg_encode(out.data(), w, h, w * 3, 3, 80, &jout, &jlen,
+                            &err) != 0) {
+        ++failures;
+        picha_free(err);
+      } else {
+        picha_free(jout);
+      }
+    }
+  } else {
+    ++failures;
+  }
+}
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc < 2) {
+    fprintf(stderr, "usage: %s <some.jpg>\n", argv[0]);
+    return 2;
+  }
+  FILE* f = fopen(argv[1], "rb");
+  if (!f) return 2;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> jpeg(n);
+  if (fread(jpeg.data(), 1, n, f) != (size_t)n) return 2;
+  fclose(f);
+
+  std::vector<std::thread> threads;
+  for (int t = 0; t < 8; ++t)
+    threads.emplace_back(worker, t, jpeg.data(), jpeg.size());
+  for (auto& th : threads) th.join();
+  if (failures.load() != 0) {
+    fprintf(stderr, "FAIL: %d worker failures\n", failures.load());
+    return 1;
+  }
+  printf("ok\n");
+  return 0;
+}
