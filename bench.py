@@ -51,14 +51,15 @@ def make_test_images(n: int, w: int, h: int) -> list:
 
 
 def measure_link():
+    # block_until_ready is unreliable here — force the upload to finish
+    # with a tiny dependent readback before stopping the clock
     import jax
 
-    x = np.zeros((8 * 1024 * 1024,), np.uint8)
-    d = jax.device_put(x)
-    jax.block_until_ready(d)  # warm
+    d = jax.device_put(np.zeros((8 * 1024 * 1024,), np.uint8))
+    np.asarray(d[:8])  # warm both directions
     t0 = time.perf_counter()
     d2 = jax.device_put(np.ones((8 * 1024 * 1024,), np.uint8))
-    jax.block_until_ready(d2)
+    np.asarray(d2[:8])
     up = 8 / (time.perf_counter() - t0)
     t0 = time.perf_counter()
     np.asarray(d2)

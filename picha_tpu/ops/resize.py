@@ -291,8 +291,29 @@ def resize_array(arr: np.ndarray, width: int, height: int,
     if filter_scale is not None:
         opts["filterScale"] = filter_scale
     name, fscale = parse_resize_options(opts)
+    if _use_pallas(arr):
+        from .resize_pallas import resize_batch_pallas
+
+        batched = arr if arr.ndim == 4 else arr[None]
+        out = resize_batch_pallas(batched, width, height, filter=name,
+                                  filter_scale=fscale)
+        return np.asarray(out if arr.ndim == 4 else out[0])
     out = _jit_resize(np.dtype(arr.dtype).name, width, height, name, fscale)(arr)
     return np.asarray(out)
+
+
+def _use_pallas(arr) -> bool:
+    """PICHA_RESIZE_IMPL=pallas routes large images through the Pallas
+    kernel (TPU backends only — it has no CPU lowering)."""
+    import os
+
+    if os.environ.get("PICHA_RESIZE_IMPL") != "pallas":
+        return False
+    if max(arr.shape[-3], arr.shape[-2]) <= BANDED_THRESHOLD:
+        return False
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 def resize_image(img: Image, opts: dict) -> Image:

@@ -31,10 +31,6 @@ TILE_R = 256  # rows of the (R, W) matrix per grid cell
 MAX_VMEM_SRC = 6 * 1024 * 1024  # keep x-block under ~6 MB of VMEM
 
 
-def _pad_rows(r: int) -> int:
-    return -(-r // TILE_R) * TILE_R
-
-
 @functools.lru_cache(maxsize=128)
 def _hpass(src_size: int, dst_size: int, filter_name: str, fscale: float,
            interpret: bool):
@@ -50,6 +46,11 @@ def _hpass(src_size: int, dst_size: int, filter_name: str, fscale: float,
     t_tiles, tile_o, in_len = weights.shape
     x_pad = max(src_size, int(starts.max()) + in_len)
 
+    # keep the row-tile of the source within the VMEM budget
+    tile_r = TILE_R
+    while tile_r > 8 and tile_r * x_pad * 4 > MAX_VMEM_SRC:
+        tile_r //= 2
+
     def kernel(starts_ref, x_ref, w_ref, o_ref):
         t = pl.program_id(1)
         s = pl.multiple_of(starts_ref[t], 128)
@@ -60,19 +61,23 @@ def _hpass(src_size: int, dst_size: int, filter_name: str, fscale: float,
             preferred_element_type=jnp.float32)
 
     in_specs = [
-        pl.BlockSpec((TILE_R, x_pad), lambda r, t, s: (r, 0),
+        pl.BlockSpec((tile_r, x_pad), lambda r, t, s: (r, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_o, in_len), lambda r, t, s: (t, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    out_specs = pl.BlockSpec((TILE_R, tile_o), lambda r, t, s: (r, t),
+    out_specs = pl.BlockSpec((tile_r, tile_o), lambda r, t, s: (r, t),
                              memory_space=pltpu.VMEM)
 
     @jax.jit
-    def apply(x):  # x: (R, src_size) f32, R % TILE_R == 0
+    def apply(x):  # x: (R, src_size) f32
         if x_pad != src_size:
             x = jnp.pad(x, ((0, 0), (0, x_pad - src_size)))
-        r_tiles = x.shape[0] // TILE_R
+        r = x.shape[0]
+        rp = -(-r // tile_r) * tile_r
+        if rp != r:
+            x = jnp.pad(x, ((0, rp - r), (0, 0)))
+        r_tiles = x.shape[0] // tile_r
         gs = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(r_tiles, t_tiles),
@@ -85,7 +90,7 @@ def _hpass(src_size: int, dst_size: int, filter_name: str, fscale: float,
             out_shape=jax.ShapeDtypeStruct((x.shape[0], dst_pad), jnp.float32),
             interpret=interpret,
         )(jnp.asarray(starts), x, jnp.asarray(weights))
-        return out[:, :dst_size]
+        return out[:r, :dst_size]
 
     return apply
 
@@ -98,12 +103,9 @@ def _axis_pass(f, dst_size: int, filter_name: str, fscale: float,
     src_size = f.shape[-1]
     lead = f.shape[:-1]
     r = int(np.prod(lead))
-    rp = _pad_rows(r)
     x = f.reshape(r, src_size)
-    if rp != r:
-        x = jnp.pad(x, ((0, rp - r), (0, 0)))
     out = _hpass(src_size, dst_size, filter_name, fscale, interpret)(x)
-    return out[:r].reshape(lead + (dst_size,))
+    return out.reshape(lead + (dst_size,))
 
 
 def resize_batch_pallas(img, dst_w: int, dst_h: int,

@@ -36,7 +36,7 @@ def _halo_rows(src_h: int, dst_h: int, filter_name: str, fscale: float) -> int:
 @functools.lru_cache(maxsize=64)
 def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
            filter_name: str, fscale: float, n_shards: int, axis: str,
-           mesh_key):
+           mesh):
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -46,7 +46,6 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    mesh = _MESHES[mesh_key]
     if src_h % n_shards or dst_h % n_shards:
         raise ValueError("src/dst heights must divide the mesh axis size")
     local_in = src_h // n_shards
@@ -91,9 +90,6 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
     return jax.jit(fn, in_shardings=sharding, out_shardings=sharding)
 
 
-_MESHES: dict = {}
-
-
 def resize_sharded(img, dst_w: int, dst_h: int, mesh, axis: str = "sp",
                    filter: str | None = None, filter_scale: float | None = None):
     """Resize an (H, W, C) uint8 image sharded over rows on `mesh[axis]`.
@@ -107,8 +103,6 @@ def resize_sharded(img, dst_w: int, dst_h: int, mesh, axis: str = "sp",
         opts["filterScale"] = filter_scale
     name, fscale = parse_resize_options(opts)
     n = mesh.shape[axis]
-    mesh_key = id(mesh)
-    _MESHES[mesh_key] = mesh
     h, w, c = img.shape
-    fn = _build(h, w, c, dst_h, dst_w, name, fscale, n, axis, mesh_key)
+    fn = _build(h, w, c, dst_h, dst_w, name, fscale, n, axis, mesh)
     return fn(img)
