@@ -69,3 +69,17 @@ def test_dryrun_multichip_entrypoints():
     assert out.shape == (8, 16)
     # full multichip dryrun on the virtual mesh
     mod.dryrun_multichip(8)
+
+
+def test_multihost_helpers_single_process():
+    from picha_tpu.parallel import multihost
+    items = list(range(10))
+    assert multihost.local_shard(items, 0, 1) == items
+    assert multihost.local_shard(items, 0, 4) == [0, 1, 2]
+    assert multihost.local_shard(items, 3, 4) == [9]
+    mesh = make_mesh()
+    arr = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    g = multihost.global_batch(arr, mesh)
+    assert g.shape == (16, 3)
+    np.testing.assert_array_equal(np.asarray(g), arr)
+    multihost.initialize()  # no-op single process
