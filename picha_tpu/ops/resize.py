@@ -291,6 +291,8 @@ def resize_array(arr: np.ndarray, width: int, height: int,
     if filter_scale is not None:
         opts["filterScale"] = filter_scale
     name, fscale = parse_resize_options(opts)
+    if _host_cheap(arr, width, height) and not _is_jax_array(arr):
+        return _resize_numpy(np.asarray(arr), width, height, name, fscale)
     if _use_pallas(arr):
         from .resize_pallas import resize_batch_pallas
 
@@ -300,6 +302,32 @@ def resize_array(arr: np.ndarray, width: int, height: int,
         return np.asarray(out if arr.ndim == 4 else out[0])
     out = _jit_resize(np.dtype(arr.dtype).name, width, height, name, fscale)(arr)
     return np.asarray(out)
+
+
+def _is_jax_array(arr) -> bool:
+    return type(arr).__module__.startswith("jax")
+
+
+def _host_cheap(arr, dst_w: int, dst_h: int, threshold: int = 20_000_000) -> bool:
+    """Small single images run on the host: behind a narrow accelerator
+    link, per-call transfer latency dwarfs a few million numpy MACs.
+    Same float32 math as the device graph (identical weight tensors and
+    einsum contraction), so results agree within 1 LSB."""
+    n = int(np.prod(arr.shape[:-3])) if arr.ndim > 3 else 1
+    src_h, src_w, c = arr.shape[-3], arr.shape[-2], arr.shape[-1]
+    macs = n * c * (src_h * src_w * dst_w + dst_h * dst_w * src_h)
+    return macs < threshold
+
+
+def _resize_numpy(arr: np.ndarray, width: int, height: int, name: str,
+                  fscale: float) -> np.ndarray:
+    maxv = np.float32(np.iinfo(arr.dtype).max)
+    f = arr.astype(np.float32) / maxv
+    wh = resize_weights(width, arr.shape[-2], name, fscale)
+    wv = resize_weights(height, arr.shape[-3], name, fscale)
+    tmp = np.einsum("ow,...hwc->...hoc", wh, f)
+    out = np.einsum("oh,...hwc->...owc", wv, tmp)
+    return np.floor(np.clip(out * maxv + np.float32(0.5), 0, maxv)).astype(arr.dtype)
 
 
 def _use_pallas(arr) -> bool:

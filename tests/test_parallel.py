@@ -40,7 +40,10 @@ def test_dp_sharded_batch_pipeline_matches():
 def test_spatial_halo_resize_matches_single_device(filter_name):
     rng = np.random.default_rng(1)
     img = rng.integers(0, 256, (64, 40, 3), dtype=np.uint8)
-    want = resize_array(img, 20, 32, filter=filter_name, filter_scale=1.0)
+    # jnp input pins the device graph (same float ops as the sharded
+    # path; the numpy fast-path may differ in accumulation order)
+    want = resize_array(jnp.asarray(img), 20, 32, filter=filter_name,
+                        filter_scale=1.0)
     mesh = make_mesh((("sp", 8),))
     got = np.asarray(resize_sharded(jnp.asarray(img), 20, 32, mesh,
                                     filter=filter_name, filter_scale=1.0))
@@ -51,7 +54,7 @@ def test_spatial_halo_resize_matches_single_device(filter_name):
 def test_spatial_upscale():
     rng = np.random.default_rng(2)
     img = rng.integers(0, 256, (32, 16, 4), dtype=np.uint8)
-    want = resize_array(img, 32, 64)
+    want = resize_array(jnp.asarray(img), 32, 64)
     mesh = make_mesh((("sp", 8),))
     got = np.asarray(resize_sharded(jnp.asarray(img), 32, 64, mesh))
     np.testing.assert_array_equal(got, want)
