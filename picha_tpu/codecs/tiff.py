@@ -198,10 +198,13 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
                     i += 1
                     rows = np.frombuffer(raw, np.uint8, rowbytes * th).reshape(
                         th, rowbytes).copy()
-                    if predictor == 2:
-                        rows = _undo_predictor(rows, bits, cpp)
+                    # byte order first, then predictor — the horizontal
+                    # accumulator works on native-endian sample values
+                    # (libtiff swabHorAcc16 ordering)
                     if endian == ">" and bits == 16:
                         rows = rows.reshape(th, -1, 2)[:, :, ::-1].reshape(th, -1)
+                    if predictor == 2:
+                        rows = _undo_predictor(rows, bits, cpp)
                     samples = _expand_to_samples(rows, tw, cpp, bits)
                     y0, x0 = ty * th, tx * tw
                     hh = min(th, height - y0)
@@ -217,12 +220,20 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
         raise CodecError("TIFF missing strip offsets")
     rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
     counts = ifd.get(T_STRIP_COUNTS)
-    if counts is None:
-        counts = [len(buf) - offsets[0]]
     strips_per_plane = math.ceil(height / rps)
     planes = spp if planar == 2 else 1
     cpp = 1 if planar == 2 else spp
     rowbytes = (width * cpp * bits + 7) // 8
+    nstrips = planes * strips_per_plane
+    if counts is None:
+        # some writers omit StripByteCounts; only reconstructible for
+        # uncompressed data (libtiff estimates the same way)
+        if comp != C_NONE:
+            raise CodecError("TIFF missing StripByteCounts")
+        counts = [rowbytes * min(rps, height - s * rps)
+                  for _ in range(planes) for s in range(strips_per_plane)]
+    if len(counts) < nstrips or len(offsets) < nstrips:
+        raise CodecError("TIFF strip tables too short")
     out = np.zeros((height, width, spp),
                    dtype=np.uint16 if bits == 16 else np.uint8)
     for p in range(planes):
@@ -236,10 +247,11 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
                 raise CodecError("TIFF strip too short")
             rows = np.frombuffer(raw, np.uint8, rowbytes * nrows).reshape(
                 nrows, rowbytes).copy()
-            if predictor == 2:
-                rows = _undo_predictor(rows, bits, cpp)
+            # byte order first, then predictor (see tile path)
             if endian == ">" and bits == 16:
                 rows = rows.reshape(nrows, -1, 2)[:, :, ::-1].reshape(nrows, -1)
+            if predictor == 2:
+                rows = _undo_predictor(rows, bits, cpp)
             samples = _expand_to_samples(rows, width, cpp, bits)
             if planar == 2:
                 out[y0:y0+nrows, :, p] = samples[:, :, 0]
@@ -316,6 +328,8 @@ def decode(buf: bytes, opts: dict) -> Image:
     bits_list = ifd.get(T_BITS, [1])
     bits = int(bits_list[0])
     comp = int(ifd.one(T_COMPRESSION, C_NONE))
+    if int(ifd.one(T_FILLORDER, 1)) == 2:
+        raise CodecError("unsupported TIFF fill order (lsb-first)")
     photometric = int(ifd.one(T_PHOTOMETRIC, 1))
     planar = int(ifd.one(T_PLANAR, 1))
     predictor = int(ifd.one(T_PREDICTOR, 1))

@@ -353,10 +353,16 @@ PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
   jpeg_set_defaults(&cinfo);
   cinfo.optimize_coding = optimize_huffman ? TRUE : FALSE;
 
+  // one quant slot per component (sharing a slot would let a later
+  // component's table overwrite an earlier one's)
   for (int c = 0; c < ncomp; ++c) {
     cinfo.comp_info[c].h_samp_factor = h_samp[c];
     cinfo.comp_info[c].v_samp_factor = v_samp[c];
-    int tbl = c == 0 ? 0 : 1;
+    int tbl = c < NUM_QUANT_TBLS ? c : NUM_QUANT_TBLS - 1;
+    if (c > 0 && memcmp(qtables[c], qtables[c - 1],
+                        DCTSIZE2 * sizeof(uint16_t)) == 0) {
+      tbl = cinfo.comp_info[c - 1].quant_tbl_no;  // share identical tables
+    }
     cinfo.comp_info[c].quant_tbl_no = tbl;
     unsigned int basic[DCTSIZE2];
     for (int i = 0; i < DCTSIZE2; ++i) basic[i] = qtables[c][i];

@@ -40,6 +40,8 @@ def normalize_weights(red=None, green=None, blue=None):
     r = DEFAULT_WEIGHTS[0] if red is None else float(red)
     g = DEFAULT_WEIGHTS[1] if green is None else float(green)
     b = DEFAULT_WEIGHTS[2] if blue is None else float(blue)
+    if r + g + b == 0:
+        raise InvalidOptionsError("colour weights must not sum to zero")
     n = 1.0 / (r + g + b)
     # float32 to match the reference's float math (cc:18-21)
     return (np.float32(r * n), np.float32(g * n), np.float32(b * n))

@@ -321,13 +321,14 @@ def _host_cheap(arr, dst_w: int, dst_h: int, threshold: int = 20_000_000) -> boo
 
 def _resize_numpy(arr: np.ndarray, width: int, height: int, name: str,
                   fscale: float) -> np.ndarray:
-    maxv = np.float32(np.iinfo(arr.dtype).max)
-    f = arr.astype(np.float32) / maxv
+    from ..pixels import pack_f32, unpack_f32
+
+    f = unpack_f32(arr)
     wh = resize_weights(width, arr.shape[-2], name, fscale)
     wv = resize_weights(height, arr.shape[-3], name, fscale)
     tmp = np.einsum("ow,...hwc->...hoc", wh, f)
     out = np.einsum("oh,...hwc->...owc", wv, tmp)
-    return np.floor(np.clip(out * maxv + np.float32(0.5), 0, maxv)).astype(arr.dtype)
+    return pack_f32(out, arr.dtype)
 
 
 def _use_pallas(arr) -> bool:

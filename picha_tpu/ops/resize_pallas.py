@@ -125,8 +125,9 @@ def resize_batch_pallas(img, dst_w: int, dst_h: int,
         opts["filterScale"] = filter_scale
     name, fscale = parse_resize_options(opts)
 
-    maxv = float(np.iinfo(np.dtype(img.dtype)).max)
-    f = jnp.asarray(img).astype(jnp.float32) / jnp.float32(maxv)
+    from ..pixels import jpack, junpack_f32
+
+    f = junpack_f32(jnp.asarray(img))
     # planar: (N,H,W,C) -> (N,C,H,W); W pass; swap; H pass; back
     f = jnp.moveaxis(f, -1, 1)
     f = _axis_pass(f, dst_w, name, fscale, interpret)        # W resized
@@ -134,5 +135,4 @@ def resize_batch_pallas(img, dst_w: int, dst_h: int,
     f = _axis_pass(f, dst_h, name, fscale, interpret)        # H resized
     f = jnp.swapaxes(f, -1, -2)
     f = jnp.moveaxis(f, 1, -1)
-    out = jnp.floor(jnp.clip(f * maxv + 0.5, 0.0, maxv))
-    return out.astype(img.dtype)
+    return jpack(f, np.dtype(img.dtype))

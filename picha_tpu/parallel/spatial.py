@@ -50,7 +50,13 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
         raise ValueError("src/dst heights must divide the mesh axis size")
     local_in = src_h // n_shards
     local_out = dst_h // n_shards
-    halo = min(_halo_rows(src_h, dst_h, filter_name, fscale), local_in)
+    halo = _halo_rows(src_h, dst_h, filter_name, fscale)
+    if halo > local_in:
+        # a single ppermute hop reaches only the adjacent shard; wider
+        # filter support than one shard's rows would silently drop taps
+        raise ValueError(
+            f"filter support ({halo} rows) exceeds the per-shard row count "
+            f"({local_in}); use fewer shards or a narrower filter")
 
     wh = resize_weights(dst_w, src_w, filter_name, fscale)
     wv = resize_weights(dst_h, src_h, filter_name, fscale)

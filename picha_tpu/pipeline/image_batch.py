@@ -46,7 +46,7 @@ def _jit_transform(in_shape, in_dtype, crop, out_size, filter_name, fscale,
         else:
             out_dtype = np.dtype(in_dtype)
         if normalize:
-            return f
+            return jnp.clip(f, 0.0, 1.0)  # clip resize overshoot
         omax = float(np.iinfo(out_dtype).max)
         return jnp.floor(jnp.clip(f * omax + 0.5, 0, omax)).astype(out_dtype)
 

@@ -24,6 +24,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+from ..errors import InvalidOptionsError
 from ..native import lib as native
 from ..ops import jpeg_tpu
 from ..ops.resize import parse_resize_options, resize_f32
@@ -147,7 +148,8 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
             f = rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
             f = resize_f32(f, out_w, out_h, filter_name, filter_scale)
             if normalize:
-                return f  # [0,1] float32, (N,out_h,out_w,C)
+                # clip resize overshoot so staged and fused agree
+                return jnp.clip(f, 0.0, 1.0)  # (N,out_h,out_w,C) f32
             img = jnp.floor(jnp.clip(f * 255.0 + 0.5, 0.0, 255.0))
             img = img.astype(jnp.int32)
         else:
@@ -241,6 +243,9 @@ class JpegBatchPipeline:
         self._encode_quality = encode_quality
         self._encode_backend = encode_backend
         self._upload = upload
+        if fused and width is None:
+            raise InvalidOptionsError(
+                "fused=True requires a resize target (width/height)")
         self._fused = fused
         self._pool = ThreadPoolExecutor(max_workers=num_threads or 8,
                                         thread_name_prefix="picha-entropy")

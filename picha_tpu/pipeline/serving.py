@@ -102,7 +102,10 @@ class DynamicBatcher:
                 _, args = self._pipe.stack_bucket(cos)
                 out = np.asarray(self._pipe.run_bucket(sig, args))
                 for i, fut in enumerate(futs):
-                    fut.set_result(out[i])
+                    # a client may have cancelled its Future; don't let
+                    # its InvalidStateError poison the rest of the batch
+                    if not fut.done():
+                        fut.set_result(out[i])
             except Exception as e:  # noqa: BLE001
                 for fut in futs:
                     if not fut.done():

@@ -51,7 +51,7 @@ def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
 
         cropped = jax.vmap(crop_one)(rgb, xs, ys, flip)
         f = cropped.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-        return resize_f32(f, out, out, filter_name, fscale)
+        return jnp.clip(resize_f32(f, out, out, filter_name, fscale), 0.0, 1.0)
 
     return jax.jit(fn)
 

@@ -94,3 +94,11 @@ def test_async_matches_sync():
     assert results["err"] is None
     sync = picha.colorConvertSync(img, {"pixel": "greya"})
     assert results["res"].equal_pixels(sync)
+
+
+def test_zero_weights_rejected():
+    from picha_tpu.errors import InvalidOptionsError
+    img = _img(np.zeros((2, 2, 3), np.uint8), "rgb")
+    with pytest.raises(InvalidOptionsError):
+        picha.colorConvertSync(img, {"pixel": "grey", "redWeight": 0,
+                                     "greenWeight": 0, "blueWeight": 0})

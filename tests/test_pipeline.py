@@ -235,3 +235,20 @@ def test_int8_upload_matches_dense(jpeg_bufs):
     i8f = np.asarray(JpegBatchPipeline(width=32, height=24, fused=True,
                                        upload="int8")(jpeg_bufs))
     np.testing.assert_array_equal(df, i8f)
+
+
+def test_fused_requires_resize_target():
+    with pytest.raises(Exception):
+        JpegBatchPipeline(fused=True)
+
+
+def test_batcher_survives_cancelled_future(jpeg_bufs):
+    from picha_tpu.pipeline import DynamicBatcher
+    b = DynamicBatcher(width=16, height=16, max_batch=4, max_delay_ms=50)
+    try:
+        futs = [b.submit(buf) for buf in jpeg_bufs]
+        futs[0].cancel()
+        rest = [f.result(timeout=120) for f in futs[1:]]
+        assert all(r.shape == (16, 16, 3) for r in rest)
+    finally:
+        b.close()

@@ -96,3 +96,40 @@ def test_sync_async_identical():
     picha.encodeTiff(img, lambda e, r: res.update(e=e, r=r)).result(60)
     assert res["e"] is None
     assert res["r"] == picha.encodeTiffSync(img)
+
+
+def test_bigendian_16bit_predictor():
+    # regression: byte swap must precede predictor accumulation (the
+    # horizontal accumulator works on native-endian sample values)
+    rng = np.random.default_rng(7)
+    arr16 = rng.integers(0, 65536, (6, 5), dtype=np.uint16)
+    # build a big-endian LZW+predictor TIFF via PIL is awkward; craft one
+    import struct
+    from picha_tpu.native import lib as native
+    h, w = arr16.shape
+    # horizontal-difference then big-endian bytes, LZW compressed
+    diff = arr16.astype(np.int64).copy()
+    diff[:, 1:] = (arr16[:, 1:].astype(np.int64) - arr16[:, :-1]) % 65536
+    raw = diff.astype(">u2").tobytes()
+    comp = native.lzw_encode(raw)
+    # minimal big-endian TIFF
+    def entry(tag, typ, count, val):
+        return struct.pack(">HHII", tag, typ, count, val)
+    nent = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + nent * 12 + 4
+    body = struct.pack(">H", nent)
+    body += entry(256, 4, 1, w)           # width
+    body += entry(257, 4, 1, h)           # height
+    body += entry(258, 3, 1, 16 << 16)    # bits (SHORT left-justified)
+    body += entry(259, 3, 1, 5 << 16)     # LZW
+    body += entry(262, 3, 1, 1 << 16)     # MinIsBlack
+    body += entry(273, 4, 1, data_off)    # strip offset
+    body += entry(277, 3, 1, 1 << 16)     # samples/pixel
+    body += entry(279, 4, 1, len(comp))   # counts
+    body += entry(317, 3, 1, 2 << 16)     # predictor 2
+    body += struct.pack(">I", 0)
+    buf = struct.pack(">2sHI", b"MM", 42, ifd_off) + body + comp
+    img = picha.decodeTiffSync(buf)
+    want = (arr16 >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(img.to_array()[:, :, 0], want)
