@@ -56,11 +56,17 @@ def upsample_matrix(factor: int, n_out: int, n_in: int) -> np.ndarray:
     return U
 
 
+IDENTITY = "__identity__"  # decode-only: no resampling, W = I
+
+
 @functools.lru_cache(maxsize=512)
 def component_weights(dst_size: int, full_size: int, comp_size: int,
                       factor: int, filter_name: str, fscale: float):
     """(dst_size, blocks, 8) float32: resize ∘ upsample ∘ IDCT folded."""
-    W = resize_weights(dst_size, full_size, filter_name, fscale)
+    if filter_name == IDENTITY:
+        W = np.eye(dst_size, full_size, dtype=np.float32)
+    else:
+        W = resize_weights(dst_size, full_size, filter_name, fscale)
     if factor != 1 or comp_size != full_size:
         U = upsample_matrix(factor, full_size, comp_size)
         W = W @ U  # (dst, comp_size)

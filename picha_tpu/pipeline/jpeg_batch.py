@@ -24,7 +24,6 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from ..errors import InvalidOptionsError
 from ..native import lib as native
 from ..ops import jpeg_tpu
 from ..ops.resize import parse_resize_options, resize_f32
@@ -132,13 +131,18 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
             qtabs = args[3 * n:4 * n]
         else:
             coefs, qtabs = args[:n], args[n:2 * n]
-        if fused and out_w is not None:
-            # single-shot path: dequant+IDCT+upsample+resize folded into
-            # two matmuls per component (ops/jpeg_fused.py)
-            from ..ops.jpeg_fused import fused_decode_resize
+        if fused:
+            # single-shot path: dequant+IDCT+upsample(+resize) folded
+            # into two matmuls per component (ops/jpeg_fused.py);
+            # decode-only uses identity resampling matrices
+            from ..ops.jpeg_fused import IDENTITY, fused_decode_resize
 
+            if out_w is not None:
+                fw, fh, fname = out_w, out_h, filter_name
+            else:
+                fw, fh, fname = width, height, IDENTITY
             f255 = fused_decode_resize(comp_sig, color_space, width, height,
-                                       out_w, out_h, filter_name,
+                                       fw, fh, fname,
                                        filter_scale, coefs, qtabs)
             if normalize:
                 return jnp.clip(f255, 0.0, 255.0) * jnp.float32(1.0 / 255.0)
@@ -243,9 +247,6 @@ class JpegBatchPipeline:
         self._encode_quality = encode_quality
         self._encode_backend = encode_backend
         self._upload = upload
-        if fused and width is None:
-            raise InvalidOptionsError(
-                "fused=True requires a resize target (width/height)")
         self._fused = fused
         self._pool = ThreadPoolExecutor(max_workers=num_threads or 8,
                                         thread_name_prefix="picha-entropy")

@@ -1,0 +1,66 @@
+"""Robustness fuzzing: corrupted/truncated bitstreams must surface as
+PichaError (or stat -> None), never crash the process — the
+reference's error-trap guarantee (SURVEY.md §5.3)."""
+import numpy as np
+import pytest
+
+import picha_tpu as picha
+from picha_tpu.errors import PichaError
+from conftest import fixture_bytes
+
+FIXTURES = ["test.png", "test2.jpg", "smallliz.tif", "test.webp",
+            "test16.png", "test2cmyk.jpg"]
+
+
+def _mutations(buf, rng):
+    yield buf[: len(buf) // 3]                     # truncation
+    yield buf[: len(buf) - 1]                      # off-by-one truncation
+    b = bytearray(buf)
+    for _ in range(8):                             # random bit flips
+        b[rng.integers(0, len(b))] ^= 1 << rng.integers(0, 8)
+    yield bytes(b)
+    b = bytearray(buf)
+    pos = rng.integers(16, max(17, len(b) - 64))
+    b[pos : pos + 32] = bytes(32)                  # zeroed window
+    yield bytes(b)
+    yield buf + bytes(64)                          # trailing garbage
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_decode_never_crashes(name):
+    rng = np.random.default_rng(hash(name) % 2**31)
+    buf = fixture_bytes(name)
+    for mutant in _mutations(buf, rng):
+        try:
+            img = picha.decodeSync(mutant)
+            # decoding corrupted data may still succeed (codecs can be
+            # tolerant); the contract is just: typed error or valid Image
+            assert img.width >= 0
+        except PichaError:
+            pass
+
+
+@pytest.mark.parametrize("name", FIXTURES)
+def test_stat_never_crashes(name):
+    rng = np.random.default_rng(hash(name) % 2**31 + 1)
+    buf = fixture_bytes(name)
+    for mutant in _mutations(buf, rng):
+        st = picha.stat(mutant)
+        assert st is None or st["width"] >= 0
+
+
+def test_pathological_headers():
+    # dimension bombs / nonsense headers must not allocate absurd memory
+    import struct, zlib
+    # PNG declaring 1e9 x 1e9 with no data
+    ihdr = struct.pack(">IIBBBBB", 10**9, 10**9, 8, 6, 0, 0, 0)
+    crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", crc))
+    with pytest.raises(PichaError):
+        picha.decodePngSync(png)
+    # TIFF pointing its IFD out of bounds
+    tif = struct.pack("<2sHI", b"II", 42, 10**6)
+    with pytest.raises(PichaError):
+        picha.decodeTiffSync(tif)
+    assert picha.statTiff(tif) is None

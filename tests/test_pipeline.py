@@ -237,9 +237,12 @@ def test_int8_upload_matches_dense(jpeg_bufs):
     np.testing.assert_array_equal(df, i8f)
 
 
-def test_fused_requires_resize_target():
-    with pytest.raises(Exception):
-        JpegBatchPipeline(fused=True)
+def test_fused_decode_only(jpeg_bufs):
+    # fused without a resize target uses identity resampling matrices
+    staged = np.asarray(JpegBatchPipeline()(jpeg_bufs))
+    fused = np.asarray(JpegBatchPipeline(fused=True)(jpeg_bufs))
+    d = np.abs(staged.astype(int) - fused.astype(int))
+    assert d.mean() <= 1.0
 
 
 def test_batcher_survives_cancelled_future(jpeg_bufs):
