@@ -83,18 +83,98 @@ def component_weights(dst_size: int, full_size: int, comp_size: int,
     return T
 
 
-def fused_component(coefs, qtable, th, tv):
-    """coefs (N, bh, bw, 64) int16, qtable (N,1,1,64) -> (N, oy, ox) f32
-    sample values (level-shifted, unclamped)."""
+BAND_TILE_O = 128           # output columns per banded tile
+BAND_MIN_BLOCKS = 48        # band only when the block axis is this long
+
+
+@functools.lru_cache(maxsize=512)
+def banded_T(dst_size: int, full_size: int, comp_size: int, factor: int,
+             filter_name: str, fscale: float):
+    """Block-banded version of component_weights: per output tile of
+    BAND_TILE_O, a contiguous block window [start, start+nb) and the
+    (T, tile_o, nb, 8) weight slice. Entries outside a tile's true
+    window are exact zeros, so results match the dense fold."""
+    T = component_weights(dst_size, full_size, comp_size, factor,
+                          filter_name, fscale)  # (dst, blocks, 8)
+    blocks = T.shape[1]
+    tiles = -(-dst_size // BAND_TILE_O)
+    dst_pad = tiles * BAND_TILE_O
+    if dst_pad != dst_size:
+        T = np.pad(T, ((0, dst_pad - dst_size), (0, 0), (0, 0)))
+    starts, spans = [], []
+    for t in range(tiles):
+        blk = T[t * BAND_TILE_O:(t + 1) * BAND_TILE_O]
+        nz = np.nonzero(np.abs(blk).sum(axis=(0, 2)))[0]
+        if nz.size == 0:
+            starts.append(0)
+            spans.append(1)
+        else:
+            starts.append(int(nz[0]))
+            spans.append(int(nz[-1]) + 1 - int(nz[0]))
+    nb = min(blocks, max(spans))
+    start_arr = np.array([min(s, blocks - nb) for s in starts], np.int32)
+    W = np.stack([T[t * BAND_TILE_O:(t + 1) * BAND_TILE_O,
+                    start_arr[t]:start_arr[t] + nb]
+                  for t in range(tiles)])  # (tiles, tile_o, nb, 8)
+    return start_arr, W.astype(np.float32), dst_pad
+
+
+def _banded_axis(x, dst_size, full_size, comp_size, factor, filter_name,
+                 fscale):
+    """Contract the block axis of x (..., blocks, 8) -> (..., dst_size)
+    with the banded folded weights."""
+    import jax
     import jax.numpy as jnp
 
+    starts, W, dst_pad = banded_T(dst_size, full_size, comp_size, factor,
+                                  filter_name, fscale)
+    nb = W.shape[2]
+    block_axis = x.ndim - 2
+
+    def slice_one(s):
+        return jax.lax.dynamic_slice_in_dim(x, s, nb, axis=block_axis)
+
+    g = jax.vmap(slice_one)(jnp.asarray(starts))  # (T, ..., nb, 8)
+    out = jnp.einsum("t...wu,towu->t...o", g, jnp.asarray(W),
+                     preferred_element_type=jnp.float32)
+    out = jnp.moveaxis(out, 0, -2)  # (..., T, tile_o)
+    out = out.reshape(out.shape[:-2] + (dst_pad,))
+    return out[..., :dst_size]
+
+
+def fused_component(coefs, qtable, comp_geom=None):
+    """coefs (N, bh, bw, 64) int16, qtable (N,1,1,64) -> (N, oy, ox) f32
+    sample values (level-shifted, unclamped).
+
+    comp_geom: (out_w, out_h, width, height, dw, dh, fw_factor,
+    fv_factor, filter_name, fscale). Chooses block-banded contraction
+    when the block axes are long enough to pay off."""
+    import jax.numpy as jnp
+
+    (out_w, out_h, width, height, dw, dh, fx, fy, filter_name,
+     fscale) = comp_geom
     cq = coefs.astype(jnp.float32) * qtable.astype(jnp.float32)
     n, bh, bw = cq.shape[0], cq.shape[1], cq.shape[2]
     cq = cq.reshape(n, bh, bw, 8, 8)  # [v, u]
-    tmp = jnp.einsum("nhwvu,owu->nhvo", cq, jnp.asarray(th),
-                     preferred_element_type=jnp.float32)
-    out = jnp.einsum("nhvo,yhv->nyo", tmp, jnp.asarray(tv),
-                     preferred_element_type=jnp.float32)
+
+    if bw >= BAND_MIN_BLOCKS:
+        # (n, bh, v, bw, u) so the contracted block axis is at -2
+        xt = jnp.swapaxes(cq, 2, 3)
+        tmp = _banded_axis(xt, out_w, width, dw, fx, filter_name, fscale)
+        # tmp: (n, bh, v, out_w)
+    else:
+        th = component_weights(out_w, width, dw, fx, filter_name, fscale)
+        tmp = jnp.einsum("nhwvu,owu->nhvo", cq, jnp.asarray(th),
+                         preferred_element_type=jnp.float32)
+    if bh >= BAND_MIN_BLOCKS:
+        # contract (bh, v): put them at the end as (n, out_w, bh, v)
+        xt = jnp.moveaxis(tmp, (1, 2), (-2, -1))  # (n, out_w, bh, v)
+        out = _banded_axis(xt, out_h, height, dh, fy, filter_name, fscale)
+        out = jnp.swapaxes(out, -1, -2)  # (n, out_h, out_w)
+    else:
+        tv = component_weights(out_h, height, dh, fy, filter_name, fscale)
+        out = jnp.einsum("nhvo,yhv->nyo", tmp, jnp.asarray(tv),
+                         preferred_element_type=jnp.float32)
     return out + 128.0
 
 
@@ -110,11 +190,9 @@ def fused_decode_resize(comp_sig, color_space, width, height, out_w, out_h,
     for i, (bh, bw, hs, vs) in enumerate(comp_sig):
         dw = -(-width * hs // max_h)
         dh = -(-height * vs // max_v)
-        th = component_weights(out_w, width, dw, max_h // hs,
-                               filter_name, fscale)
-        tv = component_weights(out_h, height, dh, max_v // vs,
-                               filter_name, fscale)
-        planes.append(fused_component(coefs[i], qtabs[i], th, tv))
+        geom = (out_w, out_h, width, height, dw, dh,
+                max_h // hs, max_v // vs, filter_name, fscale)
+        planes.append(fused_component(coefs[i], qtabs[i], geom))
 
     if color_space == CS_GRAYSCALE or len(planes) == 1:
         return planes[0][..., None]

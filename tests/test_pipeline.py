@@ -255,3 +255,29 @@ def test_batcher_survives_cancelled_future(jpeg_bufs):
         assert all(r.shape == (16, 16, 3) for r in rest)
     finally:
         b.close()
+
+
+def test_fused_banded_large_image():
+    # large enough that the block-banded fused contraction engages
+    # (bw, bh >= BAND_MIN_BLOCKS) — must match the staged path
+    from picha_tpu.native import lib as native
+    from picha_tpu.ops.jpeg_fused import BAND_MIN_BLOCKS
+    rng = np.random.default_rng(0)
+    w = h = 8 * BAND_MIN_BLOCKS  # 384
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (127 + 80 * np.sin(xx / 17.0) + 40 * np.cos(yy / 11.0))
+    arr = np.clip(base[..., None] + rng.normal(0, 5, (h, w, 3)), 0,
+                  255).astype(np.uint8)
+    buf = native.jpeg_encode(arr, 85)
+    bufs = [buf] * 2
+    staged = np.asarray(JpegBatchPipeline(width=160, height=96)(bufs))
+    fused = np.asarray(JpegBatchPipeline(width=160, height=96,
+                                         fused=True)(bufs))
+    d = np.abs(staged.astype(int) - fused.astype(int))
+    assert d.mean() <= 1.0
+    # upscale direction too
+    staged_up = np.asarray(JpegBatchPipeline(width=500, height=420)(bufs))
+    fused_up = np.asarray(JpegBatchPipeline(width=500, height=420,
+                                            fused=True)(bufs))
+    du = np.abs(staged_up.astype(int) - fused_up.astype(int))
+    assert du.mean() <= 1.0
