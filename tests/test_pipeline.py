@@ -281,3 +281,15 @@ def test_fused_banded_large_image():
                                             fused=True)(bufs))
     du = np.abs(staged_up.astype(int) - fused_up.astype(int))
     assert du.mean() <= 1.0
+
+
+def test_fused_with_tpu_encode_backend(jpeg_bufs):
+    p = JpegBatchPipeline(width=32, height=24, encode_quality=90,
+                          fused=True, encode_backend="tpu")
+    encs = p(jpeg_bufs)
+    img = picha.decodeJpegSync(encs[0])
+    assert (img.width, img.height) == (32, 24)
+    ref = picha.decodeJpegSync(
+        JpegBatchPipeline(width=32, height=24, encode_quality=90,
+                          encode_backend="host")(jpeg_bufs)[0])
+    assert img.avg_channel_diff(ref) < 4
