@@ -83,8 +83,15 @@ def component_weights(dst_size: int, full_size: int, comp_size: int,
     return T
 
 
-BAND_TILE_O = 128           # output columns per banded tile
-BAND_MIN_BLOCKS = 48        # band only when the block axis is this long
+BAND_TILE_O = 128  # output columns per banded tile
+# Measured on v5e: the banded contraction loses to the dense fold
+# (4.95 ms vs 3.2 ms per 16x1080p batch) because the vmap-gather
+# materialises the per-tile windows in HBM (~170 MB/batch), costing
+# more bandwidth than the 7x FLOP saving recovers — the MXU runs the
+# dense K=1920 f32 matmul at ~80% peak anyway. Kept for a future
+# Pallas kernel that can slice windows from VMEM without
+# materialisation; effectively disabled by default.
+BAND_MIN_BLOCKS = 10 ** 9
 
 
 @functools.lru_cache(maxsize=512)

@@ -257,13 +257,16 @@ def test_batcher_survives_cancelled_future(jpeg_bufs):
         b.close()
 
 
-def test_fused_banded_large_image():
-    # large enough that the block-banded fused contraction engages
-    # (bw, bh >= BAND_MIN_BLOCKS) — must match the staged path
+def test_fused_banded_large_image(monkeypatch):
+    # force the block-banded fused contraction on (disabled by default
+    # on perf grounds; see ops/jpeg_fused.py) — must match staged
     from picha_tpu.native import lib as native
-    from picha_tpu.ops.jpeg_fused import BAND_MIN_BLOCKS
+    from picha_tpu.ops import jpeg_fused
+    from picha_tpu.pipeline import jpeg_batch
+    monkeypatch.setattr(jpeg_fused, "BAND_MIN_BLOCKS", 48)
+    jpeg_batch._jit_batch_graph.cache_clear()
     rng = np.random.default_rng(0)
-    w = h = 8 * BAND_MIN_BLOCKS  # 384
+    w = h = 384
     yy, xx = np.mgrid[0:h, 0:w]
     base = (127 + 80 * np.sin(xx / 17.0) + 40 * np.cos(yy / 11.0))
     arr = np.clip(base[..., None] + rng.normal(0, 5, (h, w, 3)), 0,
