@@ -86,3 +86,42 @@ def test_multihost_helpers_single_process():
     assert g.shape == (16, 3)
     np.testing.assert_array_equal(np.asarray(g), arr)
     multihost.initialize()  # no-op single process
+
+
+def test_dp_sharded_jpeg_batch_graph():
+    """The fused decode+resize bucket graph under a dp-sharded
+    coefficient batch equals the unsharded result."""
+    from conftest import fixture_bytes
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    bufs = [fixture_bytes("test2.jpg")] * 8
+    p = JpegBatchPipeline(width=24, height=16, fused=True)
+    cos = p.entropy_decode(bufs)
+    sig, args = p.stack_bucket(cos)
+    want = np.asarray(p.run_bucket(sig, args))
+    mesh = make_mesh()
+    sharded = [shard_batch(a, mesh) for a in args]
+    got = np.asarray(p.run_bucket(sig, sharded))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gigapixel_scale_spatial_resize():
+    """A tall image sharded over 8 devices resizes without ever being
+    resident on one device (the CP/SP story at scale)."""
+    rng = np.random.default_rng(3)
+    h, w = 4096, 256  # 1 Mpix + per-shard slabs of 512 rows
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    mesh = make_mesh((("sp", 8),))
+    out = np.asarray(resize_sharded(jnp.asarray(img), 64, 1024, mesh))
+    assert out.shape == (1024, 64, 3)
+    want = resize_array(jnp.asarray(img), 64, 1024)
+    np.testing.assert_array_equal(out, np.asarray(want))
+
+
+def test_spatial_halo_guard():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (16, 8, 1), dtype=np.uint8)
+    mesh = make_mesh((("sp", 8),))
+    with pytest.raises(ValueError):
+        # 2 rows per shard but cubic support needs a wider halo
+        resize_sharded(jnp.asarray(img), 8, 8, mesh)
