@@ -27,7 +27,31 @@ class Codec(Protocol):
 catalog: Dict[str, Codec] = {}
 
 
+def _add_reference_aliases(codec: Codec) -> None:
+    """The reference's catalog entries expose stat/decode/decodeSync
+    (index.js:200-233 iterates them); give codec objects the same
+    camelCase members plus async encode, so `catalog[mime].decode(...)`
+    works as it did there."""
+    from .runtime.executor import run_async
+
+    def decode(buf, opts=None, cb=None):
+        if callable(opts):
+            cb, opts = opts, None
+        return run_async(lambda: codec.decode_sync(buf, opts or {}), cb)
+
+    def encode(img, opts=None, cb=None):
+        if callable(opts):
+            cb, opts = opts, None
+        return run_async(lambda: codec.encode_sync(img, opts or {}), cb)
+
+    codec.decode = decode
+    codec.decodeSync = codec.decode_sync
+    codec.encode = encode
+    codec.encodeSync = codec.encode_sync
+
+
 def register(codec: Codec) -> None:
+    _add_reference_aliases(codec)
     catalog[codec.mimetype] = codec
 
 

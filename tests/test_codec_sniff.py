@@ -52,3 +52,18 @@ def test_encodes_lists():
     assert picha.catalog["image/webp"].encodes == ["rgb", "rgba"]
     assert len(picha.catalog["image/png"].encodes) == 8
     assert len(picha.catalog["image/tiff"].encodes) == 8
+
+
+def test_catalog_entry_reference_members():
+    # reference-style per-entry access: catalog[mime].decode/stat/...
+    codec = picha.catalog["image/png"]
+    buf = fixture_bytes("test.png")
+    assert codec.stat(buf)["width"] == 50
+    img = codec.decodeSync(buf, {})
+    res = {}
+    codec.decode(buf, lambda e, r: res.update(e=e, r=r)).result(60)
+    assert res["e"] is None and res["r"].equal_pixels(img)
+    data = codec.encodeSync(img, {})
+    enc = {}
+    codec.encode(img, lambda e, r: enc.update(e=e, r=r)).result(60)
+    assert enc["r"] == data
