@@ -177,16 +177,14 @@ BANDED_THRESHOLD = 512  # use the banded plan when src_size exceeds this
 BAND_TILE = 64
 
 
-@functools.lru_cache(maxsize=256)
-def banded_resize_plan(dst_size: int, src_size: int, filter_name: str,
-                       filter_scale: float, tile: int = BAND_TILE,
-                       align: int = 1):
-    """(starts (T,) int32, weights (T, tile, in_len) f32, dst_pad).
+def banded_plan_from_matrix(W: np.ndarray, tile: int, align: int = 1):
+    """Tile any banded (dst, src) matrix into
+    (starts (T,) int32, weights (T, tile, in_len) f32, dst_pad).
 
     `align` forces every window start to a multiple of that value
     (lane alignment for the Pallas kernel); the windows widen to
     compensate, extra taps are exact zeros."""
-    W = resize_weights(dst_size, src_size, filter_name, filter_scale)
+    dst_size, src_size = W.shape
     T = -(-dst_size // tile)
     dst_pad = T * tile
     if dst_pad != dst_size:
@@ -216,7 +214,17 @@ def banded_resize_plan(dst_size: int, src_size: int, filter_name: str,
     weights = np.stack([
         wpad[t * tile:(t + 1) * tile, starts[t]:starts[t] + in_len]
         for t in range(T)])
-    return starts, weights, dst_pad
+    return starts, weights.astype(np.float32), dst_pad
+
+
+@functools.lru_cache(maxsize=256)
+def banded_resize_plan(dst_size: int, src_size: int, filter_name: str,
+                       filter_scale: float, tile: int = BAND_TILE,
+                       align: int = 1):
+    """Banded plan for the reference resize weights (see
+    banded_plan_from_matrix)."""
+    W = resize_weights(dst_size, src_size, filter_name, filter_scale)
+    return banded_plan_from_matrix(W, tile, align)
 
 
 def _apply_axis(x, dst_size: int, src_size: int, filter_name: str,

@@ -296,3 +296,22 @@ def test_fused_with_tpu_encode_backend(jpeg_bufs):
         JpegBatchPipeline(width=32, height=24, encode_quality=90,
                           encode_backend="host")(jpeg_bufs)[0])
     assert img.avg_channel_diff(ref) < 4
+
+
+def test_pallas_fused_matches_xla_fused_interpret(jpeg_bufs):
+    """Pallas banded fused decode (interpret mode) is bit-exact vs the
+    XLA fused fold (same T matrices; zero tails exact)."""
+    import jax.numpy as jnp
+    from picha_tpu.ops.jpeg_fused_pallas import fused_decode_resize_pallas
+
+    p = JpegBatchPipeline(width=32, height=24, fused=True)
+    cos = p.entropy_decode(jpeg_bufs[:2])
+    sig, args = p.stack_bucket(cos)
+    want = np.asarray(p.run_bucket(sig, args))
+    n = len(sig[3])
+    out255 = fused_decode_resize_pallas(
+        sig[3], sig[2], sig[0], sig[1], 32, 24, p._filter, p._fscale,
+        [jnp.asarray(c) for c in args[:n]],
+        [jnp.asarray(q) for q in args[n:]], interpret=True)
+    got = np.asarray(jnp.floor(jnp.clip(out255 + 0.5, 0, 255)).astype(jnp.uint8))
+    np.testing.assert_array_equal(got, want)
