@@ -68,11 +68,20 @@ def _build(key: str, src_size: int, interpret: bool):
     while tile_r > 8 and tile_r * x_pad * 4 > MAX_VMEM_SRC:
         tile_r //= 2
 
+    import os
+
+    use_bf16 = os.environ.get("PICHA_PALLAS_BF16", "1") != "0"
+
     def kernel(starts_ref, x_ref, w_ref, o_ref):
         t = pl.program_id(1)
         s = pl.multiple_of(starts_ref[t], 128)
         xs = x_ref[:, pl.ds(s, in_len)]
         w = w_ref[0]
+        if use_bf16:
+            # bf16 operands + f32 accumulate: the MXU fast path (same
+            # numerics XLA uses for f32 matmuls at default precision)
+            xs = xs.astype(jnp.bfloat16)
+            w = w.astype(jnp.bfloat16)
         o_ref[:, :] = jax.lax.dot_general(
             xs, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)

@@ -119,3 +119,59 @@ def test_corrupt_data_raises():
         picha.decodePngSync(bytes(buf))
     with pytest.raises(picha.CodecError):
         picha.decodePngSync(b"\x89PNG\r\n\x1a\ntruncated")
+
+
+def _chunk(ctype, data):
+    import struct, zlib
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def _make_png(width, height, depth, color_type, raw_rows, extra=b""):
+    import struct, zlib
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    idat = zlib.compress(raw_rows)
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + extra
+            + _chunk(b"IDAT", idat) + _chunk(b"IEND", b""))
+
+
+def test_4bit_grayscale_decode():
+    # two 4-bit pixels per byte, MSB first; values scale by 17 (255/15)
+    rows = b"".join(b"\x00" + bytes([0x0F, 0x8C]) for _ in range(3))
+    png = _make_png(4, 3, 4, 0, rows)
+    img = picha.decodePngSync(png)
+    assert img.pixel == "grey"
+    want = np.array([0, 15 * 17, 8 * 17, 12 * 17], np.uint8)
+    np.testing.assert_array_equal(img.to_array()[0, :, 0], want)
+
+
+def test_1bit_grayscale_decode():
+    rows = b"\x00\xA0" * 2  # pixels 1,0,1,0 -> 255,0,255,0
+    png = _make_png(4, 2, 1, 0, rows)
+    img = picha.decodePngSync(png)
+    np.testing.assert_array_equal(img.to_array()[0, :, 0], [255, 0, 255, 0])
+
+
+def test_trns_colour_key_rgb():
+    import struct
+    # 2x1 rgb: red (the key) and blue
+    rows = b"\x00" + bytes([255, 0, 0, 0, 0, 255])
+    trns = _chunk(b"tRNS", struct.pack(">HHH", 255, 0, 0))
+    png = _make_png(2, 1, 8, 2, rows, extra=trns)
+    img = picha.decodePngSync(png, {"pixel": "rgba"})
+    arr = img.to_array()
+    assert arr[0, 0, 3] == 0       # keyed pixel transparent
+    assert arr[0, 1, 3] == 255
+    # without an alpha target the key is ignored
+    rgb = picha.decodePngSync(png)
+    assert rgb.pixel == "rgb"
+
+
+def test_trns_grey_key():
+    import struct
+    rows = b"\x00" + bytes([7, 9])
+    trns = _chunk(b"tRNS", struct.pack(">H", 7))
+    png = _make_png(2, 1, 8, 0, rows, extra=trns)
+    img = picha.decodePngSync(png, {"pixel": "greya"})
+    arr = img.to_array()
+    np.testing.assert_array_equal(arr[0, :, 1], [0, 255])
