@@ -70,7 +70,7 @@ def _build(key: str, src_size: int, interpret: bool):
 
     import os
 
-    use_bf16 = os.environ.get("PICHA_PALLAS_BF16", "1") != "0"
+    use_bf16 = os.environ.get("PICHA_PALLAS_BF16", "0") != "0"
 
     def kernel(starts_ref, x_ref, w_ref, o_ref):
         t = pl.program_id(1)
