@@ -133,3 +133,89 @@ def test_bigendian_16bit_predictor():
     img = picha.decodeTiffSync(buf)
     want = (arr16 >> 8).astype(np.uint8)
     np.testing.assert_array_equal(img.to_array()[:, :, 0], want)
+
+
+def _craft_tiff(tags, data, endian="<"):
+    """Minimal single-IFD TIFF builder. tags: list of (tag, type, count,
+    value-or-bytes); values > 4 bytes must be pre-placed in `data` with
+    offsets accounted for by the caller (we keep values inline here)."""
+    import struct
+    ifd_off = 8
+    nent = len(tags)
+    data_off = ifd_off + 2 + nent * 12 + 4
+    body = struct.pack(endian + "H", nent)
+    for tag, typ, count, val in sorted(tags):
+        if typ == 3:
+            packed = struct.pack(endian + "HH", val, 0)
+        else:
+            packed = struct.pack(endian + "I", val)
+        body += struct.pack(endian + "HHI", tag, typ, count) + packed
+    body += struct.pack(endian + "I", 0)
+    return struct.pack(endian + "2sHI", b"II" if endian == "<" else b"MM",
+                       42, ifd_off) + body + data
+
+
+def _grey_tiff(arr, orientation=1):
+    h, w = arr.shape
+    data_off = 8 + 2 + 8 * 12 + 4
+    tags = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 1, data_off), (279, 4, 1, arr.size),
+            (274, 3, 1, orientation)]
+    return _craft_tiff(tags, arr.tobytes())
+
+
+@pytest.mark.parametrize("orientation", range(1, 9))
+def test_orientations(orientation):
+    base = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    img = picha.decodeTiffSync(_grey_tiff(base, orientation))
+    got = img.to_array()[:, :, 0]
+    want = {
+        1: base, 2: base[:, ::-1], 3: base[::-1, ::-1], 4: base[::-1],
+        5: base.T, 6: base.T[:, ::-1], 7: base.T[::-1, ::-1], 8: base.T[::-1],
+    }[orientation]
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tiled_tiff_decode():
+    """Tiled layout (tags 322-325): 32x32 tiles over a 48x40 image."""
+    import struct
+    rng = np.random.default_rng(11)
+    h, w, tw, th = 40, 48, 32, 32
+    arr = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    tiles = []
+    for ty in range(0, h, th):
+        for tx in range(0, w, tw):
+            tile = np.zeros((th, tw), np.uint8)
+            sl = arr[ty:ty+th, tx:tx+tw]
+            tile[:sl.shape[0], :sl.shape[1]] = sl
+            tiles.append(tile.tobytes())
+    ntiles = len(tiles)
+    nent = 9
+    # external value areas for the offset/count arrays
+    ifd_off = 8
+    ifd_size = 2 + nent * 12 + 4
+    ext_off = ifd_off + ifd_size
+    offsets_area = ext_off
+    counts_area = offsets_area + 4 * ntiles
+    data_start = counts_area + 4 * ntiles
+    offs, pos = [], data_start
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    body = struct.pack("<H", nent)
+    for tag, typ, count, val in sorted([
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (322, 4, 1, tw), (323, 4, 1, th),
+            (324, 4, ntiles, offsets_area), (325, 4, ntiles, counts_area)]):
+        if typ == 3:
+            packed = struct.pack("<HH", val, 0)
+        else:
+            packed = struct.pack("<I", val)
+        body += struct.pack("<HHI", tag, typ, count) + packed
+    body += struct.pack("<I", 0)
+    buf = (struct.pack("<2sHI", b"II", 42, ifd_off) + body
+           + b"".join(struct.pack("<I", o) for o in offs)
+           + b"".join(struct.pack("<I", len(t)) for t in tiles)
+           + b"".join(tiles))
+    img = picha.decodeTiffSync(buf)
+    np.testing.assert_array_equal(img.to_array()[:, :, 0], arr)
