@@ -63,3 +63,46 @@ def test_dryrun_multichip_n4():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(4)
+
+
+def test_resnet_forward_and_train():
+    from picha_tpu.models import resnet
+    cfg = resnet.TINY
+    params = resnet.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    images = rng.random((4, 32, 32, 3), np.float32)
+    logits = jax.jit(lambda p, x: resnet.forward(p, x, cfg))(params, images)
+    assert logits.shape == (4, cfg.classes)
+    assert np.isfinite(np.asarray(logits)).all()
+    init_opt, train_step = resnet.make_train_step(cfg, learning_rate=1e-2)
+    opt_state = init_opt(params)
+    labels = (np.arange(4) % cfg.classes).astype(np.int32)
+    step = jax.jit(train_step)
+    losses = []
+    for _ in range(4):
+        params, opt_state, loss = step(params, opt_state, images, labels)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_resnet_sharded_train_step():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from picha_tpu.models import resnet
+    from picha_tpu.parallel import make_mesh
+    cfg = resnet.TINY
+    mesh = make_mesh((("dp", 4), ("tp", 2)))
+    params = resnet.init_params(jax.random.PRNGKey(0), cfg)
+    specs = resnet.param_specs(cfg)
+    params = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), params, specs,
+        is_leaf=lambda x: isinstance(x, np.ndarray))
+    init_opt, train_step = resnet.make_train_step(cfg)
+    opt_state = init_opt(params)
+    rng = np.random.default_rng(1)
+    images = jax.device_put(rng.random((8, 32, 32, 3), np.float32),
+                            NamedSharding(mesh, P("dp")))
+    labels = jax.device_put((np.arange(8) % cfg.classes).astype(np.int32),
+                            NamedSharding(mesh, P("dp")))
+    params, opt_state, loss = jax.jit(train_step)(params, opt_state,
+                                                  images, labels)
+    assert np.isfinite(float(loss))
