@@ -109,11 +109,18 @@ def _build(key: str, src_size: int, interpret: bool):
             in_specs=in_specs,
             out_specs=out_specs,
         )
+        params = {}
+        if not interpret:
+            # row-tiles are independent ("parallel"); output tiles
+            # within a row-tile reuse the same x block ("arbitrary")
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"))
         out = pl.pallas_call(
             kernel,
             grid_spec=gs,
             out_shape=jax.ShapeDtypeStruct((x.shape[0], dst_pad), jnp.float32),
             interpret=interpret,
+            **params,
         )(jnp.asarray(starts), x, jnp.asarray(weights))
         return out[:r, :dst_size]
 
