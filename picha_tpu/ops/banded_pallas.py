@@ -55,6 +55,84 @@ def _get_applier(key: str, src_size: int, interpret: bool):
 
 
 def _build(key: str, src_size: int, interpret: bool):
+    import os
+
+    if os.environ.get("PICHA_PALLAS_VARIANT", "grid2d") == "loop":
+        return _build_loop(key, src_size, interpret)
+    return _build_grid2d(key, src_size, interpret)
+
+
+def _build_loop(key: str, src_size: int, interpret: bool):
+    """1-D grid over row-tiles; the output-tile loop runs inside the
+    kernel, so the source block is fetched once per row-tile and the
+    full weight tensor stays resident."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    starts, weights, dst_pad, dst_size = _plans[key]
+    t_tiles, tile_o, in_len = weights.shape
+    x_pad = max(src_size, int(starts.max()) + in_len)
+
+    budget = MAX_VMEM_SRC
+    tile_r = TILE_R
+    w_bytes = weights.size * 4
+    while tile_r > 8 and tile_r * (x_pad + dst_pad) * 4 + w_bytes > budget:
+        tile_r //= 2
+
+    def kernel(starts_ref, x_ref, w_ref, o_ref):
+        def body(t, carry):
+            s = pl.multiple_of(starts_ref[t], 128)
+            xs = x_ref[:, pl.ds(s, in_len)]
+            w = w_ref[t]
+            o_ref[:, pl.ds(t * tile_o, tile_o)] = jax.lax.dot_general(
+                xs, w, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return carry
+
+        jax.lax.fori_loop(0, t_tiles, body, 0)
+
+    in_specs = [
+        pl.BlockSpec((tile_r, x_pad), lambda r, s: (r, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t_tiles, tile_o, in_len), lambda r, s: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((tile_r, dst_pad), lambda r, s: (r, 0),
+                             memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def apply(x):
+        if x_pad != src_size:
+            x = jnp.pad(x, ((0, 0), (0, x_pad - src_size)))
+        r = x.shape[0]
+        rp = -(-r // tile_r) * tile_r
+        if rp != r:
+            x = jnp.pad(x, ((0, rp - r), (0, 0)))
+        gs = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(x.shape[0] // tile_r,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        params = {}
+        if not interpret:
+            params["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel",))
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=gs,
+            out_shape=jax.ShapeDtypeStruct((x.shape[0], dst_pad), jnp.float32),
+            interpret=interpret,
+            **params,
+        )(jnp.asarray(starts), x, jnp.asarray(weights))
+        return out[:r, :dst_size]
+
+    return apply
+
+
+def _build_grid2d(key: str, src_size: int, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
