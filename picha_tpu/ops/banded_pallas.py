@@ -37,6 +37,16 @@ def register_plan(key: str, starts: np.ndarray, weights: np.ndarray,
     return key
 
 
+def ensure_plan(key: str, builder) -> str:
+    """Idempotent registration: `builder()` must return
+    (starts, weights, dst_pad, dst_size); built at most once per key."""
+    with _lock:
+        if key in _plans:
+            return key
+    starts, weights, dst_pad, dst_size = builder()
+    return register_plan(key, starts, weights, dst_pad, dst_size)
+
+
 def apply_banded(key: str, x, interpret: bool = False):
     """x: (R, src) float32 -> (R, dst_size) float32 via the plan."""
     fn = _get_applier(key, int(x.shape[-1]), bool(interpret))

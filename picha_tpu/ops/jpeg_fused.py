@@ -42,13 +42,11 @@ def upsample_matrix(factor: int, n_out: int, n_in: int) -> np.ndarray:
     if factor == 2:
         for o in range(n_out):
             i = o // 2
-            near = i if i >= n_in else i
             if o % 2 == 0:
                 far = max(i - 1, 0)
             else:
                 far = min(i + 1, n_in - 1)
-            near = min(near, n_in - 1)
-            U[o, near] += 0.75
+            U[o, min(i, n_in - 1)] += 0.75
             U[o, far] += 0.25
         return U
     for o in range(n_out):
@@ -70,13 +68,11 @@ def component_weights(dst_size: int, full_size: int, comp_size: int,
     if factor != 1 or comp_size != full_size:
         U = upsample_matrix(factor, full_size, comp_size)
         W = W @ U  # (dst, comp_size)
+    # zero-pad to the block grid; the padded columns hit the encoder's
+    # dummy samples in partial blocks, which resize weights never tap
     blocks = -(-comp_size // 8)
     Wp = np.zeros((dst_size, blocks * 8), dtype=np.float32)
     Wp[:, :comp_size] = W[:, :comp_size]
-    # libjpeg edge-pads partial blocks with the last column during
-    # encode; weight mass beyond comp_size goes to the last sample
-    extra = W[:, comp_size:].sum(axis=1) if W.shape[1] > comp_size else 0
-    Wp[:, comp_size - 1] += extra
     Wb = Wp.reshape(dst_size, blocks, 8)
     # fold the IDCT basis: T[o, b, u] = sum_x Wb[o, b, x] * A[u, x]
     T = np.einsum("obx,ux->obu", Wb, _IDCT_A).astype(np.float32)

@@ -23,26 +23,24 @@ from __future__ import annotations
 
 import numpy as np
 
-from .banded_pallas import apply_banded, register_plan
-from .jpeg_fused import IDENTITY, component_weights
+from .banded_pallas import apply_banded, ensure_plan
+from .jpeg_fused import component_weights
 from .resize import banded_plan_from_matrix
-
-_registered: set = set()
 
 
 def _fold_key(dst_size: int, full_size: int, comp_size: int, factor: int,
               filter_name: str, fscale: float) -> str:
-    key = (f"jfold:{dst_size}:{full_size}:{comp_size}:{factor}:"
-           f"{filter_name}:{fscale}")
-    if key not in _registered:
+    def build():
         T = component_weights(dst_size, full_size, comp_size, factor,
                               filter_name, fscale)  # (dst, blocks, 8)
         W = T.reshape(T.shape[0], -1)  # flat K = blocks*8
         starts, weights, dst_pad = banded_plan_from_matrix(W, tile=128,
                                                            align=128)
-        register_plan(key, starts, weights, dst_pad, dst_size)
-        _registered.add(key)
-    return key
+        return starts, weights, dst_pad, dst_size
+
+    return ensure_plan(
+        f"jfold:{dst_size}:{full_size}:{comp_size}:{factor}:"
+        f"{filter_name}:{fscale}", build)
 
 
 def fused_component_pallas(coefs, qtable, geom, interpret: bool = False):

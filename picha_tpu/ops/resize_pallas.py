@@ -16,20 +16,17 @@ from __future__ import annotations
 
 import numpy as np
 
-from .banded_pallas import apply_banded, register_plan
+from .banded_pallas import apply_banded, ensure_plan
 from .resize import banded_resize_plan, parse_resize_options
-
-_registered: set = set()
 
 
 def _plan_key(src_size: int, dst_size: int, name: str, fscale: float) -> str:
-    key = f"resize:{src_size}:{dst_size}:{name}:{fscale}"
-    if key not in _registered:
+    def build():
         starts, weights, dst_pad = banded_resize_plan(
             dst_size, src_size, name, fscale, tile=128, align=128)
-        register_plan(key, starts, weights, dst_pad, dst_size)
-        _registered.add(key)
-    return key
+        return starts, weights, dst_pad, dst_size
+
+    return ensure_plan(f"resize:{src_size}:{dst_size}:{name}:{fscale}", build)
 
 
 def _axis_pass(f, dst_size: int, name: str, fscale: float, interpret: bool):

@@ -14,10 +14,21 @@ from typing import Sequence
 
 def initialize(coordinator: str | None = None, num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """jax.distributed bootstrap; no-op when single-process."""
+    """jax.distributed bootstrap.
+
+    Initialises when a coordinator/num_processes is given, or when the
+    standard coordination env (JAX_COORDINATOR_ADDRESS /
+    COORDINATOR_ADDRESS) is present (auto-detection); no-op otherwise
+    (single-process runs, tests)."""
+    import os
+
     import jax
 
-    if num_processes is None or num_processes <= 1:
+    if num_processes is not None and num_processes <= 1:
+        return
+    env_coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                 or os.environ.get("COORDINATOR_ADDRESS"))
+    if coordinator is None and num_processes is None and env_coord is None:
         return
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
@@ -26,14 +37,20 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
 
 def local_shard(items: Sequence, process_index: int | None = None,
                 process_count: int | None = None) -> list:
-    """The contiguous slice of `items` this host is responsible for."""
+    """This host's slice of `items` — always ceil(n/pc) long (short
+    tails wrap around to the front), so every host contributes equally
+    sized local batches and `global_batch` sees one consistent global
+    shape on every process."""
     import jax
 
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     n = len(items)
+    if n == 0:
+        return []
     per = -(-n // pc)
-    return list(items[pi * per : min(n, (pi + 1) * per)])
+    out = [items[(pi * per + k) % n] for k in range(per)]
+    return out
 
 
 def global_batch(local_arr, mesh, axis: str = "dp"):

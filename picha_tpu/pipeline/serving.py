@@ -50,20 +50,31 @@ class DynamicBatcher:
         self._worker.start()
 
     def submit(self, buf: bytes) -> Future:
+        """O(1): entropy decode runs on the pipeline's pool, not the
+        caller's thread; the result Future resolves after batching."""
         fut: Future = Future()
-        try:
-            co = native.JpegCoefficients(bytes(buf))
-        except Exception as e:  # noqa: BLE001 — deliver decode errors via future
-            fut.set_exception(e)
-            return fut
-        sig = signature(co)
+        data = bytes(buf)
+
+        def decode_and_enqueue():
+            try:
+                co = native.JpegCoefficients(data)
+            except Exception as e:  # noqa: BLE001 — deliver via future
+                _safe_set_exception(fut, e)
+                return
+            sig = signature(co)
+            with self._lock:
+                if self._closed:
+                    _safe_set_exception(fut, RuntimeError("batcher closed"))
+                    return
+                self._queues.setdefault(sig, []).append(
+                    (time.monotonic() + self.max_delay, co, fut))
+                self._lock.notify()
+
         with self._lock:
             if self._closed:
                 fut.set_exception(RuntimeError("batcher closed"))
                 return fut
-            self._queues.setdefault(sig, []).append(
-                (time.monotonic() + self.max_delay, co, fut))
-            self._lock.notify()
+        self._pipe._pool.submit(decode_and_enqueue)
         return fut
 
     def _take_ready(self):
@@ -102,18 +113,44 @@ class DynamicBatcher:
                 _, args = self._pipe.stack_bucket(cos)
                 out = np.asarray(self._pipe.run_bucket(sig, args))
                 for i, fut in enumerate(futs):
-                    # a client may have cancelled its Future; don't let
-                    # its InvalidStateError poison the rest of the batch
-                    if not fut.done():
-                        fut.set_result(out[i])
+                    # .copy(): don't pin the whole batch buffer through
+                    # one client's retained view
+                    _safe_set_result(fut, out[i].copy())
             except Exception as e:  # noqa: BLE001
                 for fut in futs:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    _safe_set_exception(fut, e)
 
-    def close(self, wait: bool = True):
+    def close(self, wait: bool = True, timeout: float | None = None):
+        """Drain and stop. With wait=True joins until the queue drains
+        (bounded by `timeout` if given); if the worker is still busy at
+        timeout, pending futures are failed rather than left hanging."""
         with self._lock:
             self._closed = True
             self._lock.notify()
         if wait:
-            self._worker.join(timeout=30)
+            self._worker.join(timeout=timeout)
+            if self._worker.is_alive():
+                with self._lock:
+                    pending = [f for items in self._queues.values()
+                               for (_, _, f) in items]
+                    self._queues.clear()
+                for f in pending:
+                    _safe_set_exception(
+                        f, RuntimeError("batcher closed before completion"))
+
+
+def _safe_set_result(fut: Future, value) -> None:
+    """set_result tolerant of client-side cancellation races."""
+    try:
+        if not fut.done():
+            fut.set_result(value)
+    except Exception:  # noqa: BLE001 — InvalidStateError from a lost race
+        pass
+
+
+def _safe_set_exception(fut: Future, exc: BaseException) -> None:
+    try:
+        if not fut.done():
+            fut.set_exception(exc)
+    except Exception:  # noqa: BLE001
+        pass

@@ -79,7 +79,9 @@ def test_multihost_helpers_single_process():
     items = list(range(10))
     assert multihost.local_shard(items, 0, 1) == items
     assert multihost.local_shard(items, 0, 4) == [0, 1, 2]
-    assert multihost.local_shard(items, 3, 4) == [9]
+    # short tails wrap so every host's shard has equal length
+    assert multihost.local_shard(items, 3, 4) == [9, 0, 1]
+    assert multihost.local_shard([], 0, 4) == []
     mesh = make_mesh()
     arr = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
     g = multihost.global_batch(arr, mesh)
