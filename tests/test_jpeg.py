@@ -103,3 +103,48 @@ def test_pixel_request_extension():
     assert rgb.pixel == "rgb"
     with pytest.raises(picha.InvalidOptionsError):
         picha.decodeJpegSync(buf, {"pixel": "rgba"})
+
+
+def _make_jpeg_with_sampling(h_samp, v_samp):
+    """Craft a JPEG with the given luma sampling via the coefficient
+    writer (4:2:2 / 4:4:0 have no fixtures)."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.ops import jpeg_tpu
+
+    rng = np.random.default_rng(3)
+    w = h = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.clip(
+        np.stack([120 + 90 * np.sin(xx / 5.0),
+                  128 + 60 * np.cos(yy / 7.0),
+                  128 + 40 * np.sin((xx + yy) / 9.0)], axis=-1)
+        + rng.normal(0, 4, (h, w, 3)), 0, 255).astype(np.uint8)
+    # encode 4:4:4 coefficients then rewrite with subsampled chroma grids
+    import jax.numpy as jnp
+    y, cb, cr = (np.asarray(v) for v in jpeg_tpu.rgb_to_ycbcr(jnp.asarray(arr)))
+    qluma, qchroma = jpeg_tpu.quality_tables(92)
+
+    def plane_coefs(plane, q):
+        import jax
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = jpeg_tpu.plane_to_blocks(jnp.asarray(plane), bh, bw)
+        return np.asarray(jpeg_tpu.fdct_quant(blocks, jnp.asarray(q)))
+
+    def sub(plane, fx, fy):
+        p = plane.reshape(h // fy, fy, w // fx, fx)
+        return ((p.sum(axis=(1, 3)) + fx * fy // 2) // (fx * fy)).astype(np.int32)
+
+    comps = [{"coefs": plane_coefs(y, qluma), "qtable": qluma,
+              "h_samp": h_samp, "v_samp": v_samp}]
+    for c in (cb, cr):
+        comps.append({"coefs": plane_coefs(sub(c, h_samp, v_samp), qchroma),
+                      "qtable": qchroma, "h_samp": 1, "v_samp": 1})
+    return native.jpeg_coef_write(w, h, comps)
+
+
+@pytest.mark.parametrize("h_samp,v_samp", [(2, 1), (1, 2), (2, 2), (1, 1)])
+def test_tpu_path_sampling_modes(h_samp, v_samp):
+    buf = _make_jpeg_with_sampling(h_samp, v_samp)
+    host = picha.decodeJpegSync(buf)
+    tpu = picha.decodeJpegSync(buf, {"backend": "tpu"})
+    assert host.avg_channel_diff(tpu) <= 1.0
