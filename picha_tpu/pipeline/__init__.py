@@ -10,3 +10,4 @@ from .jpeg_batch import JpegBatchPipeline, entropy_decode, signature  # noqa: F4
 from .prefetch import map_prefetch, prefetch  # noqa: F401
 from .training import TrainingInput  # noqa: F401
 from .serving import DynamicBatcher  # noqa: F401
+from .png_batch import PngBatchPipeline  # noqa: F401

@@ -315,3 +315,33 @@ def test_pallas_fused_matches_xla_fused_interpret(jpeg_bufs):
         [jnp.asarray(q) for q in args[n:]], interpret=True)
     got = np.asarray(jnp.floor(jnp.clip(out255 + 0.5, 0, 255)).astype(jnp.uint8))
     np.testing.assert_array_equal(got, want)
+
+
+def test_png_batch_pipeline_matches_single():
+    from picha_tpu.pipeline.png_batch import PngBatchPipeline
+    for name, kwargs in [("test.png", {}), ("test16.png", {"deep": True}),
+                         ("greytest.png", {}), ("test16.png", {}),
+                         ("test.png", {"pixel": "grey"})]:
+        bufs = [fixture_bytes(name)] * 3
+        got = np.asarray(PngBatchPipeline(**kwargs)(bufs))
+        want = picha.decodePngSync(bufs[0], kwargs).to_array()
+        np.testing.assert_array_equal(got[0], want), (name, kwargs)
+        np.testing.assert_array_equal(got[1], want)
+
+
+def test_png_batch_palette():
+    import io
+    from PIL import Image as PILImage
+    from picha_tpu.pipeline.png_batch import PngBatchPipeline
+    rng = np.random.default_rng(5)
+    bufs = []
+    for i in range(3):
+        arr = rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+        b = io.BytesIO()
+        PILImage.fromarray(arr, "RGB").convert(
+            "P", palette=PILImage.ADAPTIVE).save(b, format="PNG")
+        bufs.append(b.getvalue())
+    got = np.asarray(PngBatchPipeline()(bufs))
+    for i in range(3):
+        want = picha.decodePngSync(bufs[i]).to_array()
+        np.testing.assert_array_equal(got[i], want)
