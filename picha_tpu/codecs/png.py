@@ -329,9 +329,11 @@ def encode(img: Image, opts: dict) -> bytes:
         raw = np.ascontiguousarray(arr).tobytes()
     rb = _rowbytes(w, fmt.channels, depth)
     bpp = max(1, (fmt.channels * depth) // 8)
+    strategy = int(opts.get("filter_strategy", -1))
+    if strategy not in (-1, 0, 1, 2, 3, 4):
+        raise InvalidOptionsError("filter_strategy must be -1 (adaptive) or 0-4")
     filtered = native.png_filter(
-        np.frombuffer(raw, dtype=np.uint8), h, rb, bpp,
-        int(opts.get("filter_strategy", -1)))
+        np.frombuffer(raw, dtype=np.uint8), h, rb, bpp, strategy)
     level = int(opts.get("compressionLevel", opts.get("compression_level", 6)))
     idat = zlib.compress(filtered.tobytes(), level)
 

@@ -121,6 +121,8 @@ def _parse_ifds(buf: bytes):
 def stat(buf: bytes):
     try:
         _, ifds = _parse_ifds(bytes(buf))
+        if not ifds:
+            return None
         ifd = ifds[0]
         w, h = ifd.one(T_WIDTH), ifd.one(T_HEIGHT)
         if not w or not h:
@@ -277,6 +279,8 @@ def _decode_jpeg_in_tiff(ifd: _Ifd, buf: bytes, width: int, height: int,
         tables = ifd.one(T_JPEG_TABLES)
         offsets = ifd.get(T_STRIP_OFFSETS)
         counts = ifd.get(T_STRIP_COUNTS)
+        if offsets is None or counts is None:
+            raise CodecError("JPEG-compressed TIFF missing strip tables")
         rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
         parts = []
         for i, (o, c) in enumerate(zip(offsets, counts)):

@@ -34,6 +34,10 @@ def default_stride(width: int, pixel: str) -> int:
 
 def _as_byte_array(data: BufferLike) -> np.ndarray:
     if isinstance(data, np.ndarray):
+        if not data.flags["C_CONTIGUOUS"]:
+            # a silent copy here would break the shared-buffer mutation
+            # contract (writes through views must hit the caller's data)
+            raise InvalidImageError("image data buffer must be contiguous")
         if data.dtype != np.uint8:
             data = data.view(np.uint8)
         return data.reshape(-1)

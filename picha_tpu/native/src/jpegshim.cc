@@ -343,6 +343,12 @@ PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
     if (err) *err = dup_error(trap);
     return -1;
   }
+  if (ncomp != 1 && ncomp != 3) {
+    // jpeg_set_colorspace would silently pin num_components to 3 and
+    // drop extra planes — refuse instead of emitting a corrupt file
+    if (err) *err = strdup("coef_write supports 1 or 3 components");
+    return -2;
+  }
   jpeg_create_compress(&cinfo);
   jpeg_mem_dest(&cinfo, &buf, &buflen);
 

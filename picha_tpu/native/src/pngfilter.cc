@@ -118,6 +118,7 @@ PICHA_API int picha_png_unfilter(const uint8_t* in, uint8_t* out, int height,
 
 PICHA_API int picha_png_filter(const uint8_t* in, uint8_t* out, int height,
                                int rowbytes, int bpp, int strategy) {
+  if (strategy > 4) strategy = -1;  // unknown strategies fall back to adaptive
   uint8_t* scratch =
       strategy < 0 ? (uint8_t*)malloc((size_t)rowbytes) : nullptr;
   const uint8_t* prev = nullptr;

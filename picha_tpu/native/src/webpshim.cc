@@ -75,8 +75,15 @@ PICHA_API int picha_webp_encode(const uint8_t* src, int width, int height,
     WebPMemoryWriterClear(&writer);
     return -3;
   }
-  // hand the malloc'd buffer to the caller (freed via picha_free)
-  *out = writer.mem;
+  // copy into a plain-malloc buffer: writer.mem belongs to libwebp's
+  // allocator, and the caller frees through picha_free (free)
+  *out = (uint8_t*)malloc(writer.size);
+  if (!*out) {
+    WebPMemoryWriterClear(&writer);
+    return -4;
+  }
+  memcpy(*out, writer.mem, writer.size);
   *outlen = writer.size;
+  WebPMemoryWriterClear(&writer);
   return 0;
 }

@@ -185,21 +185,23 @@ def _plane_geometry(width, height, h_samp, v_samp, max_h, max_v):
     return dw, dh
 
 
-@functools.lru_cache(maxsize=256)
-def _jit_decode(shape_sig, color_space, width, height):
-    """shape_sig: tuple of (bh, bw, h_samp, v_samp) per component."""
-    import jax
+def build_decode_stage(comp_sig, color_space, width, height,
+                       force_rgb: bool = False):
+    """The shared traceable staged-decode: per-component dequant+IDCT,
+    chroma upsample, colour transform -> (..., H, W, C) int32 in
+    [0, 255]. `comp_sig` entries are (bh, bw, h_samp, v_samp).
+
+    Used by the single-image TPU path, the batched bucket graphs and
+    the training pipeline so the ≤1-LSB-of-host invariant has exactly
+    one implementation. force_rgb replicates grayscale to 3 channels."""
     import jax.numpy as jnp
 
-    max_h = max(s[2] for s in shape_sig)
-    max_v = max(s[3] for s in shape_sig)
+    max_h = max(s[2] for s in comp_sig)
+    max_v = max(s[3] for s in comp_sig)
 
-    def fn(*args):
-        ncomp = len(shape_sig)
-        coefs = args[:ncomp]
-        qtabs = args[ncomp:]
+    def decode_stage(coefs, qtabs):
         planes = []
-        for i, (bh, bw, hs, vs) in enumerate(shape_sig):
+        for i, (bh, bw, hs, vs) in enumerate(comp_sig):
             dw, dh = _plane_geometry(width, height, hs, vs, max_h, max_v)
             p = dequant_idct_plane(coefs[i], qtabs[i], dh, dw)
             if (hs, vs) != (max_h, max_v):
@@ -207,20 +209,38 @@ def _jit_decode(shape_sig, color_space, width, height):
             else:
                 p = p[..., :height, :width]
             planes.append(p)
-
         if color_space == CS_GRAYSCALE or len(planes) == 1:
-            return planes[0][..., None].astype(jnp.uint8)
-        if color_space in (CS_YCBCR,):
-            return ycbcr_to_rgb_int(*planes[:3]).astype(jnp.uint8)
+            g = planes[0]
+            if force_rgb:
+                return jnp.stack([g, g, g], axis=-1)
+            return g[..., None]
+        if color_space == CS_YCBCR:
+            return ycbcr_to_rgb_int(*planes[:3])
         if color_space == CS_RGB:
-            return jnp.stack(planes[:3], axis=-1).astype(jnp.uint8)
+            return jnp.stack(planes[:3], axis=-1)
         if color_space == CS_YCCK:
-            c, m_, y_, k = ycck_to_cmyk(planes[0], planes[1], planes[2], planes[3])
-            return cmyk_fold_to_rgb(c, m_, y_, k).astype(jnp.uint8)
+            c, m_, y_, k = ycck_to_cmyk(planes[0], planes[1], planes[2],
+                                        planes[3])
+            return cmyk_fold_to_rgb(c, m_, y_, k)
         if color_space == CS_CMYK:
             return cmyk_fold_to_rgb(planes[0], planes[1], planes[2],
-                                    planes[3]).astype(jnp.uint8)
+                                    planes[3])
         raise ValueError(f"unsupported jpeg colour space {color_space}")
+
+    return decode_stage
+
+
+@functools.lru_cache(maxsize=256)
+def _jit_decode(shape_sig, color_space, width, height):
+    """shape_sig: tuple of (bh, bw, h_samp, v_samp) per component."""
+    import jax
+    import jax.numpy as jnp
+
+    stage = build_decode_stage(shape_sig, color_space, width, height)
+
+    def fn(*args):
+        ncomp = len(shape_sig)
+        return stage(args[:ncomp], args[ncomp:]).astype(jnp.uint8)
 
     return jax.jit(fn)
 

@@ -85,14 +85,22 @@ class ImageBatchPipeline:
         self._pool = ThreadPoolExecutor(max_workers=num_threads,
                                         thread_name_prefix="picha-batch")
 
-    def decode_batch(self, bufs: Sequence[bytes], opts: Optional[dict] = None
-                     ) -> np.ndarray:
+    def decode_batch(self, bufs: Sequence[bytes], opts: Optional[dict] = None,
+                     mimetype: Optional[str] = None) -> np.ndarray:
         """Host decode on pool threads; all images must share one shape
-        and pixel format (shape-bucket upstream)."""
-        from .. import decode_sync
+        and pixel format (shape-bucket upstream).
 
-        imgs = list(self._pool.map(
-            lambda b: decode_sync(b, opts or {}), bufs))
+        `mimetype` dispatches straight to that codec — skipping the
+        per-image sniffing loop and surfacing the codec's real error
+        instead of a generic UnsupportedFormatError."""
+        if mimetype is not None:
+            codec = _codec_catalog[mimetype]
+            decode = lambda b: codec.decode_sync(b, opts or {})  # noqa: E731
+        else:
+            from .. import decode_sync
+
+            decode = lambda b: decode_sync(b, opts or {})  # noqa: E731
+        imgs = list(self._pool.map(decode, bufs))
         shapes = {(i.width, i.height, i.pixel) for i in imgs}
         if len(shapes) != 1:
             raise ValueError("mixed shapes/formats; bucket inputs first")
@@ -115,8 +123,9 @@ class ImageBatchPipeline:
 
         return list(self._pool.map(enc, batch))
 
-    def __call__(self, bufs: Sequence[bytes], decode_opts: Optional[dict] = None):
-        batch = self.decode_batch(bufs, decode_opts)
+    def __call__(self, bufs: Sequence[bytes], decode_opts: Optional[dict] = None,
+                 mimetype: Optional[str] = None):
+        batch = self.decode_batch(bufs, decode_opts, mimetype)
         out = self.transform(batch)
         if self.encode is None:
             return out

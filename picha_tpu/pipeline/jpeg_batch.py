@@ -63,34 +63,8 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
     import jax.numpy as jnp
 
     width, height, color_space, comp_sig = sig
-    max_h = max(s[2] for s in comp_sig)
-    max_v = max(s[3] for s in comp_sig)
-
-    def decode_stage(coefs, qtabs):
-        planes = []
-        for i, (bh, bw, hs, vs) in enumerate(comp_sig):
-            dw, dh = jpeg_tpu._plane_geometry(width, height, hs, vs, max_h, max_v)
-            p = jpeg_tpu.dequant_idct_plane(coefs[i], qtabs[i], dh, dw)
-            if (hs, vs) != (max_h, max_v):
-                p = jpeg_tpu.upsample_to(p, max_h // hs, max_v // vs,
-                                         height, width)
-            else:
-                p = p[..., :height, :width]
-            planes.append(p)
-        if color_space == jpeg_tpu.CS_GRAYSCALE or len(planes) == 1:
-            return planes[0][..., None]
-        if color_space == jpeg_tpu.CS_YCBCR:
-            return jpeg_tpu.ycbcr_to_rgb_int(*planes[:3])
-        if color_space == jpeg_tpu.CS_RGB:
-            return jnp.stack(planes[:3], axis=-1)
-        if color_space == jpeg_tpu.CS_YCCK:
-            c, m_, y_, k = jpeg_tpu.ycck_to_cmyk(planes[0], planes[1],
-                                                 planes[2], planes[3])
-            return jpeg_tpu.cmyk_fold_to_rgb(c, m_, y_, k)
-        if color_space == jpeg_tpu.CS_CMYK:
-            return jpeg_tpu.cmyk_fold_to_rgb(planes[0], planes[1], planes[2],
-                                             planes[3])
-        raise ValueError(f"unsupported colour space {color_space}")
+    decode_stage = jpeg_tpu.build_decode_stage(comp_sig, color_space,
+                                               width, height)
 
     def densify(idx, val, bh, bw):
         # scatter-add the (index, value) pairs into dense blocks.

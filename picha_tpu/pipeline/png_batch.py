@@ -11,14 +11,12 @@ one compiled transform graph, mirroring the JPEG pipeline's buckets.
 from __future__ import annotations
 
 import functools
-import zlib
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
 import numpy as np
 
 from ..codecs import png as png_codec
-from ..native import lib as native
 from ..pixels import pixel_format
 
 
@@ -38,8 +36,7 @@ def signature(h) -> tuple:
 
 
 @functools.lru_cache(maxsize=128)
-def _jit_transform(sig: tuple, target: str, has_palette: bool,
-                   has_trns_alpha: bool):
+def _jit_transform(sig: tuple, target: str, has_trns_alpha: bool):
     """Device transform graph for one (geometry, colour-type) bucket.
 
     Implements the same mapping as png._to_target for the batched case
@@ -139,7 +136,7 @@ class PngBatchPipeline:
                     tv = np.frombuffer(t, np.uint8)
                     ta[i, : tv.size] = tv
             # per-image tables -> flat take via offset indices
-            fn = _jit_transform(signature(h0), target, True, has_trns)
+            fn = _jit_transform(signature(h0), target, has_trns)
             n = len(parts)
             flat_pal = pal.reshape(-1, 3)
             flat_ta = ta.reshape(-1)
@@ -154,6 +151,6 @@ class PngBatchPipeline:
                 png_codec._to_target(s, hh, p, t, target)
                 for hh, s, p, t in parts])
             return jnp.asarray(out)
-        fn = _jit_transform(signature(h0), target, False, False)
+        fn = _jit_transform(signature(h0), target, False)
         return fn(samples, jnp.zeros((1, 3), np.uint8),
                   jnp.zeros((1,), np.uint8))

@@ -58,40 +58,15 @@ def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
 
 @functools.lru_cache(maxsize=128)
 def _decode_graph(sig):
-    """coefficients -> (N,H,W,3) int32 RGB decode stage (traceable)."""
-    import jax.numpy as jnp
-
+    """coefficients -> (N,H,W,3) int32 RGB decode stage (traceable);
+    shares the one staged-decode implementation (jpeg_tpu)."""
     width, height, color_space, comp_sig = sig
-    max_h = max(s[2] for s in comp_sig)
-    max_v = max(s[3] for s in comp_sig)
+    stage = jpeg_tpu.build_decode_stage(comp_sig, color_space, width,
+                                        height, force_rgb=True)
 
     def decode_stage(*args):
         n = len(comp_sig)
-        coefs, qtabs = args[:n], args[n:]
-        planes = []
-        for i, (bh, bw, hs, vs) in enumerate(comp_sig):
-            dw, dh = jpeg_tpu._plane_geometry(width, height, hs, vs,
-                                              max_h, max_v)
-            p = jpeg_tpu.dequant_idct_plane(coefs[i], qtabs[i], dh, dw)
-            if (hs, vs) != (max_h, max_v):
-                p = jpeg_tpu.upsample_to(p, max_h // hs, max_v // vs,
-                                         height, width)
-            else:
-                p = p[..., :height, :width]
-            planes.append(p)
-        if len(planes) == 1:
-            g = planes[0]
-            return jnp.stack([g, g, g], axis=-1)
-        if color_space == jpeg_tpu.CS_YCBCR:
-            return jpeg_tpu.ycbcr_to_rgb_int(*planes[:3])
-        if color_space == jpeg_tpu.CS_RGB:
-            return jnp.stack(planes[:3], axis=-1)
-        if color_space == jpeg_tpu.CS_YCCK:
-            return jpeg_tpu.cmyk_fold_to_rgb(
-                *jpeg_tpu.ycck_to_cmyk(planes[0], planes[1], planes[2],
-                                       planes[3]))
-        return jpeg_tpu.cmyk_fold_to_rgb(planes[0], planes[1], planes[2],
-                                         planes[3])
+        return stage(args[:n], args[n:])
 
     return decode_stage
 
@@ -148,8 +123,10 @@ class TrainingInput:
             self.pos = 0
             self._perm = self._epoch_perm()
         idx = self._perm[self.pos : self.pos + self.batch]
+        # fold epoch and pos separately: injective for any dataset size
         step_key = jax.random.fold_in(
-            jax.random.PRNGKey(self.seed), self.epoch * 1_000_003 + self.pos)
+            jax.random.fold_in(jax.random.PRNGKey(self.seed), self.epoch),
+            self.pos)
         self.pos += self.batch
 
         bufs = [self.items[i] for i in idx]

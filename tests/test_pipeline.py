@@ -345,3 +345,15 @@ def test_png_batch_palette():
     for i in range(3):
         want = picha.decodePngSync(bufs[i]).to_array()
         np.testing.assert_array_equal(got[i], want)
+
+
+def test_image_batch_mimetype_dispatch():
+    from picha_tpu.pipeline import ImageBatchPipeline
+    bufs = [fixture_bytes("test.png")] * 2
+    p = ImageBatchPipeline(resize=(8, 8))
+    out = np.asarray(p(bufs, mimetype="image/png"))
+    assert out.shape == (2, 8, 8, 4)
+    # a corrupt buffer surfaces the codec's real error, not generic sniffing
+    bad = bytearray(bufs[0]); bad[40] ^= 0xFF
+    with pytest.raises(picha.CodecError):
+        p([bytes(bad)], mimetype="image/png")
