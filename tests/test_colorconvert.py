@@ -102,3 +102,38 @@ def test_zero_weights_rejected():
     with pytest.raises(InvalidOptionsError):
         picha.colorConvertSync(img, {"pixel": "grey", "redWeight": 0,
                                      "greenWeight": 0, "blueWeight": 0})
+
+
+def test_all_56_format_pairs_host_vs_jit():
+    """Exhaustive: every src->dst pair of the 8 formats through both
+    the numpy host path and the jitted batch path, bit-identical."""
+    from picha_tpu.pixels import PIXEL_FORMATS
+    rng = np.random.default_rng(6)
+    arrays = {}
+    for name, fmt in PIXEL_FORMATS.items():
+        arrays[name] = rng.integers(0, fmt.max_value + 1, (6, 5, fmt.channels),
+                                    dtype=fmt.dtype)
+    for src in PIXEL_FORMATS:
+        for dst in PIXEL_FORMATS:
+            if src == dst:
+                continue
+            host = convert_array(arrays[src], dst)
+            jit = np.asarray(convert_batch(arrays[src][None], src, dst))[0]
+            np.testing.assert_array_equal(host, jit, err_msg=f"{src}->{dst}")
+
+
+def test_roundtrip_pairs_preserving():
+    """Conversions that should be information-preserving round-trip
+    bit-exactly (grey<->deep, rgb<->deep, alpha-adding pairs)."""
+    rng = np.random.default_rng(7)
+    cases = [("grey", "r16"), ("rgb", "r16g16b16"), ("greya", "r16g16"),
+             ("rgba", "r16g16b16a16"), ("grey", "greya"), ("rgb", "rgba"),
+             ("grey", "rgba"), ("r16", "r16g16b16a16")]
+    from picha_tpu.pixels import PIXEL_FORMATS
+    for src, via in cases:
+        fmt = PIXEL_FORMATS[src]
+        arr = rng.integers(0, fmt.max_value + 1, (5, 4, fmt.channels),
+                           dtype=fmt.dtype)
+        up = convert_array(arr, via)
+        back = convert_array(up, src)
+        np.testing.assert_array_equal(back, arr, err_msg=f"{src}->{via}->{src}")
