@@ -119,7 +119,8 @@ def _make_format_api(mimetype: str, name: str):
     def decode_fn(buf, opts=None, cb=None):
         if callable(opts):
             cb, opts = opts, None
-        return run_async(lambda: codec.decode_sync(buf, opts or {}), cb)
+        # through the sync wrapper so metrics count async traffic too
+        return run_async(lambda: decode_sync_fn(buf, opts), cb)
 
     def encode_sync_fn(img: Image, opts: Optional[dict] = None) -> bytes:
         metrics.count(f"encode.{name.lower()}")
@@ -132,9 +133,7 @@ def _make_format_api(mimetype: str, name: str):
     def encode_fn(img, opts=None, cb=None):
         if callable(opts):
             cb, opts = opts, None
-        return run_async(
-            lambda: codec.encode_sync(to_supported_sync(img, codec.encodes), opts or {}),
-            cb)
+        return run_async(lambda: encode_sync_fn(img, opts), cb)
 
     g[f"stat{name}"] = stat_fn
     g[f"decode{name}"] = decode_fn

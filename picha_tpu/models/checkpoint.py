@@ -19,6 +19,10 @@ import numpy as np
 def _flatten(tree, prefix="", out=None):
     if out is None:
         out = {}
+    if tree is None:
+        # None leaves (e.g. a ResNet block without a projection) carry
+        # no data; the template restores them on load
+        return out
     if isinstance(tree, dict):
         for k in sorted(tree):
             _flatten(tree[k], f"{prefix}{k}/", out)
@@ -31,6 +35,8 @@ def _flatten(tree, prefix="", out=None):
 
 
 def _unflatten_into(template, flat, prefix=""):
+    if template is None:
+        return None
     if isinstance(template, dict):
         return {k: _unflatten_into(v, flat, f"{prefix}{k}/")
                 for k, v in template.items()}
@@ -43,6 +49,14 @@ def _unflatten_into(template, flat, prefix=""):
     return flat[prefix.rstrip("/")]
 
 
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    raise TypeError(f"not JSON serialisable: {type(o)!r}")
+
+
 def save_checkpoint(path: str, params: Any, opt_state: Any = None,
                     input_state: Optional[dict] = None, step: int = 0) -> None:
     """Atomic write of {params, opt_state, input_state, step} to `path`."""
@@ -53,13 +67,16 @@ def save_checkpoint(path: str, params: Any, opt_state: Any = None,
         leaves, treedef = jax.tree.flatten(jax.device_get(opt_state))
         for i, leaf in enumerate(leaves):
             payload[f"opt/{i}"] = np.asarray(leaf)
-    meta = {"step": step, "input_state": input_state or {}}
+    meta = json.loads(json.dumps(
+        {"step": step, "input_state": input_state or {}},
+        default=_json_default))
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez(f, __meta__=json.dumps(meta), **payload)
+            np.savez(f, __meta__=json.dumps(meta, default=_json_default),
+                     **payload)
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):

@@ -134,10 +134,9 @@ def forward(params, images, cfg: ResNetConfig):
             if blk["proj"] is not None:
                 shortcut = _conv(shortcut, blk["proj"], stride)
             elif stride != 1:
-                shortcut = _conv(shortcut,
-                                 jnp.eye(x.shape[-1], dtype=x.dtype)
-                                 .reshape(1, 1, x.shape[-1], x.shape[-1]),
-                                 stride)
+                # identity downsample = the stride-2 SAME sample points;
+                # a strided slice is free vs a CxC eye convolution
+                shortcut = shortcut[:, ::stride, ::stride, :]
             x = h + shortcut
     pooled = x.astype(jnp.float32).mean(axis=(1, 2))
     return pooled @ params["head"]

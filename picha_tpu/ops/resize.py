@@ -122,12 +122,13 @@ def parse_resize_options(opts: dict):
 # Contribution weights -> dense (dst, src) float32 matrix
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=512)
-def resize_weights(dst_size: int, src_size: int, filter_name: str,
-                   filter_scale: float) -> np.ndarray:
-    """Dense (dst_size, src_size) float32 contribution matrix, built with
-    the reference's float32 arithmetic (resize.cc:19-50 + ScaledFilter
-    resize.cc:262-268)."""
+def _iter_contribs(dst_size: int, src_size: int, filter_name: str,
+                   filter_scale: float, row_start: int = 0,
+                   row_count: int = None):
+    """Yield (i, left, normalized weights) per output row, with the
+    reference's float32 arithmetic (resize.cc:19-50 + ScaledFilter
+    resize.cc:262-268). The centre accumulator is advanced through the
+    skipped rows so windows match the full-matrix construction exactly."""
     base_support, base = FILTERS[filter_name]
     s = F32(filter_scale)
     support = F32(s * F32(base_support))
@@ -139,10 +140,13 @@ def resize_weights(dst_size: int, src_size: int, filter_name: str,
     fscale = F32(max(max(scale, F32(1.0)), F32(F32(1.0) / support)))
     fsupport = F32(support * fscale)
     iscale = F32(F32(1.0) / fscale)
+    if row_count is None:
+        row_count = dst_size - row_start
 
-    W = np.zeros((dst_size, src_size), dtype=np.float32)
     center = F32(F32(0.5) * scale)
-    for i in range(dst_size):
+    for _ in range(row_start):
+        center = F32(center + scale)
+    for i in range(row_start, row_start + row_count):
         left = int(max(F32(0.0), F32(math.ceil(center - fsupport))))
         right = int(min(F32(src_size - 1), F32(math.floor(center + fsupport))))
         while left < right and filt(F32(center - left) * iscale) == 0:
@@ -155,9 +159,38 @@ def resize_weights(dst_size: int, src_size: int, filter_name: str,
         total = F32(w.sum(dtype=np.float32))
         if not total > 0:
             raise InvalidImageError("degenerate resize window")
-        W[i, left:right + 1] = w * F32(F32(1.0) / total)
+        yield i, left, w * F32(F32(1.0) / total)
         center = F32(center + scale)
+
+
+@functools.lru_cache(maxsize=512)
+def resize_weights(dst_size: int, src_size: int, filter_name: str,
+                   filter_scale: float) -> np.ndarray:
+    """Dense (dst_size, src_size) float32 contribution matrix."""
+    W = np.zeros((dst_size, src_size), dtype=np.float32)
+    for i, left, w in _iter_contribs(dst_size, src_size, filter_name,
+                                     filter_scale):
+        W[i, left:left + w.size] = w
     return W
+
+
+def resize_weight_rows(dst_size: int, src_size: int, filter_name: str,
+                       filter_scale: float, row_start: int, row_count: int,
+                       col_start: int, col_count: int) -> np.ndarray:
+    """A (row_count, col_count) window of the contribution matrix,
+    built without materialising the dense matrix (gigapixel-scale
+    callers: parallel/spatial.py). Taps outside the column window raise
+    — the caller's window must cover every row's support."""
+    block = np.zeros((row_count, col_count), dtype=np.float32)
+    for i, left, w in _iter_contribs(dst_size, src_size, filter_name,
+                                     filter_scale, row_start, row_count):
+        lo = left - col_start
+        if lo < 0 or lo + w.size > col_count:
+            raise InvalidImageError(
+                f"resize window for output row {i} (cols {left}.."
+                f"{left + w.size}) exceeds the provided column window")
+        block[i - row_start, lo:lo + w.size] = w
+    return block
 
 
 # ---------------------------------------------------------------------------

@@ -40,7 +40,12 @@ def make_mesh(axes: Sequence[tuple] = (("dp", -1),), devices=None):
             raise ValueError(f"{n} devices not divisible by {prod}")
         sizes[wild] = n // prod
         prod *= sizes[wild]
-    if prod != n:
+    if prod > n:
+        raise ValueError(
+            f"mesh axes {dict(axes)} need {prod} devices, have {n}")
+    if prod < n:
+        # explicit axes smaller than the device count use a prefix of
+        # the devices (deliberate: sub-meshes for testing/partitioning)
         devs = devs[:prod]
     arr = np.array(devs).reshape(sizes)
     return Mesh(arr, tuple(name for name, _ in axes))

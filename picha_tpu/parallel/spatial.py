@@ -22,7 +22,7 @@ import math
 
 import numpy as np
 
-from ..ops.resize import FILTERS, parse_resize_options, resize_weights
+from ..ops.resize import FILTERS, parse_resize_options
 
 
 def _halo_rows(src_h: int, dst_h: int, filter_name: str, fscale: float) -> int:
@@ -33,7 +33,7 @@ def _halo_rows(src_h: int, dst_h: int, filter_name: str, fscale: float) -> int:
     return int(math.ceil(support * f)) + 1
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=8)
 def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
            filter_name: str, fscale: float, n_shards: int, axis: str,
            mesh):
@@ -45,6 +45,8 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
+
+    from ..ops.resize import _apply_axis, resize_weight_rows
 
     if src_h % n_shards or dst_h % n_shards:
         raise ValueError("src/dst heights must divide the mesh axis size")
@@ -58,14 +60,15 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
             f"filter support ({halo} rows) exceeds the per-shard row count "
             f"({local_in}); use fewer shards or a narrower filter")
 
-    wh = resize_weights(dst_w, src_w, filter_name, fscale)
-    wv = resize_weights(dst_h, src_h, filter_name, fscale)
-    # per-shard vertical blocks over the zero-padded row axis:
-    # columns j of block k map to global rows k*local_in - halo + j
-    wvpad = np.pad(wv, ((0, 0), (halo, halo)))
+    # per-shard vertical blocks, built windowed (never the dense
+    # (dst_h, src_h) matrix — gigapixel-safe); column j of block k maps
+    # to global row k*local_in - halo + j. resize_weight_rows raises if
+    # any tap falls outside the halo window (coverage assertion).
     blocks = np.stack([
-        wvpad[k * local_out:(k + 1) * local_out,
-              k * local_in: k * local_in + local_in + 2 * halo]
+        resize_weight_rows(dst_h, src_h, filter_name, fscale,
+                           row_start=k * local_out, row_count=local_out,
+                           col_start=k * local_in - halo,
+                           col_count=local_in + 2 * halo)
         for k in range(n_shards)
     ])  # (n, local_out, local_in + 2*halo)
 
@@ -76,8 +79,8 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
         prev_tail = jax.lax.ppermute(img[-halo:], axis, up_perm)
         next_head = jax.lax.ppermute(img[:halo], axis, dn_perm)
         ext = jnp.concatenate([prev_tail, img, next_head], axis=0)
-        tmp = jnp.einsum("ow,hwc->hoc", jnp.asarray(wh), ext,
-                         preferred_element_type=jnp.float32)
+        # horizontal pass: dense or banded per source width (ops.resize)
+        tmp = _apply_axis(ext, dst_w, src_w, filter_name, fscale, axis=-2)
         out = jnp.einsum("oh,hwc->owc", wv_block[0], tmp,
                          preferred_element_type=jnp.float32)
         return out

@@ -28,8 +28,12 @@ def get_executor() -> ThreadPoolExecutor:
     with _lock:
         if _executor is None:
             # at least 4: GIL-released C calls overlap even on few cores
-            workers = int(os.environ.get("PICHA_THREADS", "0")) or min(
-                32, max(4, os.cpu_count() or 4))
+            try:
+                requested = int(os.environ.get("PICHA_THREADS", "0"))
+            except ValueError:
+                requested = 0
+            workers = (requested if requested > 0
+                       else min(32, max(4, os.cpu_count() or 4)))
             _executor = ThreadPoolExecutor(
                 max_workers=workers, thread_name_prefix="picha")
         return _executor

@@ -13,7 +13,8 @@ import time
 from contextlib import contextmanager
 
 _lock = threading.Lock()
-_enabled = bool(int(os.environ.get("PICHA_METRICS", "0")))
+_enabled = os.environ.get("PICHA_METRICS", "0").strip().lower() in (
+    "1", "true", "on", "yes")
 counters: dict = collections.defaultdict(float)
 
 

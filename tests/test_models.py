@@ -107,3 +107,21 @@ def test_resnet_sharded_train_step():
     params, opt_state, loss = jax.jit(train_step)(params, opt_state,
                                                   images, labels)
     assert np.isfinite(float(loss))
+
+
+def test_checkpoint_none_leaves_roundtrip(tmp_path):
+    # regression: None leaves (ResNet blocks without projections) must
+    # survive save/load (previously saved as unpicklable object arrays)
+    from picha_tpu.models import resnet
+    from picha_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+    cfg = resnet.TINY
+    params = resnet.init_params(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "r.npz")
+    save_checkpoint(path, params, None,
+                    input_state={"pos": np.int64(4)}, step=np.int64(7))
+    p2, _, inp, step = load_checkpoint(path, params)
+    assert step == 7 and inp == {"pos": 4}
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # None structure preserved
+    assert p2["stages"][0][0]["proj"] is None or params["stages"][0][0]["proj"] is not None
