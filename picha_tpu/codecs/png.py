@@ -23,6 +23,7 @@ Behavioural parity targets (reference src/pngcodec.cc):
 from __future__ import annotations
 
 import struct
+import warnings
 import zlib
 
 import numpy as np
@@ -62,6 +63,15 @@ def _parse_chunks(buf: bytes):
             raise CodecError("truncated PNG chunk")
         crc = struct.unpack_from(">I", buf, data_end)[0]
         if zlib.crc32(buf[pos + 4 : data_end]) & 0xFFFFFFFF != crc:
+            # libpng (the reference's backend) only warns on CRC errors
+            # in ancillary chunks (lowercase first letter) and keeps
+            # going; critical chunks stay hard failures (png.c
+            # png_crc_error handling)
+            if ctype[0:1].islower():
+                warnings.warn(f"PNG CRC mismatch in ancillary chunk "
+                              f"{ctype!r}; chunk skipped", stacklevel=2)
+                pos = data_end + 4
+                continue
             raise CodecError(f"PNG CRC mismatch in {ctype!r}")
         yield ctype, buf[data_start:data_end]
         pos = data_end + 4
@@ -232,10 +242,15 @@ def _to_target(samples: np.ndarray, h: _Header, palette, trns,
         idx = samples[:, :, 0]
         if palette is None:
             raise CodecError("palette PNG missing PLTE")
-        rgb = palette[idx]  # (H, W, 3) uint8
+        # pad the LUT to 256 so out-of-range indices in crafted files
+        # resolve to black instead of raising — matches the batched
+        # path (png_batch.py zero-pads tables to 256)
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        pal[: palette.shape[0]] = palette
+        rgb = pal[idx]  # (H, W, 3) uint8
         if trns is not None:
             ta = np.frombuffer(trns, dtype=np.uint8)
-            lut = np.full(palette.shape[0], 255, dtype=np.uint8)
+            lut = np.full(256, 255, dtype=np.uint8)
             lut[: len(ta)] = ta
             alpha = lut[idx]
         color = rgb

@@ -127,6 +127,12 @@ def stat(buf: bytes):
         w, h = ifd.one(T_WIDTH), ifd.one(T_HEIGHT)
         if not w or not h:
             return None
+        # Deliberate deviation from libtiff: orientations 5-8 are fully
+        # transposed by decode() (libtiff collapses them to 1-4 with a
+        # warning, tif_getimage.c) — report the post-transpose dims so
+        # stat and decode always agree on geometry.
+        if int(ifd.one(T_ORIENTATION, 1)) in (5, 6, 7, 8):
+            w, h = h, w
     except CodecError:
         return None
     return {"width": int(w), "height": int(h), "pixel": "rgba"}
@@ -182,6 +188,9 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
     bytedepth = 2 if bits == 16 else 1
     if T_TILE_OFFSETS in ifd.tags:
         tw, th = ifd.one(T_TILE_W), ifd.one(T_TILE_H)
+        if not tw or not th or int(tw) <= 0 or int(th) <= 0:
+            raise CodecError("TIFF tile dimensions missing or invalid")
+        tw, th = int(tw), int(th)
         offsets = ifd.get(T_TILE_OFFSETS)
         counts = ifd.get(T_TILE_COUNTS)
         tiles_x = math.ceil(width / tw)
@@ -189,6 +198,10 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
         planes = spp if planar == 2 else 1
         cpp = 1 if planar == 2 else spp
         rowbytes = (tw * cpp * bits + 7) // 8
+        ntiles = planes * tiles_x * tiles_y
+        if counts is None or offsets is None or \
+                len(counts) < ntiles or len(offsets) < ntiles:
+            raise CodecError("TIFF tile tables too short")
         out = np.zeros((height, width, spp),
                        dtype=np.uint16 if bits == 16 else np.uint8)
         i = 0
@@ -198,6 +211,8 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
                     raw = _decompress(buf[offsets[i] : offsets[i] + counts[i]],
                                       comp, rowbytes * th)
                     i += 1
+                    if len(raw) < rowbytes * th:
+                        raise CodecError("TIFF tile too short")
                     rows = np.frombuffer(raw, np.uint8, rowbytes * th).reshape(
                         th, rowbytes).copy()
                     # byte order first, then predictor — the horizontal

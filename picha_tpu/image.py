@@ -142,7 +142,14 @@ class Image:
     # -- views and copies --------------------------------------------------
 
     def sub_view(self, x: int, y: int, w: int, h: int) -> "Image":
-        """Zero-copy crop sharing this image's buffer (lib/image.js:76-87)."""
+        """Zero-copy crop sharing this image's buffer (lib/image.js:76-87).
+
+        Unlike the reference (whose Buffer.slice clamps silently), out of
+        bounds rectangles are rejected — a negative offset would wrap
+        around the buffer and alias wrong rows."""
+        if x < 0 or y < 0 or w <= 0 or h <= 0 or \
+                x + w > self.width or y + h > self.height:
+            raise InvalidImageError("sub_view rectangle out of bounds")
         p = self.pixel_size()
         off = y * self.stride + x * p
         length = (h - 1) * self.stride + w * p

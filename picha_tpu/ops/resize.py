@@ -156,7 +156,12 @@ def _iter_contribs(dst_size: int, src_size: int, filter_name: str,
         taps = np.arange(left, right + 1)
         w = np.array([filt(F32(center - F32(j)) * iscale) for j in taps],
                      dtype=np.float32)
-        total = F32(w.sum(dtype=np.float32))
+        # sequential f32 accumulation in tap order — numpy's pairwise
+        # sum differs by 1 ulp for windows > 8 taps, and the reference
+        # (resize.cc:39-43) accumulates totalweight sequentially
+        total = F32(0.0)
+        for v in w:
+            total = F32(total + F32(v))
         if not total > 0:
             raise InvalidImageError("degenerate resize window")
         yield i, left, w * F32(F32(1.0) / total)

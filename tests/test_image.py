@@ -109,3 +109,11 @@ def test_to_from_array_roundtrip_deep():
     arr = np.arange(12, dtype=np.uint16).reshape(2, 2, 3)
     img = Image.from_array(arr, "r16g16b16")
     np.testing.assert_array_equal(img.to_array(), arr)
+
+
+def test_sub_view_out_of_bounds_raises():
+    img = Image(width=8, height=6, pixel="rgb")
+    for rect in [(-1, 0, 4, 4), (0, -2, 4, 4), (5, 0, 4, 4),
+                 (0, 3, 8, 4), (0, 0, 0, 4), (0, 0, 4, 0)]:
+        with pytest.raises(InvalidImageError):
+            img.sub_view(*rect)

@@ -354,6 +354,6 @@ def test_image_batch_mimetype_dispatch():
     out = np.asarray(p(bufs, mimetype="image/png"))
     assert out.shape == (2, 8, 8, 4)
     # a corrupt buffer surfaces the codec's real error, not generic sniffing
-    bad = bytearray(bufs[0]); bad[40] ^= 0xFF
+    bad = bytearray(bufs[0]); bad[bufs[0].find(b"IDAT") + 10] ^= 0xFF
     with pytest.raises(picha.CodecError):
         p([bytes(bad)], mimetype="image/png")

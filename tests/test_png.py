@@ -114,7 +114,7 @@ def test_interlaced_and_palette_decode():
 
 def test_corrupt_data_raises():
     buf = bytearray(fixture_bytes("test.png"))
-    buf[40] ^= 0xFF  # corrupt IDAT area -> CRC failure
+    buf[bytes(buf).find(b"IDAT") + 10] ^= 0xFF  # corrupt IDAT -> CRC failure
     with pytest.raises(picha.CodecError):
         picha.decodePngSync(bytes(buf))
     with pytest.raises(picha.CodecError):
@@ -175,3 +175,30 @@ def test_trns_grey_key():
     img = picha.decodePngSync(png, {"pixel": "greya"})
     arr = img.to_array()
     np.testing.assert_array_equal(arr[0, :, 1], [0, 255])
+
+
+def test_ancillary_crc_mismatch_warns_and_continues():
+    """libpng warns on ancillary-chunk CRC errors and keeps decoding;
+    critical chunks stay hard failures."""
+    import struct, warnings
+    raw = b"".join(b"\x00" + bytes([10, 20, 30]) for _ in range(2))
+    bad_text = _chunk(b"tEXt", b"k\x00v")
+    bad_text = bad_text[:-4] + struct.pack(">I", 0xDEADBEEF)
+    buf = _make_png(1, 2, 8, 2, raw, extra=bad_text)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        img = picha.decodePngSync(buf)
+    assert img.width == 1 and img.height == 2
+    assert any("CRC" in str(w.message) for w in rec)
+
+
+def test_palette_index_out_of_range_decodes_black():
+    """Indices beyond the PLTE entry count resolve to black (matches the
+    batched path's zero-padded 256-entry tables)."""
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))  # 2 entries
+    raw = b"\x00\x05\x00\x01"  # rows: index 5 (OOB), index 1
+    buf = _make_png(1, 2, 8, 3, raw, extra=plte)
+    img = picha.decodePngSync(buf)
+    arr = img.to_array()
+    np.testing.assert_array_equal(arr[0, 0], [0, 0, 0])
+    np.testing.assert_array_equal(arr[1, 0], [0, 255, 0])

@@ -219,3 +219,35 @@ def test_tiled_tiff_decode():
            + b"".join(tiles))
     img = picha.decodeTiffSync(buf)
     np.testing.assert_array_equal(img.to_array()[:, :, 0], arr)
+
+
+@pytest.mark.parametrize("orientation", range(1, 9))
+def test_stat_dims_match_decode(orientation):
+    """stat() and decode() must agree on geometry for every orientation
+    (deviation from libtiff noted in codecs/tiff.py: 5-8 transpose)."""
+    base = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    buf = _grey_tiff(base, orientation)
+    st = picha.statTiff(buf)
+    img = picha.decodeTiffSync(buf)
+    assert (st["width"], st["height"]) == (img.width, img.height)
+
+
+def test_tile_table_guards():
+    """Crafted tiled files with missing TileWidth or short tables raise
+    CodecError, not raw TypeError/IndexError."""
+    import struct
+    arr = np.zeros((4, 4), np.uint8)
+    data_off = 8 + 2 + 9 * 12 + 4
+    # missing TileLength (323): only TileWidth present
+    tags = [(256, 4, 1, 4), (257, 4, 1, 4), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (322, 4, 1, 16),
+            (324, 4, 1, data_off), (325, 4, 1, arr.size), (277, 3, 1, 1)]
+    with pytest.raises(picha.CodecError):
+        picha.decodeTiffSync(_craft_tiff(tags, arr.tobytes()))
+    # tile tables shorter than tiles_x*tiles_y (16x16 tiles over 40x40
+    # needs 9 tiles; only 1 offset/count given)
+    tags = [(256, 4, 1, 40), (257, 4, 1, 40), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (322, 4, 1, 16), (323, 4, 1, 16),
+            (324, 4, 1, data_off), (325, 4, 1, 16), (277, 3, 1, 1)]
+    with pytest.raises(picha.CodecError):
+        picha.decodeTiffSync(_craft_tiff(tags, arr.tobytes()))
