@@ -100,37 +100,38 @@ def bench_tpu_stage(p, sig, dargs, batch, mpix, iters=20, fused=False):
     return batch * iters / dt
 
 
-def bench_e2e(bufs, batch, out_w, out_h, rounds=8):
+def bench_e2e(bufs, batch, out_w, out_h, rounds=10):
     """Pipelined, stage-overlapped decode -> resize -> encode.
 
-    Host->device ships int8 coefficient bodies + corrections (half the
-    dense bytes, bit-exact) via async device_put; device->host ships
-    4:2:0 planes; raw-data libjpeg re-encode on host threads. Producer
-    runs 3 batches ahead."""
-    import jax
+    Host->device ships gap-delta sparse coefficients (~2 B per nonzero,
+    ~3x fewer bytes than dense int8 at q85, bit-exact); device runs the
+    fused dequant+IDCT+upsample+resize graph and emits 4:2:0 planes;
+    device->host ships the planes; host threads run the raw-data
+    libjpeg re-encode. stream() keeps 2 batches in flight so the two
+    link directions (full duplex), the chip, and the host all overlap.
 
+    Returns (img/s, stage detail dict incl. the link roofline)."""
     from picha_tpu.pipeline import JpegBatchPipeline
-    from picha_tpu.pipeline.prefetch import prefetch
 
     p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
                           encode_backend="raw420", fused=True,
-                          upload="int8")
+                          upload="gap8")
     # warm up compile + link caches
     p(bufs[:batch])
 
-    def produce():
-        for r in range(rounds):
-            cos = p.entropy_decode(bufs[:batch])
-            sig, ks, args = p.stack_bucket(cos)
-            dargs = [jax.device_put(a) for a in args]  # async upload
-            yield sig, p.run_bucket(sig, dargs, int8_ks=ks)
+    # stage bytes for the roofline
+    cos = p.entropy_decode(bufs[:batch])
+    _, _, args = p.stack_bucket(cos)
+    up_bytes = sum(a.nbytes for a in args)
+    down_bytes = batch * (((out_h + 15) & ~15) * ((out_w + 15) & ~15) * 3) // 2
 
     t0 = time.perf_counter()
     n = 0
-    for sig, dev in prefetch(produce(), depth=3):
-        n += len(p.raw420_encode(dev, sig))
+    for encoded in p.stream((bufs[:batch] for _ in range(rounds)), depth=2):
+        n += len(encoded)
     dt = time.perf_counter() - t0
-    return n / dt
+    return n / dt, {"up_MB_per_batch": round(up_bytes / 1e6, 1),
+                    "down_MB_per_batch": round(down_bytes / 1e6, 1)}
 
 
 def bench_train_ingest(bufs, batch, rounds=10):
@@ -141,19 +142,54 @@ def bench_train_ingest(bufs, batch, rounds=10):
     from picha_tpu.pipeline import JpegBatchPipeline
 
     p = JpegBatchPipeline(width=224, height=224, normalize=True, fused=True,
-                          upload="int8")
+                          upload="gap8")
     out = p(bufs[:batch])
     np.asarray(out[0, :2, 0])  # force
     t0 = time.perf_counter()
     outs = []
     for _ in range(rounds):
-        cos = p.entropy_decode(bufs[:batch])
-        sig, ks, args = p.stack_bucket(cos)
-        dargs = [jax.device_put(a) for a in args]
-        outs.append(p.run_bucket(sig, dargs, int8_ks=ks))
+        _, dev = p._stage_device(p.entropy_decode(bufs[:batch]))
+        outs.append(dev)
     np.asarray(outs[-1][0, :2, 0])  # dependent readback forces the stream
     dt = time.perf_counter() - t0
     return batch * rounds / dt
+
+
+def bench_host_stage(bufs, batch, out_w, out_h, iters=3):
+    """All host-side CPU work per batch (entropy + sparse pack + raw420
+    re-encode) — the serial-core roofline term."""
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                          encode_backend="raw420", fused=True,
+                          upload="gap8")
+    hp, wp = (out_h + 15) & ~15, (out_w + 15) & ~15
+    planes = np.full((batch, hp * wp + 2 * (hp // 2) * (wp // 2)), 128,
+                     np.uint8)
+    sig = None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        cos = p.entropy_decode(bufs[:batch])
+        sig, ks, args = p.stack_bucket(cos)
+        p.raw420_encode(planes, sig)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_tpu_parity(bufs):
+    """Real-chip smoke parity: fused gap8 TPU decode vs host libjpeg,
+    must stay within 1 LSB average (CLAUDE.md invariant)."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    p = JpegBatchPipeline(fused=True, upload="gap8")
+    got = np.asarray(p(bufs[:2]))
+    w, h, _ = native.jpeg_stat(bufs[0])
+    diffs = []
+    for i in range(2):
+        want = native.jpeg_decode(bufs[i], 3, w, h)
+        diffs.append(np.abs(got[i].astype(int) - want.astype(int)).mean())
+    return max(diffs)
 
 
 def bench_entropy(bufs, batch, iters=4):
@@ -260,10 +296,34 @@ def main():
         log(f"training-input ingest (decode+resize 224+normalize, on-device): "
             f"{train_ips:.1f} img/s ({train_ips * mpix:.0f} Mpix/s)")
 
-    e2e_ips = stage("e2e", bench_e2e, bufs, batch, out_w, out_h)
-    if e2e_ips:
+    host_ips = stage("host stage", bench_host_stage, bufs, batch, out_w, out_h)
+    if host_ips:
+        detail["host_stage_mpix_s"] = round(host_ips * mpix, 1)
+        log(f"host stage (entropy + gap8 pack + raw420 encode): "
+            f"{host_ips:.1f} img/s ({host_ips * mpix:.0f} Mpix/s)")
+
+    parity = stage("tpu parity", bench_tpu_parity, bufs)
+    if parity is not None:
+        detail["tpu_host_avg_diff_lsb"] = round(float(parity), 3)
+        log(f"TPU fused decode vs host libjpeg: avg diff {parity:.3f} LSB "
+            f"({'OK' if parity <= 1.0 else 'VIOLATION'} of <=1 LSB invariant)")
+
+    e2e_ips = None
+    e2e = stage("e2e", bench_e2e, bufs, batch, out_w, out_h)
+    if e2e:
+        e2e_ips, ebytes = e2e
+        detail.update(ebytes)
         log(f"e2e decode->resize->encode (pipelined): {e2e_ips:.1f} img/s "
             f"({e2e_ips * mpix:.0f} Mpix/s)")
+        if link and host_ips:
+            up_ips = link[0] * batch / ebytes["up_MB_per_batch"]
+            down_ips = link[1] * batch / ebytes["down_MB_per_batch"]
+            roof = min(up_ips, down_ips, host_ips)
+            detail["roofline_mpix_s"] = round(roof * mpix, 1)
+            detail["achieved_vs_roofline"] = round(e2e_ips / roof, 2)
+            log(f"roofline: up {up_ips:.1f} img/s, down {down_ips:.1f} img/s, "
+                f"host {host_ips:.1f} img/s -> min {roof:.1f} img/s; "
+                f"achieved {e2e_ips / roof:.0%}")
 
     p50 = stage("latency", bench_single_latency, bufs[0], out_w, out_h)
     if p50:

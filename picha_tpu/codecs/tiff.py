@@ -45,6 +45,12 @@ T_JPEG_TABLES, T_JPEG_IF, T_JPEG_IF_LEN, T_YCBCR_SUBSAMPLING = 347, 513, 514, 53
 # compressions
 C_NONE, C_CCITT, C_OLDJPEG, C_JPEG, C_ADEFLATE, C_PACKBITS = 1, 2, 6, 7, 8, 32773
 C_LZW, C_DEFLATE = 5, 32946
+C_G3, C_G4 = 3, 4
+T_T4OPTIONS, T_T6OPTIONS = 292, 293
+
+# FillOrder=2 stores bits lsb-first within each byte; libtiff reverses
+# the raw segment bytes before decoding (TIFFReverseBits) and so do we
+_BITREV = np.array([int(f"{i:08b}"[::-1], 2) for i in range(256)], np.uint8)
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
                11: 4, 12: 8}
@@ -183,9 +189,38 @@ def _expand_to_samples(rows: np.ndarray, width: int, spp: int,
 
 
 def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
-              planar, predictor):
+              planar, predictor, fillorder=1):
     """Decode strips or tiles into a (height, width, spp) sample array."""
     bytedepth = 2 if bits == 16 else 1
+
+    def seg_bytes(off, cnt):
+        seg = buf[off : off + cnt]
+        if fillorder == 2:
+            seg = _BITREV[np.frombuffer(seg, np.uint8)].tobytes()
+        return seg
+
+    if comp in (C_CCITT, C_G3, C_G4):
+        if T_TILE_OFFSETS in ifd.tags:
+            raise CodecError("tiled fax TIFF unsupported")
+        if bits != 1 or spp != 1:
+            raise CodecError("CCITT fax TIFF must be 1-bit single-sample")
+        offsets = ifd.get(T_STRIP_OFFSETS)
+        counts = ifd.get(T_STRIP_COUNTS)
+        if offsets is None or counts is None:
+            raise CodecError("fax TIFF missing strip tables")
+        rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
+        opts = int(ifd.one(T_T4OPTIONS if comp == C_G3 else T_T6OPTIONS, 0))
+        out = np.zeros((height, width, 1), np.uint8)
+        nstrips = math.ceil(height / rps)
+        if len(offsets) < nstrips or len(counts) < nstrips:
+            raise CodecError("TIFF strip tables too short")
+        for s in range(nstrips):
+            nrows = min(rps, height - s * rps)
+            rows = native.fax_decode(seg_bytes(offsets[s], counts[s]),
+                                     width, nrows, comp, opts)
+            out[s * rps : s * rps + nrows, :, 0] = rows
+        return out
+
     if T_TILE_OFFSETS in ifd.tags:
         tw, th = ifd.one(T_TILE_W), ifd.one(T_TILE_H)
         if not tw or not th or int(tw) <= 0 or int(th) <= 0:
@@ -208,7 +243,7 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
         for p in range(planes):
             for ty in range(tiles_y):
                 for tx in range(tiles_x):
-                    raw = _decompress(buf[offsets[i] : offsets[i] + counts[i]],
+                    raw = _decompress(seg_bytes(offsets[i], counts[i]),
                                       comp, rowbytes * th)
                     i += 1
                     if len(raw) < rowbytes * th:
@@ -258,7 +293,7 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
             i = p * strips_per_plane + s
             y0 = s * rps
             nrows = min(rps, height - y0)
-            raw = _decompress(buf[offsets[i] : offsets[i] + counts[i]], comp,
+            raw = _decompress(seg_bytes(offsets[i], counts[i]), comp,
                               rowbytes * nrows)
             if len(raw) < rowbytes * nrows:
                 raise CodecError("TIFF strip too short")
@@ -275,6 +310,49 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
             else:
                 out[y0:y0+nrows] = samples
     return out
+
+
+def _decode_ycbcr_subsampled(ifd: _Ifd, buf: bytes, width: int, height: int,
+                             comp: int, subs, fillorder) -> np.ndarray:
+    """Uncompressed/LZW/deflate subsampled YCbCr strips (TIFF 6.0 §21):
+    each data unit is h*v Y samples then one Cb and one Cr; chroma
+    upsamples by replication, as TIFFReadRGBAImage does."""
+    hs, vs = int(subs[0]), int(subs[1])
+    if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+        raise CodecError("bad YCbCr subsampling factors")
+    offsets = ifd.get(T_STRIP_OFFSETS)
+    counts = ifd.get(T_STRIP_COUNTS)
+    if offsets is None or counts is None:
+        raise CodecError("subsampled YCbCr TIFF missing strip tables")
+    rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
+    rps = -(-rps // vs) * vs  # strips cover whole subsampling rows
+    nstrips = math.ceil(height / rps)
+    if len(offsets) < nstrips or len(counts) < nstrips:
+        raise CodecError("TIFF strip tables too short")
+    upr = -(-width // hs)  # units per row of units
+    unit = hs * vs + 2
+    out = np.zeros((nstrips * rps, upr * hs, 3), np.uint8)
+    for s in range(nstrips):
+        nrows = min(rps, height - s * rps)
+        nur = -(-nrows // vs)
+        expected = nur * upr * unit
+        seg = buf[offsets[s] : offsets[s] + counts[s]]
+        if fillorder == 2:
+            seg = _BITREV[np.frombuffer(seg, np.uint8)].tobytes()
+        raw = _decompress(seg, comp, expected)
+        if len(raw) < expected:
+            raise CodecError("YCbCr strip too short")
+        units = np.frombuffer(raw, np.uint8, expected).reshape(nur, upr, unit)
+        y = units[:, :, : hs * vs].reshape(nur, upr, vs, hs)
+        y = y.transpose(0, 2, 1, 3).reshape(nur * vs, upr * hs)
+        cb = units[:, :, hs * vs].repeat(vs, 0).repeat(hs, 1)
+        cr = units[:, :, hs * vs + 1].repeat(vs, 0).repeat(hs, 1)
+        y0 = s * rps
+        rows = min(nur * vs, out.shape[0] - y0)
+        out[y0 : y0 + rows, :, 0] = y[:rows]
+        out[y0 : y0 + rows, :, 1] = cb[:rows]
+        out[y0 : y0 + rows, :, 2] = cr[:rows]
+    return out[:height, :width]
 
 
 def _decode_jpeg_in_tiff(ifd: _Ifd, buf: bytes, width: int, height: int,
@@ -347,8 +425,7 @@ def decode(buf: bytes, opts: dict) -> Image:
     bits_list = ifd.get(T_BITS, [1])
     bits = int(bits_list[0])
     comp = int(ifd.one(T_COMPRESSION, C_NONE))
-    if int(ifd.one(T_FILLORDER, 1)) == 2:
-        raise CodecError("unsupported TIFF fill order (lsb-first)")
+    fillorder = int(ifd.one(T_FILLORDER, 1))
     photometric = int(ifd.one(T_PHOTOMETRIC, 1))
     planar = int(ifd.one(T_PLANAR, 1))
     predictor = int(ifd.one(T_PREDICTOR, 1))
@@ -361,8 +438,15 @@ def decode(buf: bytes, opts: dict) -> Image:
         out = np.concatenate([rgb[..., :3], alpha], axis=-1)
         return Image.from_array(_orient(out, orientation), "rgba")
 
-    samples = _segments(ifd, endian, buf, width, height, spp, bits, comp,
-                        planar, predictor)
+    subs = ifd.get(T_YCBCR_SUBSAMPLING, [2, 2]) if photometric == 6 else [1, 1]
+    if photometric == 6 and list(subs)[:2] != [1, 1]:
+        if bits != 8 or planar != 1:
+            raise CodecError("subsampled YCbCr requires 8-bit contiguous data")
+        samples = _decode_ycbcr_subsampled(ifd, buf, width, height, comp,
+                                           subs, fillorder)
+    else:
+        samples = _segments(ifd, endian, buf, width, height, spp, bits, comp,
+                            planar, predictor, fillorder)
 
     alpha = None
     extras = ifd.get(T_EXTRASAMPLES)
@@ -400,10 +484,7 @@ def decode(buf: bytes, opts: dict) -> Image:
                         (255 - y_) * (255 - k) // 255], axis=-1).astype(np.uint8)
         if spp > 4:
             alpha = to8(samples[:, :, 4])
-    elif photometric == 6:  # YCbCr (uncompressed)
-        subs = ifd.get(T_YCBCR_SUBSAMPLING, [2, 2])
-        if list(subs) != [1, 1]:
-            raise CodecError("subsampled uncompressed YCbCr TIFF unsupported")
+    elif photometric == 6:  # YCbCr (non-JPEG)
         y = samples[:, :, 0].astype(np.int32)
         cb = samples[:, :, 1].astype(np.int32) - 128
         cr = samples[:, :, 2].astype(np.int32) - 128

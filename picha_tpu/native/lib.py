@@ -100,6 +100,19 @@ def get_lib():
                 C.c_size_t, C.POINTER(C.c_size_t)]
             lib.picha_packbits_decode.restype = C.c_int
 
+            lib.picha_fax_decode.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t, C.c_int, C.c_int,
+                C.c_int, C.c_uint32, C.POINTER(C.c_uint8),
+                C.POINTER(C.c_int), C.POINTER(C.c_char_p)]
+            lib.picha_fax_decode.restype = C.c_int
+
+            lib.picha_gap8_pack.argtypes = [
+                C.POINTER(C.c_int16), C.c_size_t,
+                C.POINTER(C.c_uint8), C.POINTER(C.c_int8),
+                C.POINTER(C.c_size_t), C.POINTER(C.c_int32),
+                C.POINTER(C.c_int16), C.POINTER(C.c_size_t)]
+            lib.picha_gap8_pack.restype = C.c_int
+
             lib.picha_webp_stat.argtypes = [
                 C.POINTER(C.c_uint8), C.c_size_t,
                 C.POINTER(C.c_int), C.POINTER(C.c_int), C.POINTER(C.c_int)]
@@ -370,3 +383,59 @@ def webp_encode(arr: np.ndarray, preset: int, quality: float,
     if rc != 0:
         raise CodecError(f"WebP encode failed ({rc})")
     return take_buffer(lib, out, outlen.value)
+
+
+# ---------------------------------------------------------------------------
+# Sparse coefficient packing (TPU upload wire format)
+# ---------------------------------------------------------------------------
+
+def gap8_pack(coefs: np.ndarray):
+    """Pack an int16 coefficient plane into (gaps u8, vals i8, corr_idx
+    i32, corr_val i16) — the gap-delta wire format (sparsepack.cc).
+
+    index_i = cumsum(gaps)[i] - 1; dense[idx] += val, then the
+    correction list repairs |v| > 127 at flat positions."""
+    lib = get_lib()
+    flat = np.ascontiguousarray(coefs.reshape(-1), dtype=np.int16)
+    n = flat.size
+    cap = n + n // 255 + 2
+    gaps = np.empty(cap, np.uint8)
+    vals = np.empty(cap, np.int8)
+    # worst case every coefficient overflows int8; untouched pages are
+    # free, so size for it outright
+    corr_idx = np.empty(max(1, n), np.int32)
+    corr_val = np.empty(max(1, n), np.int16)
+    npairs = C.c_size_t()
+    ncorr = C.c_size_t()
+    rc = lib.picha_gap8_pack(
+        flat.ctypes.data_as(C.POINTER(C.c_int16)), n,
+        _u8ptr(gaps), vals.ctypes.data_as(C.POINTER(C.c_int8)),
+        C.byref(npairs),
+        corr_idx.ctypes.data_as(C.POINTER(C.c_int32)),
+        corr_val.ctypes.data_as(C.POINTER(C.c_int16)), C.byref(ncorr))
+    if rc != 0:
+        raise CodecError("gap8 pack failed")
+    k, c = npairs.value, ncorr.value
+    return gaps[:k], vals[:k], corr_idx[:c].copy(), corr_val[:c].copy()
+
+
+# ---------------------------------------------------------------------------
+# CCITT fax (TIFF compressions 2/3/4)
+# ---------------------------------------------------------------------------
+
+def fax_decode(buf: bytes, width: int, height: int, comp: int,
+               options: int = 0) -> np.ndarray:
+    """Decode a T.4/T.6 segment to (height, width) uint8 of 0/1
+    (0 = white). Short streams pad the remaining rows white, matching
+    libtiff's tolerance."""
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty((height, width), np.uint8)
+    rows = C.c_int()
+    err = C.c_char_p()
+    rc = lib.picha_fax_decode(_u8ptr(src), src.size, width, height, comp,
+                              options, _u8ptr(out.reshape(-1)),
+                              C.byref(rows), C.byref(err))
+    if rc != 0:
+        raise CodecError(take_error(lib, err))
+    return out

@@ -82,6 +82,25 @@ PICHA_API int picha_packbits_decode(const uint8_t* src, size_t srclen,
                                     uint8_t* out, size_t outcap,
                                     size_t* outlen);
 
+// ---- CCITT fax (TIFF compressions 2, 3, 4) --------------------------------
+// Decodes a T.4/T.6 bitstream (MSB-first; caller pre-reverses
+// FillOrder=2 data) into one byte per pixel, 0=white 1=black. comp: 2 =
+// modified-Huffman RLE, 3 = Group 3 (options = T4Options tag: bit0
+// 2-D), 4 = Group 4. Missing rows are padded white; rows_done reports
+// how many rows actually decoded.
+PICHA_API int picha_fax_decode(const uint8_t* src, size_t len, int width,
+                               int height, int comp, uint32_t options,
+                               uint8_t* out, int* rows_done, char** err);
+
+// ---- sparse coefficient packing (TPU upload wire format) ------------------
+// Emits (gap uint8, value int8) pairs for the nonzeros of an int16 plane
+// plus an int8-overflow correction list; see sparsepack.cc. Caller sizes
+// gaps/vals for n + n/255 + 2 entries and corr_* for n entries.
+PICHA_API int picha_gap8_pack(const int16_t* coefs, size_t n,
+                              uint8_t* gaps, int8_t* vals, size_t* npairs,
+                              int32_t* corr_idx, int16_t* corr_val,
+                              size_t* ncorr);
+
 // ---- WebP (libwebp shim) -------------------------------------------------
 PICHA_API int picha_webp_stat(const uint8_t* src, size_t len,
                               int* width, int* height, int* has_alpha);

@@ -19,6 +19,7 @@ matmuls over N*H rows).
 from __future__ import annotations
 
 import functools
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence
 
@@ -43,6 +44,28 @@ def signature(co: native.JpegCoefficients):
                   for c in co.comps))
 
 
+def bucket_by_signature(cos):
+    """Group decoded coefficient sets by shape signature (SURVEY.md §7
+    hard part (c): XLA needs static shapes, real corpora are ragged).
+
+    Returns a list of (sig, indices, group) with indices into the input
+    order; iteration order is deterministic (first appearance)."""
+    order = {}
+    for i, co in enumerate(cos):
+        order.setdefault(signature(co), []).append(i)
+    return [(sig, idxs, [cos[i] for i in idxs])
+            for sig, idxs in order.items()]
+
+
+def pad_group(group, multiple: int = 8):
+    """Pad a bucket to a size multiple by repeating its last element —
+    bounds the number of distinct batch shapes XLA has to compile.
+    Returns (padded_group, real_count)."""
+    n = len(group)
+    target = -(-n // multiple) * multiple
+    return list(group) + [group[-1]] * (target - n), n
+
+
 @functools.lru_cache(maxsize=256)
 def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                      filter_name: str, filter_scale: float,
@@ -50,7 +73,8 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                      sparse_ks: Optional[tuple] = None,
                      yuv420_out: bool = False,
                      fused: bool = False,
-                     int8_ks: Optional[tuple] = None):
+                     int8_ks: Optional[tuple] = None,
+                     gap8_ks: Optional[tuple] = None):
     """Build the fused batched graph for one signature bucket.
 
     Stages: coefficients -> RGB/grey (N,H,W,C int32) -> optional resize
@@ -80,6 +104,23 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
         dense = jax.vmap(one)(idx, val)
         return dense.reshape((-1, bh, bw, 64))
 
+    def gap8_restore(g, v, ci, cv, bh, bw):
+        # gap-delta wire format (native/src/sparsepack.cc): per-image
+        # (gap u8, val i8) pairs with cumulative 1-based indexing, plus
+        # a batch-flat int16 correction list for |v| > 127. Both
+        # scatters ride the sorted fast path.
+        m = bh * bw * 64
+        idx = jnp.cumsum(g.astype(jnp.int32), axis=1) - 1  # (N, K) sorted
+
+        def one(i, vv):
+            return jnp.zeros((m,), jnp.int32).at[i].add(
+                vv.astype(jnp.int32), indices_are_sorted=True)
+
+        dense = jax.vmap(one)(idx, v)
+        flat = dense.reshape(-1)
+        flat = flat.at[ci].add(cv.astype(jnp.int32), indices_are_sorted=True)
+        return flat.reshape((-1, bh, bw, 64))
+
     def int8_restore(c8, idx, val):
         # int8 body + batch-flat sorted corrections for |v| > 127
         # (padding at the last index adds zero)
@@ -90,9 +131,47 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                                 indices_are_sorted=True)
         return flat.reshape(shape)
 
+    def unpack_gap8(buf):
+        # single coalesced uint8 upload buffer -> per-component arrays.
+        # One transfer instead of ~15: this link pays a large fixed
+        # latency per host->device copy (measured 6x8MB at 27 MB/s vs
+        # 1x48MB at 47 MB/s), so the wire layout is one buffer with
+        # 4-byte-aligned sections, bitcast on device.
+        from jax import lax
+
+        nb, n = gap8_ks[0], len(comp_sig)
+        off = 0
+        parts = []
+
+        def take(count, dtype):
+            nonlocal off
+            width = jnp.dtype(dtype).itemsize
+            raw = buf[off:off + count * width]
+            off += count * width
+            if width == 1:
+                return lax.bitcast_convert_type(raw, dtype)
+            return lax.bitcast_convert_type(raw.reshape(count, width), dtype)
+
+        for i in range(n):
+            k, kc = gap8_ks[1][i]
+            g = take(nb * k, jnp.uint8).reshape(nb, k)
+            v = take(nb * k, jnp.int8).reshape(nb, k)
+            ci = take(kc, jnp.int32)
+            cv = take(kc, jnp.int16)
+            parts.append((g, v, ci, cv))
+        qtabs = tuple(
+            take(nb * 64, jnp.uint16).reshape(nb, 1, 1, 64)
+            for _ in range(n))
+        return parts, qtabs
+
     def fn(*args):
         n = len(comp_sig)
-        if sparse_ks is not None:
+        if gap8_ks is not None:
+            parts, qtabs = unpack_gap8(args[0])
+            coefs = tuple(
+                gap8_restore(g, v, ci, cv, comp_sig[i][0], comp_sig[i][1])
+                for i, (g, v, ci, cv) in enumerate(parts))
+        elif sparse_ks is not None:
             coefs = tuple(
                 densify(args[2 * i], args[2 * i + 1],
                         comp_sig[i][0], comp_sig[i][1])
@@ -156,19 +235,23 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                 crp = cbp
                 yp = jnp.pad(yp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
                              mode="edge")
-                return (yp.astype(jnp.uint8), cbp.astype(jnp.uint8),
-                        crp.astype(jnp.uint8))
-            yp, cbp, crp = jpeg_tpu.rgb_to_ycbcr(img)
-            yp = jnp.pad(yp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
-                         mode="edge")
-            cbp = jpeg_tpu.box_downsample_2x2(
-                jnp.pad(cbp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
-                        mode="edge"))
-            crp = jpeg_tpu.box_downsample_2x2(
-                jnp.pad(crp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
-                        mode="edge"))
-            return (yp.astype(jnp.uint8), cbp.astype(jnp.uint8),
-                    crp.astype(jnp.uint8))
+            else:
+                yp, cbp, crp = jpeg_tpu.rgb_to_ycbcr(img)
+                yp = jnp.pad(yp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                             mode="edge")
+                cbp = jpeg_tpu.box_downsample_2x2(
+                    jnp.pad(cbp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                            mode="edge"))
+                crp = jpeg_tpu.box_downsample_2x2(
+                    jnp.pad(crp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                            mode="edge"))
+            # one (N, bytes) uint8 buffer per batch: a single readback
+            # instead of three (per-transfer link latency dominates)
+            nimg = yp.shape[0]
+            return jnp.concatenate(
+                [yp.astype(jnp.uint8).reshape(nimg, -1),
+                 cbp.astype(jnp.uint8).reshape(nimg, -1),
+                 crp.astype(jnp.uint8).reshape(nimg, -1)], axis=1)
         if encode_quality is not None:
             qluma, qchroma = jpeg_tpu.quality_tables(encode_quality)
             eh = out_h if out_h is not None else height
@@ -268,6 +351,47 @@ class JpegBatchPipeline:
                 q = np.stack([co.comps[i]["qtable"] for co in cos])
                 args.append(q[:, None, None, :])
             return sig, tuple(ks), args
+        if self._upload == "gap8":
+            # one coalesced uint8 wire buffer (unpack_gap8 is the device
+            # side): [per comp: gaps | vals | corr_idx | corr_val] then
+            # the uint16 qtables; every section is 4-byte aligned by the
+            # 8192/1024 padding granularity
+            nb = len(cos)
+            ks = []
+            sections = []
+            for i in range(n):
+                m = cos[0].comps[i]["coefs"].size
+                packed = [native.gap8_pack(co.comps[i]["coefs"]) for co in cos]
+                k = max(g.size for g, _, _, _ in packed)
+                k = -(-k // 8192) * 8192  # bucket to limit recompiles
+                gaps = np.zeros((nb, k), np.uint8)
+                vals = np.zeros((nb, k), np.int8)
+                ci_parts, cv_parts = [], []
+                for j, (g, v, ci, cv) in enumerate(packed):
+                    gaps[j, : g.size] = g
+                    vals[j, : v.size] = v
+                    if ci.size:
+                        ci_parts.append(ci.astype(np.int64) + j * m)
+                        cv_parts.append(cv)
+                nc = sum(p.size for p in ci_parts)
+                kc = -(-max(1, nc) // 1024) * 1024
+                # pad corrections at the last flat index with zero value —
+                # keeps the scatter sorted and is a no-op add
+                corr_idx = np.full((kc,), nb * m - 1, np.int32)
+                corr_val = np.zeros((kc,), np.int16)
+                if nc:
+                    corr_idx[:nc] = np.concatenate(ci_parts)
+                    corr_val[:nc] = np.concatenate(cv_parts)
+                sections += [gaps.reshape(-1), vals.view(np.uint8).reshape(-1),
+                             corr_idx.view(np.uint8).reshape(-1),
+                             corr_val.view(np.uint8).reshape(-1)]
+                ks.append((k, kc))
+            for i in range(n):
+                q = np.stack([co.comps[i]["qtable"] for co in cos])
+                sections.append(np.ascontiguousarray(
+                    q.astype(np.uint16)).view(np.uint8).reshape(-1))
+            wire = np.concatenate(sections)
+            return sig, (nb, tuple(ks)), [wire]
         if self._upload == "int8":
             ks = []
             for i in range(n):
@@ -299,15 +423,32 @@ class JpegBatchPipeline:
 
     # -- device stage ------------------------------------------------------
 
-    def run_bucket(self, sig, args, sparse_ks=None, int8_ks=None):
+    def run_bucket(self, sig, args, sparse_ks=None, int8_ks=None,
+                   gap8_ks=None):
         device_quality = (self._encode_quality
                           if self._encode_backend == "tpu" else None)
         yuv = (self._encode_backend == "raw420"
                and self._encode_quality is not None)
         fn = _jit_batch_graph(sig, self._width, self._height, self._filter,
                               self._fscale, self._normalize, device_quality,
-                              sparse_ks, yuv, self._fused, int8_ks)
+                              sparse_ks, yuv, self._fused, int8_ks, gap8_ks)
         return fn(*args)
+
+    def _stage_device(self, cos):
+        """Host pack + async upload + graph dispatch for one homogeneous
+        batch; returns (sig, device outputs) without blocking on the
+        device."""
+        import jax
+
+        sig = signature(cos[0])
+        if self._upload in ("sparse", "int8", "gap8"):
+            sig, ks, args = self.stack_bucket(cos)
+            dargs = [jax.device_put(a) for a in args]
+            kw = {self._upload + "_ks": ks}
+            return sig, self.run_bucket(sig, dargs, **kw)
+        sig, args = self.stack_bucket(cos)
+        dargs = [jax.device_put(a) for a in args]
+        return sig, self.run_bucket(sig, dargs)
 
     def __call__(self, bufs: Sequence[bytes]):
         """Full pipeline for a homogeneous batch; returns device array(s)
@@ -315,17 +456,20 @@ class JpegBatchPipeline:
         cos = self.entropy_decode(bufs)
         sigs = {signature(co) for co in cos}
         if len(sigs) != 1:
-            raise ValueError(
-                "mixed-signature batch; group by pipeline.signature() first")
-        if self._upload == "sparse":
+            return self._call_mixed(cos)
+        return self._finish(*self._process(cos))
+
+    def _process(self, cos):
+        """Homogeneous batch -> (sig, device output)."""
+        if self._upload in ("sparse", "int8", "gap8"):
             sig, ks, args = self.stack_bucket(cos)
-            out = self.run_bucket(sig, args, sparse_ks=ks)
-        elif self._upload == "int8":
-            sig, ks, args = self.stack_bucket(cos)
-            out = self.run_bucket(sig, args, int8_ks=ks)
-        else:
-            sig, args = self.stack_bucket(cos)
-            out = self.run_bucket(sig, args)
+            return sig, self.run_bucket(sig, args,
+                                        **{self._upload + "_ks": ks})
+        sig, args = self.stack_bucket(cos)
+        return sig, self.run_bucket(sig, args)
+
+    def _finish(self, sig, out):
+        """Device output -> arrays or encoded bytes."""
         if self._encode_quality is None:
             return out
         if self._encode_backend == "host":
@@ -337,21 +481,125 @@ class JpegBatchPipeline:
             return self.raw420_encode(out, sig)
         return self.huffman_encode(out, sig)
 
+    def _call_mixed(self, cos):
+        """Heterogeneous batch: bucket by signature, pad each bucket to
+        a size multiple (bounding XLA recompiles), run per-bucket
+        sub-batches, reassemble in input order (SURVEY.md §7 hard part
+        (c); index.js:210-221's any-input contract lifted to batches)."""
+        if self._encode_quality is None and (self._width is None
+                                             or self._height is None):
+            raise ValueError(
+                "mixed-signature batch without a resize target has no "
+                "common output shape; set width/height or encode_quality")
+        results = [None] * len(cos)
+        for sig, idxs, group in bucket_by_signature(cos):
+            padded, n = pad_group(group)
+            out = self._finish(*self._process(padded))
+            if isinstance(out, list):
+                for j, i in enumerate(idxs):
+                    results[i] = out[j]
+            else:
+                arr = np.asarray(out)
+                for j, i in enumerate(idxs):
+                    results[i] = arr[j]
+        if self._encode_quality is None:
+            # grey buckets produce C=1; replicate to the batch's widest
+            # channel count so the stack has one shape
+            cmax = max(r.shape[-1] for r in results)
+            results = [np.repeat(r, cmax, axis=-1)
+                       if r.shape[-1] != cmax else r for r in results]
+            return np.stack(results)
+        return results
+
+    def stream(self, batches, depth: int = 2):
+        """Stage-overlapped pipeline over an iterable of homogeneous
+        batches (lists of JPEG bytes). Keeps `depth` batches in flight:
+
+          thread E: entropy decode (libjpeg, GIL released)
+          thread D: sparse pack + async upload + graph dispatch
+          caller:   device readback + host re-encode
+
+        The upload and readback directions of the host<->device link are
+        independent (full duplex), so batch n's result downloads while
+        batch n+1's coefficients upload and n+2 entropy-decodes — the
+        libuv-overlap story of the reference (resize.cc:364) rebuilt as
+        a device pipeline. Yields per-batch results in order."""
+        import queue as _queue
+
+        q_cos: _queue.Queue = _queue.Queue(maxsize=depth)
+        q_dev: _queue.Queue = _queue.Queue(maxsize=depth)
+        _END = object()
+
+        def entropy_worker():
+            try:
+                for bufs in batches:
+                    q_cos.put(("ok", self.entropy_decode(bufs)))
+            except BaseException as e:  # noqa: BLE001 — relay to consumer
+                q_cos.put(("err", e))
+            q_cos.put((_END, None))
+
+        def device_worker():
+            while True:
+                kind, item = q_cos.get()
+                if kind is _END:
+                    break
+                if kind == "err":
+                    q_dev.put(("err", item))
+                    break
+                try:
+                    q_dev.put(("ok", self._stage_device(item)))
+                except BaseException as e:  # noqa: BLE001
+                    q_dev.put(("err", e))
+                    break
+            q_dev.put((_END, None))
+
+        te = threading.Thread(target=entropy_worker, daemon=True)
+        td = threading.Thread(target=device_worker, daemon=True)
+        te.start()
+        td.start()
+        try:
+            while True:
+                kind, item = q_dev.get()
+                if kind is _END:
+                    return
+                if kind == "err":
+                    raise item
+                sig, out = item
+                if self._encode_quality is None:
+                    yield out
+                elif self._encode_backend == "raw420":
+                    yield self.raw420_encode(out, sig)
+                elif self._encode_backend == "host":
+                    batch = np.asarray(out)
+                    yield list(self._pool.map(
+                        lambda img: native.jpeg_encode(
+                            img, self._encode_quality), batch))
+                else:
+                    yield self.huffman_encode(out, sig)
+        finally:
+            te.join(timeout=0.1)
+            td.join(timeout=0.1)
+
     def raw420_encode(self, planes, sig):
-        """Host stage for the yuv420 output mode: padded planes -> JPEG
-        via jpeg_write_raw_data (fDCT+quant+Huffman only on host)."""
+        """Host stage for the yuv420 output mode: coalesced (N, bytes)
+        plane buffer -> JPEG via jpeg_write_raw_data (fDCT+quant+Huffman
+        only on host)."""
         width, height = sig[0], sig[1]
         ew = self._width if self._width is not None else width
         eh = self._height if self._height is not None else height
+        hpad, wpad = (eh + 15) & ~15, (ew + 15) & ~15
         q = self._encode_quality
-        y = np.asarray(planes[0])
-        cb = np.asarray(planes[1])
-        cr = np.asarray(planes[2])
+        buf = np.asarray(planes)  # (N, ybytes + 2*cbytes) single readback
+        ysz = hpad * wpad
+        csz = (hpad // 2) * (wpad // 2)
 
         def enc(i):
-            return native.jpeg_encode_raw420(y[i], cb[i], cr[i], ew, eh, q)
+            y = buf[i, :ysz].reshape(hpad, wpad)
+            cb = buf[i, ysz : ysz + csz].reshape(hpad // 2, wpad // 2)
+            cr = buf[i, ysz + csz :].reshape(hpad // 2, wpad // 2)
+            return native.jpeg_encode_raw420(y, cb, cr, ew, eh, q)
 
-        return list(self._pool.map(enc, range(y.shape[0])))
+        return list(self._pool.map(enc, range(buf.shape[0])))
 
     def huffman_encode(self, coef_out, sig):
         """Host stage: quantised coefficient batches -> JPEG bytes."""

@@ -23,7 +23,7 @@ import numpy as np
 from ..native import lib as native
 from ..ops import jpeg_tpu
 from ..ops.resize import resize_f32
-from .jpeg_batch import signature
+from .jpeg_batch import bucket_by_signature, pad_group, signature
 
 
 @functools.lru_cache(maxsize=128)
@@ -131,17 +131,32 @@ class TrainingInput:
 
         bufs = [self.items[i] for i in idx]
         cos = list(self._pool.map(native.JpegCoefficients, bufs))
-        sigs = {signature(co) for co in cos}
-        if len(sigs) != 1:
-            raise ValueError("TrainingInput requires homogeneous JPEGs; "
-                             "bucket your dataset by signature")
-        sig = sigs.pop()
+        groups = bucket_by_signature(cos)
+        if len(groups) == 1:
+            return self._run_group(groups[0][2], step_key)
+        # heterogeneous batch: per-signature sub-batches padded to a
+        # size multiple (bounded XLA shape zoo), reassembled in the
+        # permutation's order — deterministic across resume because
+        # grouping depends only on (dataset, seed, epoch, pos)
+        import jax
+        import jax.numpy as jnp
+
+        parts, order = [], []
+        for gi, (sig, idxs, group) in enumerate(groups):
+            padded, n = pad_group(group)
+            out = self._run_group(padded, jax.random.fold_in(step_key, gi))
+            parts.append(out[:n])
+            order.extend(idxs)
+        inv = np.argsort(np.asarray(order))
+        return jnp.concatenate(parts, axis=0)[inv]
+
+    def _run_group(self, cos, key):
         args = []
         for i in range(len(cos[0].comps)):
             args.append(np.stack([co.comps[i]["coefs"] for co in cos]))
         for i in range(len(cos[0].comps)):
             args.append(np.stack([co.comps[i]["qtable"]
                                   for co in cos])[:, None, None, :])
-        fn = _jit_crop_resize_normalize(sig, self.crop, self.size,
-                                        self.filter, self.fscale)
-        return fn(tuple(args), step_key)
+        fn = _jit_crop_resize_normalize(signature(cos[0]), self.crop,
+                                        self.size, self.filter, self.fscale)
+        return fn(tuple(args), key)

@@ -48,10 +48,53 @@ def test_batch_reencode(jpeg_bufs):
     assert encs[0] == encs2[0]
 
 
-def test_mixed_signature_rejected(jpeg_bufs):
+def test_mixed_signature_decode_only_rejected(jpeg_bufs):
+    # without a resize target there is no common output shape
     with pytest.raises(ValueError):
         JpegBatchPipeline()([fixture_bytes("test2.jpg"),
                              fixture_bytes("test.jpeg")])
+
+
+def test_mixed_signature_bucketed_resize(jpeg_bufs):
+    """Heterogeneous batches bucket by signature and reassemble in
+    input order (index.js:210-221 any-input contract lifted to
+    batches)."""
+    mixed = [fixture_bytes("test2.jpg"), fixture_bytes("test.jpeg"),
+             fixture_bytes("test2.jpg"), fixture_bytes("test2g.jpg")]
+    p = JpegBatchPipeline(width=16, height=12)
+    out = np.asarray(p(mixed))
+    assert out.shape == (4, 12, 16, 3)
+    # each row matches the homogeneous path for the same input
+    for i, buf in enumerate(mixed):
+        want = np.asarray(JpegBatchPipeline(width=16, height=12)([buf] * 2))[0]
+        if want.shape[-1] == 1:
+            want = np.repeat(want, 3, axis=-1)
+        np.testing.assert_array_equal(out[i], want)
+
+
+def test_mixed_signature_encode(jpeg_bufs):
+    mixed = [fixture_bytes("test2.jpg"), fixture_bytes("test.jpeg")]
+    encs = JpegBatchPipeline(width=16, height=12, encode_quality=85)(mixed)
+    assert len(encs) == 2
+    for e in encs:
+        img = picha.decodeJpegSync(e)
+        assert (img.width, img.height) == (16, 12)
+
+
+def test_training_input_mixed_corpus_resumable():
+    """Mixed-size corpus: deterministic and resume-identical
+    (SURVEY.md §7 hard part (c) done-criterion)."""
+    files = ([fixture_bytes("test2.jpg")] * 5
+             + [fixture_bytes("test.jpeg")] * 5
+             + [fixture_bytes("test2g.jpg")] * 2)
+    a = TrainingInput(files, batch=6, crop=40, size=32, seed=3)
+    b = TrainingInput(files, batch=6, crop=40, size=32, seed=3)
+    first_a = np.asarray(next(a))
+    assert first_a.shape == (6, 32, 32, 3)
+    np.testing.assert_array_equal(first_a, np.asarray(next(b)))
+    saved = a.state()
+    c = TrainingInput(files, batch=6, crop=40, size=32, state=saved)
+    np.testing.assert_array_equal(np.asarray(next(a)), np.asarray(next(c)))
 
 
 def test_grey_batch():
@@ -357,3 +400,35 @@ def test_image_batch_mimetype_dispatch():
     bad = bytearray(bufs[0]); bad[bufs[0].find(b"IDAT") + 10] ^= 0xFF
     with pytest.raises(picha.CodecError):
         p([bytes(bad)], mimetype="image/png")
+
+
+def test_gap8_upload_matches_dense(jpeg_bufs):
+    dense = np.asarray(JpegBatchPipeline(width=32, height=24)(jpeg_bufs))
+    g8 = np.asarray(JpegBatchPipeline(width=32, height=24,
+                                      upload="gap8")(jpeg_bufs))
+    np.testing.assert_array_equal(dense, g8)
+    df = np.asarray(JpegBatchPipeline(width=32, height=24,
+                                      fused=True)(jpeg_bufs))
+    g8f = np.asarray(JpegBatchPipeline(width=32, height=24, fused=True,
+                                       upload="gap8")(jpeg_bufs))
+    np.testing.assert_array_equal(df, g8f)
+
+
+def test_stream_matches_serial_calls(jpeg_bufs):
+    """stream() (stage-overlapped) must produce byte-identical encodes
+    to per-batch __call__ — the sync==async contract on the batch API."""
+    p = JpegBatchPipeline(width=32, height=24, encode_quality=85,
+                          encode_backend="raw420", fused=True,
+                          upload="gap8")
+    batches = [jpeg_bufs, list(reversed(jpeg_bufs))]
+    want = [p(b) for b in batches]
+    got = list(p.stream(iter(batches), depth=2))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert [bytes(x) for x in g] == [bytes(x) for x in w]
+
+
+def test_stream_propagates_errors(jpeg_bufs):
+    p = JpegBatchPipeline(width=32, height=24)
+    with pytest.raises(Exception):
+        list(p.stream(iter([jpeg_bufs, [b"not a jpeg"]]), depth=2))

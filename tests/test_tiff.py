@@ -251,3 +251,162 @@ def test_tile_table_guards():
             (324, 4, 1, data_off), (325, 4, 1, 16), (277, 3, 1, 1)]
     with pytest.raises(picha.CodecError):
         picha.decodeTiffSync(_craft_tiff(tags, arr.tobytes()))
+
+
+# ---------------------------------------------------------------------------
+# CCITT fax (compressions 2/3/4), FillOrder, subsampled YCbCr
+# (reference: TIFFReadRGBAImageOriented handles all of these,
+#  /root/reference/src/tiffcodec.cc:130-137)
+# ---------------------------------------------------------------------------
+
+def _pil_bilevel_tiff(arr_black, compression, **kw):
+    import io
+    from PIL import Image as PILImage
+    pim = PILImage.fromarray(
+        np.where(arr_black, 0, 255).astype(np.uint8)).convert("1")
+    b = io.BytesIO()
+    pim.save(b, format="TIFF", compression=compression, **kw)
+    return b.getvalue()
+
+
+@pytest.mark.parametrize("compression", ["group4", "group3", "tiff_ccitt"])
+def test_fax_decode_matches_pil(compression):
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        h, w = int(rng.integers(1, 60)), int(rng.integers(1, 150))
+        if trial % 2:
+            arr = rng.random((h, w)) < rng.uniform(0.1, 0.9)
+        else:  # diagonal structure exercises 2-D vertical/pass/horizontal
+            arr = (np.add.outer(np.arange(h), np.arange(w)) //
+                   int(rng.integers(1, 7))) % 2 == 0
+        img = picha.decodeTiffSync(_pil_bilevel_tiff(arr, compression))
+        got = img.to_array()[:, :, 0] == 0
+        np.testing.assert_array_equal(got, arr)
+
+
+@pytest.mark.parametrize("compression", ["group4", "group3"])
+def test_fax_run_lengths(compression):
+    """Exercise terminating + makeup codes in both colours."""
+    for L in [0, 1, 63, 64, 128, 1664, 1728, 1792, 2560, 2623]:
+        w = max(L + 3, 2700)
+        arr = np.zeros((2, w), bool)
+        arr[0, L:] = True   # white run L then black
+        arr[1, :L] = True   # black run L then white
+        img = picha.decodeTiffSync(_pil_bilevel_tiff(arr, compression))
+        got = img.to_array()[:, :, 0] == 0
+        np.testing.assert_array_equal(got, arr)
+
+
+def _craft_fax_tiff(seg, w, h, comp, fillorder, extra_tags=()):
+    import struct
+    tags = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 1), (259, 3, 1, comp),
+            (262, 3, 1, 1), (266, 3, 1, fillorder), (277, 3, 1, 1),
+            (278, 4, 1, h), (279, 4, 1, len(seg))] + list(extra_tags)
+    tags.append((273, 4, 1, 8 + 2 + (len(tags) + 1) * 12 + 4))
+    tags.sort()
+    import struct
+    body = struct.pack("<H", len(tags))
+    for tag, typ, count, val in tags:
+        packed = (struct.pack("<HH", val, 0) if typ == 3
+                  else struct.pack("<I", val))
+        body += struct.pack("<HHI", tag, typ, count) + packed
+    body += struct.pack("<I", 0)
+    return struct.pack("<2sHI", b"II", 42, 8) + body + seg
+
+
+def test_fax_fillorder_lsb_first():
+    """FillOrder=2 segments are bit-reversed before fax decode, like
+    libtiff's TIFFReverseBits."""
+    from picha_tpu.codecs import tiff as T
+    rng = np.random.default_rng(3)
+    arr = rng.random((20, 120)) < 0.4
+    buf = _pil_bilevel_tiff(arr, "group4")
+    _, ifds = T._parse_ifds(buf)
+    off = ifds[0].one(T.T_STRIP_OFFSETS)
+    cnt = ifds[0].one(T.T_STRIP_COUNTS)
+    seg = T._BITREV[np.frombuffer(buf[off:off + cnt], np.uint8)].tobytes()
+    img = picha.decodeTiffSync(_craft_fax_tiff(seg, 120, 20, 4, 2))
+    got = img.to_array()[:, :, 0] == 0
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_uncompressed_fillorder_lsb_first():
+    from picha_tpu.codecs import tiff as T
+    rng = np.random.default_rng(4)
+    arr = rng.random((10, 50)) < 0.5
+    bits = np.packbits(np.where(arr, 0, 1).astype(np.uint8), axis=1)
+    seg = T._BITREV[bits.reshape(-1)].tobytes()
+    img = picha.decodeTiffSync(_craft_fax_tiff(seg, 50, 10, 1, 2))
+    got = img.to_array()[:, :, 0] == 0
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_g3_2d_with_tag_bits():
+    """Group 3 2-D (T4Options bit 0): rows carry a 1-D/2-D tag bit
+    after each EOL. libtiff writes real 2-D rows when asked."""
+    rng = np.random.default_rng(5)
+    arr = (np.add.outer(np.arange(30), np.arange(90)) // 4) % 2 == 0
+    try:
+        buf = _pil_bilevel_tiff(arr, "group3", tiffinfo={292: 1})
+    except Exception:
+        pytest.skip("PIL cannot write G3-2D here")
+    from picha_tpu.codecs import tiff as T
+    _, ifds = T._parse_ifds(buf)
+    if int(ifds[0].one(292, 0)) & 1 == 0:
+        pytest.skip("libtiff ignored the 2-D option")
+    img = picha.decodeTiffSync(buf)
+    got = img.to_array()[:, :, 0] == 0
+    np.testing.assert_array_equal(got, arr)
+
+
+def _craft_ycbcr_tiff(y, cb, cr, width, height, hs, vs):
+    """Pack planes into TIFF 6.0 §21 data units (hs*vs Y, then Cb, Cr)."""
+    import struct
+    nur, upr = cb.shape
+    units = np.zeros((nur, upr, hs * vs + 2), np.uint8)
+    yb = y.reshape(nur, vs, upr, hs).transpose(0, 2, 1, 3)
+    units[:, :, : hs * vs] = yb.reshape(nur, upr, hs * vs)
+    units[:, :, hs * vs] = cb
+    units[:, :, hs * vs + 1] = cr
+    seg = units.tobytes()
+    tags = [(256, 4, 1, width), (257, 4, 1, height), (258, 3, 1, 8),
+            (259, 3, 1, 1), (262, 3, 1, 6), (277, 3, 1, 3),
+            (278, 4, 1, height), (279, 4, 1, len(seg)),
+            (530, 3, 1, hs | (vs << 16))]
+    # YCbCrSubSampling is two SHORTs packed into the value field
+    tags = [t for t in tags if t[0] != 530]
+    tags.append((273, 4, 1, 8 + 2 + (len(tags) + 2) * 12 + 4))
+    body_tags = sorted(tags + [(530, 3, 2, hs | (vs << 16))])
+    body = struct.pack("<H", len(body_tags))
+    for tag, typ, count, val in body_tags:
+        if (tag, count) == (530, 2):
+            packed = struct.pack("<HH", hs, vs)
+        elif typ == 3:
+            packed = struct.pack("<HH", val, 0)
+        else:
+            packed = struct.pack("<I", val)
+        body += struct.pack("<HHI", tag, typ, count) + packed
+    body += struct.pack("<I", 0)
+    return struct.pack("<2sHI", b"II", 42, 8) + body + seg
+
+
+@pytest.mark.parametrize("hs,vs", [(2, 2), (2, 1), (1, 2), (4, 4)])
+def test_ycbcr_subsampled_uncompressed(hs, vs):
+    """Subsampled YCbCr with chroma constant per block must decode
+    identically to the same data written 1x1 (replication upsample)."""
+    rng = np.random.default_rng(6)
+    height, width = 12, 20
+    hp, wp = -(-height // vs) * vs, -(-width // hs) * hs
+    y = rng.integers(0, 256, (hp, wp), np.uint8)
+    cb_s = rng.integers(0, 256, (hp // vs, wp // hs), np.uint8)
+    cr_s = rng.integers(0, 256, (hp // vs, wp // hs), np.uint8)
+    sub = _craft_ycbcr_tiff(y, cb_s, cr_s, width, height, hs, vs)
+    got = picha.decodeTiffSync(sub).to_array()
+    # oracle: the same pixels as a 1x1 (non-subsampled) YCbCr file
+    cb = cb_s.repeat(vs, 0).repeat(hs, 1)
+    cr = cr_s.repeat(vs, 0).repeat(hs, 1)
+    flat = _craft_ycbcr_tiff(
+        np.stack([y, cb, cr], -1).reshape(hp, wp * 3)[:, ::3].copy()
+        if False else y, cb, cr, width, height, 1, 1)
+    want = picha.decodeTiffSync(flat).to_array()
+    np.testing.assert_array_equal(got, want)
