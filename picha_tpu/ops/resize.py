@@ -339,6 +339,18 @@ def resize_array(arr: np.ndarray, width: int, height: int,
     name, fscale = parse_resize_options(opts)
     if _host_cheap(arr, width, height) and not _is_jax_array(arr):
         return _resize_numpy(np.asarray(arr), width, height, name, fscale)
+    cpu_dev = _single_image_cpu_device(arr)
+    if cpu_dev is not None:
+        # single host image on an accelerator platform: the per-call
+        # transfer (6 MB at ~25 MB/s on this tunnel) dwarfs the compute;
+        # run the identical jitted graph on XLA:CPU instead (reference
+        # resizeSync is a single-threaded host call, resize.cc:367-403)
+        import jax
+
+        with jax.default_device(cpu_dev):
+            out = _jit_resize(np.dtype(arr.dtype).name, width, height,
+                              name, fscale)(np.asarray(arr))
+        return np.asarray(out)
     if _use_pallas(arr):
         from .resize_pallas import resize_batch_pallas
 
@@ -352,6 +364,26 @@ def resize_array(arr: np.ndarray, width: int, height: int,
 
 def _is_jax_array(arr) -> bool:
     return type(arr).__module__.startswith("jax")
+
+
+def _single_image_cpu_device(arr):
+    """CpuDevice to run a single host image on, or None to use the
+    default backend. Batched inputs and jax-resident arrays stay on the
+    accelerator; forced off with PICHA_SYNC_ON_DEVICE=1."""
+    import os
+
+    if _is_jax_array(arr) or arr.ndim != 3:
+        return None
+    if os.environ.get("PICHA_SYNC_ON_DEVICE") == "1":
+        return None
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:  # noqa: BLE001 — platform without a CPU backend
+        return None
 
 
 def _host_cheap(arr, dst_w: int, dst_h: int, threshold: int = 20_000_000) -> bool:
