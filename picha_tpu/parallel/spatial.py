@@ -33,6 +33,28 @@ def _halo_rows(src_h: int, dst_h: int, filter_name: str, fscale: float) -> int:
     return int(math.ceil(support * f)) + 1
 
 
+def _required_halo(src_h: int, dst_h: int, filter_name: str, fscale: float,
+                   n: int, local_in: int, local_out: int) -> int:
+    """Exact halo: how far any shard's output windows reach outside its
+    input slab. Non-divisible sizes pad the tail, which skews output
+    slabs against input slabs — the extreme rows of each shard bound
+    the reach (windows are monotone in the row index)."""
+    from ..ops.resize import _iter_contribs
+
+    halo = 0
+    for k in range(n):
+        r0 = k * local_out
+        if r0 >= dst_h:
+            break
+        r1 = min((k + 1) * local_out, dst_h) - 1
+        for r in {r0, r1}:
+            for _, left, w in _iter_contribs(dst_h, src_h, filter_name,
+                                             fscale, r, 1):
+                halo = max(halo, k * local_in - left,
+                           (left + w.size - 1) - ((k + 1) * local_in - 1))
+    return max(halo, 0)
+
+
 @functools.lru_cache(maxsize=8)
 def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
            filter_name: str, fscale: float, n_shards: int, axis: str,
@@ -48,29 +70,41 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
 
     from ..ops.resize import _apply_axis, resize_weight_rows
 
-    if src_h % n_shards or dst_h % n_shards:
-        raise ValueError("src/dst heights must divide the mesh axis size")
-    local_in = src_h // n_shards
-    local_out = dst_h // n_shards
-    halo = _halo_rows(src_h, dst_h, filter_name, fscale)
+    # non-divisible sizes pad the tail and crop after (weights embed in
+    # a zero-extended grid, so the numerics stay those of the true
+    # src_h -> dst_h mapping)
+    src_pad_h = -(-src_h // n_shards) * n_shards
+    dst_pad_h = -(-dst_h // n_shards) * n_shards
+    local_in = src_pad_h // n_shards
+    local_out = dst_pad_h // n_shards
+    halo = _required_halo(src_h, dst_h, filter_name, fscale, n_shards,
+                          local_in, local_out)
     if halo > local_in:
         # a single ppermute hop reaches only the adjacent shard; wider
-        # filter support than one shard's rows would silently drop taps
+        # reach (filter support + pad-induced slab skew) would silently
+        # drop taps
         raise ValueError(
-            f"filter support ({halo} rows) exceeds the per-shard row count "
-            f"({local_in}); use fewer shards or a narrower filter")
+            f"vertical window reach ({halo} rows) exceeds the per-shard row "
+            f"count ({local_in}); use fewer shards, a narrower filter, or "
+            f"shard-divisible sizes")
 
     # per-shard vertical blocks, built windowed (never the dense
     # (dst_h, src_h) matrix — gigapixel-safe); column j of block k maps
     # to global row k*local_in - halo + j. resize_weight_rows raises if
     # any tap falls outside the halo window (coverage assertion).
-    blocks = np.stack([
-        resize_weight_rows(dst_h, src_h, filter_name, fscale,
-                           row_start=k * local_out, row_count=local_out,
-                           col_start=k * local_in - halo,
-                           col_count=local_in + 2 * halo)
-        for k in range(n_shards)
-    ])  # (n, local_out, local_in + 2*halo)
+    # Output rows >= dst_h are padding: zero weight rows, cropped after.
+    def block(k):
+        b = np.zeros((local_out, local_in + 2 * halo), dtype=np.float32)
+        real = min(local_out, max(0, dst_h - k * local_out))
+        if real > 0:
+            b[:real] = resize_weight_rows(
+                dst_h, src_h, filter_name, fscale,
+                row_start=k * local_out, row_count=real,
+                col_start=k * local_in - halo,
+                col_count=local_in + 2 * halo)
+        return b
+
+    blocks = np.stack([block(k) for k in range(n_shards)])
 
     def local_fn(img, wv_block):
         # img: (local_in, W, C) float32; wv_block: (1, local_out, ...)
@@ -96,7 +130,20 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
         return jnp.floor(jnp.clip(out * 255.0 + 0.5, 0, 255)).astype(jnp.uint8)
 
     sharding = NamedSharding(mesh, P(axis, None, None))
-    return jax.jit(fn, in_shardings=sharding, out_shardings=sharding)
+    jitted = jax.jit(fn, in_shardings=sharding, out_shardings=sharding)
+
+    def wrapper(img_u8):
+        # pad-and-crop happens outside the pjit boundary: pjit rejects a
+        # P(axis) sharding on a non-divisible dimension
+        if src_pad_h != src_h:
+            img_u8 = jnp.pad(
+                img_u8, ((0, src_pad_h - src_h), (0, 0), (0, 0)))
+        out = jitted(img_u8)
+        if dst_pad_h != dst_h:
+            out = out[:dst_h]
+        return out
+
+    return wrapper
 
 
 def resize_sharded(img, dst_w: int, dst_h: int, mesh, axis: str = "sp",

@@ -11,3 +11,4 @@ from .prefetch import map_prefetch, prefetch  # noqa: F401
 from .training import TrainingInput  # noqa: F401
 from .serving import DynamicBatcher  # noqa: F401
 from .png_batch import PngBatchPipeline  # noqa: F401
+from .tiff_batch import TiffBatchPipeline  # noqa: F401

@@ -122,8 +122,33 @@ def test_gigapixel_scale_spatial_resize():
 
 def test_spatial_halo_guard():
     rng = np.random.default_rng(4)
-    img = rng.integers(0, 256, (16, 8, 1), dtype=np.uint8)
     mesh = make_mesh((("sp", 8),))
+    # 8 rows per shard but a 16x downscale needs a ~22-row halo: more
+    # than one ppermute hop can deliver -> explicit error
+    img = rng.integers(0, 256, (64, 8, 1), dtype=np.uint8)
     with pytest.raises(ValueError):
-        # 2 rows per shard but cubic support needs a wider halo
-        resize_sharded(jnp.asarray(img), 8, 8, mesh)
+        resize_sharded(jnp.asarray(img), 8, 4, mesh)
+    # the 2-rows-per-shard case is exactly reachable with the tight
+    # per-shard halo (reach 2) and must now match the single resize
+    from picha_tpu.ops.resize import resize_array
+    img = rng.integers(0, 256, (16, 8, 1), dtype=np.uint8)
+    got = np.asarray(resize_sharded(jnp.asarray(img), 8, 8, mesh))
+    np.testing.assert_array_equal(got, resize_array(img, 8, 8))
+
+
+@pytest.mark.parametrize("src_h,dst_h", [(100, 36), (97, 40), (64, 31),
+                                         (1003, 257)])
+def test_resize_sharded_non_divisible(src_h, dst_h):
+    """Pad-and-crop: shard-indivisible heights match the single-device
+    resize bit-exactly (VERDICT weak #6)."""
+    import jax.numpy as jnp
+    from picha_tpu.ops.resize import resize_array
+    from picha_tpu.parallel.mesh import make_mesh
+    from picha_tpu.parallel.spatial import resize_sharded
+    import jax
+    mesh = make_mesh((("sp", 8),), devices=jax.devices()[:8])
+    rng = np.random.default_rng(src_h)
+    img = rng.integers(0, 256, (src_h, 50, 3), dtype=np.uint8)
+    got = np.asarray(resize_sharded(jnp.asarray(img), 30, dst_h, mesh))
+    want = resize_array(img, 30, dst_h)
+    np.testing.assert_array_equal(got, want)

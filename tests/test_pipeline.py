@@ -432,3 +432,88 @@ def test_stream_propagates_errors(jpeg_bufs):
     p = JpegBatchPipeline(width=32, height=24)
     with pytest.raises(Exception):
         list(p.stream(iter([jpeg_bufs, [b"not a jpeg"]]), depth=2))
+
+
+def _tiff_of(arr, pixel, **opts):
+    img = picha.Image.from_array(arr, pixel)
+    return picha.encodeTiffSync(img, opts)
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "deflate"])
+@pytest.mark.parametrize("pixel", ["rgb", "rgba", "grey", "greya",
+                                   "r16g16b16"])
+def test_tiff_batch_matches_single(comp, pixel):
+    """TiffBatchPipeline (device transforms) must match decodeTiffSync
+    per image (SURVEY §7 step 6 done-criterion)."""
+    from picha_tpu.pipeline import TiffBatchPipeline
+    from picha_tpu.pixels import pixel_format
+    rng = np.random.default_rng(hash((comp, pixel)) % 2**32)
+    fmt = pixel_format(pixel)
+    bufs = []
+    for i in range(3):
+        arr = rng.integers(0, np.iinfo(fmt.dtype).max + 1,
+                           (12, 17, fmt.channels), dtype=fmt.dtype)
+        bufs.append(_tiff_of(arr, pixel, compression=comp))
+    got = np.asarray(TiffBatchPipeline()(bufs))
+    assert got.shape == (3, 12, 17, 4)
+    for i, b in enumerate(bufs):
+        want = picha.decodeTiffSync(b).to_array()
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_tiff_batch_palette_and_orientation():
+    """Crafted palette + oriented greyscale files through the device
+    graph agree with the host decoder."""
+    from picha_tpu.pipeline import TiffBatchPipeline
+    from tests.test_tiff import _craft_tiff, _grey_tiff
+    import struct
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    for orientation in range(1, 9):
+        bufs = [_grey_tiff(base, orientation)] * 2
+        got = np.asarray(TiffBatchPipeline()(bufs))
+        want = picha.decodeTiffSync(bufs[0]).to_array()
+        np.testing.assert_array_equal(got[0], want)
+        np.testing.assert_array_equal(got[1], want)
+
+
+def test_tiff_batch_fallback_layouts():
+    """Layouts outside the device graph (fax) fall back to the host
+    decoder inside the batch API."""
+    from picha_tpu.pipeline import TiffBatchPipeline
+    from tests.test_tiff import _pil_bilevel_tiff
+    arr = (np.add.outer(np.arange(10), np.arange(30)) // 3) % 2 == 0
+    bufs = [_pil_bilevel_tiff(arr, "group4")] * 2
+    got = np.asarray(TiffBatchPipeline()(bufs))
+    want = picha.decodeTiffSync(bufs[0]).to_array()
+    np.testing.assert_array_equal(got[0], want)
+
+
+def test_tiff_batch_predictor_and_cmyk():
+    from picha_tpu.pipeline import TiffBatchPipeline
+    from tests.test_tiff import _craft_tiff
+    rng = np.random.default_rng(23)
+    # horizontal-predictor rgb
+    h, w = 6, 11
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    diff = arr.astype(np.int16)
+    diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+    data = (diff % 256).astype(np.uint8).tobytes()
+    data_off = 8 + 2 + 9 * 12 + 4
+    tags = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 2), (273, 4, 1, data_off), (277, 3, 1, 3),
+            (279, 4, 1, len(data)), (317, 3, 1, 2)]
+    buf = _craft_tiff(tags, data)
+    got = np.asarray(TiffBatchPipeline()([buf, buf]))
+    want = picha.decodeTiffSync(buf).to_array()
+    np.testing.assert_array_equal(got[0], want)
+    np.testing.assert_array_equal(want[:, :, :3], arr)
+    # CMYK (photometric 5)
+    cmyk = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    tags = [(256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 5), (273, 4, 1, 8 + 2 + 8 * 12 + 4), (277, 3, 1, 4),
+            (279, 4, 1, cmyk.size)]
+    buf = _craft_tiff(tags, cmyk.tobytes())
+    got = np.asarray(TiffBatchPipeline()([buf]))
+    want = picha.decodeTiffSync(buf).to_array()
+    np.testing.assert_array_equal(got[0], want)
