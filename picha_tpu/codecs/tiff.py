@@ -317,7 +317,10 @@ def _decode_ycbcr_subsampled(ifd: _Ifd, buf: bytes, width: int, height: int,
     """Uncompressed/LZW/deflate subsampled YCbCr strips (TIFF 6.0 §21):
     each data unit is h*v Y samples then one Cb and one Cr; chroma
     upsamples by replication, as TIFFReadRGBAImage does."""
-    hs, vs = int(subs[0]), int(subs[1])
+    try:
+        hs, vs = int(subs[0]), int(subs[1])
+    except (TypeError, ValueError) as e:
+        raise CodecError("malformed YCbCrSubSampling tag") from e
     if hs not in (1, 2, 4) or vs not in (1, 2, 4):
         raise CodecError("bad YCbCr subsampling factors")
     offsets = ifd.get(T_STRIP_OFFSETS)
@@ -417,19 +420,30 @@ def decode(buf: bytes, opts: dict) -> Image:
         raise CodecError("invalid directory index")
     ifd = ifds[idx]
 
-    width = int(ifd.one(T_WIDTH, 0))
-    height = int(ifd.one(T_HEIGHT, 0))
+    # crafted files can carry the wrong tag TYPE (raw-bytes values);
+    # coerce through CodecError instead of leaking ValueError/TypeError
+    def itag(tag, default):
+        try:
+            return int(ifd.one(tag, default))
+        except (TypeError, ValueError) as e:
+            raise CodecError(f"malformed TIFF tag {tag}") from e
+
+    width = itag(T_WIDTH, 0)
+    height = itag(T_HEIGHT, 0)
     if width <= 0 or height <= 0:
         raise CodecError("bad TIFF dimensions")
-    spp = int(ifd.one(T_SPP, 1))
+    spp = itag(T_SPP, 1)
     bits_list = ifd.get(T_BITS, [1])
-    bits = int(bits_list[0])
-    comp = int(ifd.one(T_COMPRESSION, C_NONE))
-    fillorder = int(ifd.one(T_FILLORDER, 1))
-    photometric = int(ifd.one(T_PHOTOMETRIC, 1))
-    planar = int(ifd.one(T_PLANAR, 1))
-    predictor = int(ifd.one(T_PREDICTOR, 1))
-    orientation = int(ifd.one(T_ORIENTATION, 1))
+    try:
+        bits = int(bits_list[0])
+    except (TypeError, ValueError) as e:
+        raise CodecError("malformed TIFF BitsPerSample") from e
+    comp = itag(T_COMPRESSION, C_NONE)
+    fillorder = itag(T_FILLORDER, 1)
+    photometric = itag(T_PHOTOMETRIC, 1)
+    planar = itag(T_PLANAR, 1)
+    predictor = itag(T_PREDICTOR, 1)
+    orientation = itag(T_ORIENTATION, 1)
     maxv = (1 << bits) - 1
 
     if comp in (C_OLDJPEG, C_JPEG):

@@ -112,6 +112,13 @@ def get_lib():
                 C.POINTER(C.c_size_t), C.POINTER(C.c_int32),
                 C.POINTER(C.c_int16), C.POINTER(C.c_size_t)]
             lib.picha_gap8_pack.restype = C.c_int
+            lib.picha_gap4_pack.argtypes = [
+                C.POINTER(C.c_int16), C.c_size_t,
+                C.POINTER(C.c_uint8), C.POINTER(C.c_size_t),
+                C.POINTER(C.c_uint8), C.POINTER(C.c_int8),
+                C.POINTER(C.c_size_t), C.POINTER(C.c_int32),
+                C.POINTER(C.c_int16), C.POINTER(C.c_size_t)]
+            lib.picha_gap4_pack.restype = C.c_int
 
             lib.picha_webp_stat.argtypes = [
                 C.POINTER(C.c_uint8), C.c_size_t,
@@ -439,3 +446,32 @@ def fax_decode(buf: bytes, width: int, height: int, comp: int,
     if rc != 0:
         raise CodecError(take_error(lib, err))
     return out
+
+
+def gap4_pack(coefs: np.ndarray):
+    """Nibble wire format: 1 byte per nonzero — (gap<<4 | value-code) —
+    plus a gap8 side stream for |v| > 7 escapes and the usual int16
+    correction list (sparsepack.cc picha_gap4_pack)."""
+    lib = get_lib()
+    flat = np.ascontiguousarray(coefs.reshape(-1), dtype=np.int16)
+    n = flat.size
+    prim = np.empty(n + n // 15 + 2, np.uint8)
+    sgaps = np.empty(n + n // 255 + 2, np.uint8)
+    svals = np.empty(n + n // 255 + 2, np.int8)
+    corr_idx = np.empty(max(1, n), np.int32)
+    corr_val = np.empty(max(1, n), np.int16)
+    nprim = C.c_size_t()
+    nsec = C.c_size_t()
+    ncorr = C.c_size_t()
+    rc = lib.picha_gap4_pack(
+        flat.ctypes.data_as(C.POINTER(C.c_int16)), n,
+        _u8ptr(prim), C.byref(nprim),
+        _u8ptr(sgaps), svals.ctypes.data_as(C.POINTER(C.c_int8)),
+        C.byref(nsec),
+        corr_idx.ctypes.data_as(C.POINTER(C.c_int32)),
+        corr_val.ctypes.data_as(C.POINTER(C.c_int16)), C.byref(ncorr))
+    if rc != 0:
+        raise CodecError("gap4 pack failed")
+    k, ns, nc = nprim.value, nsec.value, ncorr.value
+    return (prim[:k], sgaps[:ns], svals[:ns],
+            corr_idx[:nc].copy(), corr_val[:nc].copy())

@@ -100,6 +100,13 @@ PICHA_API int picha_gap8_pack(const int16_t* coefs, size_t n,
                               uint8_t* gaps, int8_t* vals, size_t* npairs,
                               int32_t* corr_idx, int16_t* corr_val,
                               size_t* ncorr);
+// Nibble variant: 1 byte/nonzero primary + gap8 side stream for
+// |v| > 7 escapes. prim sized n + n/15 + 2; side arrays as gap8.
+PICHA_API int picha_gap4_pack(const int16_t* coefs, size_t n,
+                              uint8_t* prim, size_t* nprim,
+                              uint8_t* sgaps, int8_t* svals, size_t* nsec,
+                              int32_t* corr_idx, int16_t* corr_val,
+                              size_t* ncorr);
 
 // ---- WebP (libwebp shim) -------------------------------------------------
 PICHA_API int picha_webp_stat(const uint8_t* src, size_t len,

@@ -100,3 +100,88 @@ PICHA_API int picha_gap8_pack(const int16_t* coefs, size_t n,
   *ncorr = p.c;
   return 0;
 }
+
+// Nibble-packed variant: one byte per nonzero — (gap 4b | value-code
+// 4b), value-code 0..14 -> v = code-7 in [-7,7] (7 adds zero, used by
+// gap-extension dummies and the tail pin), 15 = escape: the true value
+// rides a side gap8 stream (same index space, own gap chain) whose
+// int8 overflows use the usual correction list. ~40% fewer wire bytes
+// than gap8 at q85 statistics (P(|v|<=7) ~ 0.9).
+PICHA_API int picha_gap4_pack(const int16_t* coefs, size_t n,
+                              uint8_t* prim, size_t* nprim,
+                              uint8_t* sgaps, int8_t* svals, size_t* nsec,
+                              int32_t* corr_idx, int16_t* corr_val,
+                              size_t* ncorr) {
+  size_t k = 0, s = 0, c = 0;
+  size_t prev = (size_t)-1, sprev = (size_t)-1;
+  size_t i = 0;
+#ifdef __AVX2__
+  const __m256i zero = _mm256_setzero_si256();
+#endif
+  while (i < n) {
+#ifdef __AVX2__
+    for (; i + 16 <= n; i += 16) {
+      __m256i x = _mm256_loadu_si256((const __m256i*)(coefs + i));
+      uint32_t zm =
+          (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi16(x, zero));
+      if (~zm) break;
+    }
+#endif
+    while (i < n && coefs[i] == 0) ++i;
+    if (i >= n) break;
+    int16_t v = coefs[i];
+    size_t gap = i - prev;
+    while (gap > 15) {
+      prim[k++] = (15u << 4) | 7u;  // advance 15, add zero
+      gap -= 15;
+    }
+    if (v >= -7 && v <= 7) {
+      prim[k++] = ((uint8_t)gap << 4) | (uint8_t)(v + 7);
+    } else {
+      prim[k++] = ((uint8_t)gap << 4) | 15u;  // escape: side stream
+      size_t sg = i - sprev;
+      while (sg > 255) {
+        sgaps[s] = 255;
+        svals[s] = 0;
+        ++s;
+        sg -= 255;
+      }
+      int16_t v8 = v < -128 ? -128 : (v > 127 ? 127 : v);
+      sgaps[s] = (uint8_t)sg;
+      svals[s] = (int8_t)v8;
+      ++s;
+      if (v != v8) {
+        corr_idx[c] = (int32_t)i;
+        corr_val[c] = (int16_t)(v - v8);
+        ++c;
+      }
+      sprev = i;
+    }
+    prev = i;
+    ++i;
+  }
+  {  // pin both tails at n-1 with zero adds, keeping indices sorted
+    size_t gap = (n - 1) - prev;
+    if (prev == (size_t)-1) gap = n;
+    while (gap > 15) {
+      prim[k++] = (15u << 4) | 7u;
+      gap -= 15;
+    }
+    prim[k++] = ((uint8_t)gap << 4) | 7u;
+    size_t sg = (n - 1) - sprev;
+    if (sprev == (size_t)-1) sg = n;
+    while (sg > 255) {
+      sgaps[s] = 255;
+      svals[s] = 0;
+      ++s;
+      sg -= 255;
+    }
+    sgaps[s] = (uint8_t)sg;
+    svals[s] = 0;
+    ++s;
+  }
+  *nprim = k;
+  *nsec = s;
+  *ncorr = c;
+  return 0;
+}

@@ -1,0 +1,382 @@
+"""JPEG baseline Huffman ENCODING on the TPU.
+
+Huffman *decoding* is inherently serial (each symbol's position depends
+on the previous — SURVEY.md §7 hard part (b)), but encoding is not:
+every coefficient's codeword, bit length and value bits are independent
+table lookups, the bit offsets are prefix sums, and the final byte
+stream is a reduction over (at most five) bit-packets per output byte.
+That makes the whole entropy-encode stage a vectorizable XLA graph:
+
+  1. static MCU block ordering (gathers; dummy blocks edge-clamped with
+     zeroed AC so the DC prediction chain stays consistent),
+  2. zigzag + per-component DC differencing (static predecessor gather),
+  3. per-position symbols: bit-size via thresshold counts, zero-run
+     lengths via inclusive prefix-max of nonzero positions, ZRL symbols
+     pinned at the zero positions 16k after the previous nonzero, EOB
+     as a 65th virtual slot,
+  4. (code << size) | value-bits packets (<= 27 bits, int32-safe) and
+     their absolute bit offsets via cumsums, plus a final 1-bits pad
+     packet per image,
+  5. rank-space compaction with ONLY sorted scatters (an unsorted
+     795k-element scatter costs seconds on TPU): rank = prefix count
+     of non-empty packets, inverted by a sorted scatter-min; "last
+     rank starting at or before byte b" by a sorted scatter-max over
+     start bytes + a prefix max,
+  6. bytes by gather: each output byte ORs the <= 6 overlapping
+     packets' aligned contributions (bit-disjoint, so add == or),
+  7. 0xFF byte stuffing as a +popcount-shift scatter (the inserted
+     0x00 is the zero-initialised gap).
+
+The host then only prepends a few hundred header bytes — the
+device->host link carries ~0.15 MB of finished scan bytes per 1080p
+image instead of 0.78 MB of 4:2:0 planes.
+
+The oracle for correctness is libjpeg itself: with the standard Annex K
+tables (parsed from a libjpeg DHT at runtime, never hardcoded) the scan
+bytes must be identical to jpeg_coef_write's output for the same
+coefficients (tests/test_huffman_tpu.py).
+"""
+from __future__ import annotations
+
+import functools
+import struct
+
+import numpy as np
+
+# natural (row-major) index for each zigzag position: ZIGZAG[k] = natural
+# index of the k-th zigzag coefficient (jpeg spec figure A.6)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def std_huffman_tables():
+    """The standard baseline tables, parsed out of a libjpeg-encoded
+    DHT segment so they are libjpeg-exact by construction.
+
+    Returns {(cls, id): (bits list[16], vals list)} with cls 0=DC 1=AC,
+    id 0=luma 1=chroma."""
+    from ..native import lib as native
+
+    buf = native.jpeg_encode(np.zeros((8, 8, 3), np.uint8), 85)
+    tables = {}
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            break
+        marker = buf[i + 1]
+        if marker in (0xDA, 0xD9):
+            break
+        ln = (buf[i + 2] << 8) | buf[i + 3]
+        if marker == 0xC4:
+            d = buf[i + 4 : i + 2 + ln]
+            pos = 0
+            while pos < len(d):
+                tc_th = d[pos]
+                bits = list(d[pos + 1 : pos + 17])
+                n = sum(bits)
+                vals = list(d[pos + 17 : pos + 17 + n])
+                tables[(tc_th >> 4, tc_th & 15)] = (bits, vals)
+                pos += 17 + n
+        i += 2 + ln
+    assert len(tables) == 4, "libjpeg DHT parse failed"
+    return tables
+
+
+def _code_arrays(bits, vals, nsyms):
+    """(bits, vals) -> (code, length) arrays indexed by symbol."""
+    code = np.zeros(nsyms, np.int32)
+    length = np.zeros(nsyms, np.int32)
+    c = 0
+    for ln in range(1, 17):
+        for v in vals[sum(bits[: ln - 1]) : sum(bits[:ln])]:
+            code[v] = c
+            length[v] = ln
+            c += 1
+        c <<= 1
+    return code, length
+
+
+@functools.lru_cache(maxsize=1)
+def _device_tables():
+    t = std_huffman_tables()
+    out = {}
+    for (cls, tid), (bits, vals) in t.items():
+        nsyms = 12 if cls == 0 else 256
+        out[(cls, tid)] = _code_arrays(bits, vals, nsyms)
+    return out
+
+
+def _mcu_layout(comp_sig):
+    """Static block ordering for an interleaved baseline scan.
+
+    comp_sig: ((bh, bw, h_samp, v_samp), ...) per component.
+    Returns (gather_idx, dummy_mask, table_id, prev_idx):
+      gather_idx (nblk,) into the flat concat of component block grids,
+      dummy_mask (nblk,) bool — AC zeroed (block replicates a real one),
+      table_id (nblk,) 0 luma / 1 chroma,
+      prev_idx (nblk,) index of the previous REAL block of the same
+        component in scan order (-1 for each component's first).
+        Dummy blocks emit DC diff 0 (libjpeg jccoefct.c copies the
+        previous block's DC into dummies), so the prediction chain
+        passes through them."""
+    hmax = max(c[2] for c in comp_sig)
+    vmax = max(c[3] for c in comp_sig)
+    # MCU grid from the first component (libjpeg: image dims / MCU size;
+    # comp 0 spans hmax x vmax blocks per MCU)
+    bh0, bw0 = comp_sig[0][0], comp_sig[0][1]
+    mcu_y = -(-bh0 // comp_sig[0][3])
+    mcu_x = -(-bw0 // comp_sig[0][2])
+    bases = np.cumsum([0] + [c[0] * c[1] for c in comp_sig])[:-1]
+    idx, dummy, tid, comp_of = [], [], [], []
+    for r in range(mcu_y):
+        for c in range(mcu_x):
+            for ci, (bh, bw, hs, vs) in enumerate(comp_sig):
+                for dy in range(vs):
+                    for dx in range(hs):
+                        row, col = r * vs + dy, c * hs + dx
+                        dum = row >= bh or col >= bw
+                        row, col = min(row, bh - 1), min(col, bw - 1)
+                        idx.append(bases[ci] + row * bw + col)
+                        dummy.append(dum)
+                        tid.append(0 if ci == 0 else 1)
+                        comp_of.append(ci)
+    idx = np.array(idx, np.int32)
+    dummy = np.array(dummy, bool)
+    tid = np.array(tid, np.int32)
+    comp_of = np.array(comp_of, np.int32)
+    prev = np.full(len(idx), -1, np.int32)
+    last = {}
+    for j, ci in enumerate(comp_of):
+        ci = int(ci)
+        if ci in last:
+            prev[j] = last[ci]
+        if not dummy[j]:
+            last[ci] = j  # dummies are transparent to the DC chain
+    return idx, dummy, tid, prev
+
+
+@functools.lru_cache(maxsize=64)
+def build_scan_encoder(comp_sig, byte_cap: int):
+    """Traceable fn(coefs: tuple of (N, bh, bw, 64) int32)
+    -> (scan_bytes (N, byte_cap) uint8, nbytes (N,) int32).
+
+    nbytes > byte_cap signals overflow: the bytes are invalid and the
+    caller must fall back (host re-encode) or raise."""
+    import jax
+    import jax.numpy as jnp
+
+    idx_np, dummy_np, tid_np, prev_np = _mcu_layout(comp_sig)
+    nblk = idx_np.size
+    tabs = _device_tables()
+    dc_code = np.stack([tabs[(0, 0)][0], tabs[(0, 1)][0]])   # (2, 12)
+    dc_len = np.stack([tabs[(0, 0)][1], tabs[(0, 1)][1]])
+    ac_code = np.stack([tabs[(1, 0)][0], tabs[(1, 1)][0]])   # (2, 256)
+    ac_len = np.stack([tabs[(1, 0)][1], tabs[(1, 1)][1]])
+    zz = ZIGZAG
+
+    def bitsize(x):
+        # number of bits of |x|: sum of threshold passes (11 max)
+        a = jnp.abs(x)
+        s = jnp.zeros_like(x)
+        for k in range(11):
+            s = s + (a >= (1 << k)).astype(jnp.int32)
+        return s
+
+    E = nblk * 65 + 1   # packet slots per image incl. the pad packet
+    R = byte_cap + 1    # byte-region stride per image (last slot = trash)
+
+    def fn(coefs):
+        # batched elementwise packet construction, then ONE flat global
+        # scatter/gather space for the whole batch (vmapped scatters
+        # degenerate on this backend; image-major flat indices keep
+        # every scatter on the sorted fast path)
+        flat = jnp.concatenate(
+            [c.reshape(c.shape[0], -1, 64) for c in coefs],
+            axis=1).astype(jnp.int32)
+        n_img = flat.shape[0]
+        blocks = flat[:, idx_np][:, :, zz]              # (N, nblk, 64)
+        dummy = jnp.asarray(dummy_np)
+        ac = jnp.where(dummy[None, :, None], 0, blocks[:, :, 1:])
+        dc = blocks[:, :, 0]
+        prev_dc = jnp.where(jnp.asarray(prev_np)[None, :] < 0, 0,
+                            dc[:, jnp.asarray(prev_np)])
+        # dummy blocks carry diff 0 (libjpeg copies the previous DC in)
+        diff = jnp.where(dummy[None, :], 0, dc - prev_dc)
+        tid = jnp.asarray(tid_np)
+
+        # --- DC packets ----------------------------------------------------
+        s = bitsize(diff)
+        lo = jnp.where(diff < 0, diff - 1, diff) & ((1 << s) - 1)
+        code = jnp.asarray(dc_code)[tid[None, :], s]
+        ln = jnp.asarray(dc_len)[tid[None, :], s]
+        dc_pkt = (code << s) | lo
+        dc_len_b = ln + s                               # (N, nblk)
+
+        # --- AC packets (positions 1..63) ------------------------------------
+        nz = ac != 0                                    # (N, nblk, 63)
+        pos = jnp.arange(1, 64, dtype=jnp.int32)
+        # inclusive prefix-max of nonzero positions, shifted: previous
+        # nonzero position (0 = the DC slot) for every position
+        marked = jnp.where(nz, pos, 0)
+        run_prev = jax.lax.associative_scan(jnp.maximum, marked, axis=2)
+        prev_nz = jnp.concatenate(
+            [jnp.zeros(nz.shape[:2] + (1,), jnp.int32),
+             run_prev[:, :, :-1]], axis=2)
+        run = pos - prev_nz - 1
+        s_ac = bitsize(ac)
+        sym = ((run & 15) << 4) | s_ac
+        lo_ac = jnp.where(ac < 0, ac - 1, ac) & ((1 << s_ac) - 1)
+        code_ac = jnp.asarray(ac_code)[tid[None, :, None], sym]
+        len_ac_ = jnp.asarray(ac_len)[tid[None, :, None], sym]
+        ac_pkt = (code_ac << s_ac) | lo_ac
+        ac_bits = len_ac_ + s_ac
+        # ZRL at zero positions 16k past the previous nonzero, provided
+        # another nonzero follows (run >= 16k is then guaranteed)
+        has_next = jnp.flip(jax.lax.associative_scan(
+            jnp.logical_or, jnp.flip(nz, 2), axis=2), 2)
+        d = pos - prev_nz
+        zrl_here = (~nz) & has_next & (d > 0) & (d % 16 == 0)
+        zrl_code = jnp.asarray(ac_code)[tid, 0xF0][None, :, None]
+        zrl_len = jnp.asarray(ac_len)[tid, 0xF0][None, :, None]
+        pkt_ac = jnp.where(nz, ac_pkt, jnp.where(zrl_here, zrl_code, 0))
+        bits_ac = jnp.where(nz, ac_bits, jnp.where(zrl_here, zrl_len, 0))
+
+        # --- EOB slot --------------------------------------------------------
+        eob = ~nz[:, :, 62]
+        eob_pkt = jnp.where(eob, jnp.asarray(ac_code)[tid, 0][None, :], 0)
+        eob_bits = jnp.where(eob, jnp.asarray(ac_len)[tid, 0][None, :], 0)
+
+        # --- per-image bit offsets + the 1-bits pad packet -------------------
+        lens = jnp.concatenate(
+            [dc_len_b[:, :, None], bits_ac, eob_bits[:, :, None]],
+            axis=2).reshape(n_img, -1)                   # (N, nblk*65)
+        pkts = jnp.concatenate(
+            [dc_pkt[:, :, None], pkt_ac, eob_pkt[:, :, None]],
+            axis=2).reshape(n_img, -1)
+        ends = jnp.cumsum(lens, axis=1)
+        offs = ends - lens
+        total = ends[:, -1]
+        pad = (-total) % 8
+        lens = jnp.concatenate([lens, pad[:, None]], axis=1)   # (N, E)
+        offs = jnp.concatenate([offs, total[:, None]], axis=1)
+        pkts = jnp.concatenate([pkts, ((1 << pad) - 1)[:, None]], axis=1)
+        total = total + pad
+
+        # --- global rank space (all indices sorted image-major) -------------
+        ii = jnp.arange(n_img, dtype=jnp.int32)[:, None]
+        keep = lens > 0
+        rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1   # (N, E)
+        g_rank = (rank + ii * E).reshape(-1)
+        big = jnp.int32(1 << 30)
+        e_local = jnp.arange(E, dtype=jnp.int32)[None, :]
+        g_eidx = jnp.where(keep, e_local + ii * E, big).reshape(-1)
+        # the rank-r packet is the FIRST element holding rank r (empty
+        # elements share the rank but lose the scatter-min)
+        idx_by_rank = jnp.full((n_img * E,), big, jnp.int32).at[g_rank].min(
+            g_eidx, indices_are_sorted=True)
+
+        # "last rank starting at or before byte b" per image region:
+        # sorted scatter-max + prefix max; cross-image leakage is masked
+        # by the same-image check below
+        g_start = (jnp.clip(offs >> 3, 0, byte_cap) + ii * R).reshape(-1)
+        jmap = jnp.zeros((n_img * R,), jnp.int32).at[g_start].max(
+            (rank + ii * E).reshape(-1), indices_are_sorted=True)
+        hi = jax.lax.associative_scan(jnp.maximum, jmap).reshape(n_img, R)
+        hi = hi[:, :byte_cap] + 1                       # (N, byte_cap)
+
+        offs_f, lens_f, pkts_f = (offs.reshape(-1), lens.reshape(-1),
+                                  pkts.reshape(-1))
+        b = jnp.arange(byte_cap, dtype=jnp.int32)[None, :]
+        byte = jnp.zeros((n_img, byte_cap), jnp.int32)
+        for w in range(1, 7):
+            r = hi - w
+            e_g = idx_by_rank[jnp.clip(r, 0, n_img * E - 1)]
+            ec = jnp.clip(e_g, 0, n_img * E - 1)
+            oj = offs_f[ec]                             # local bit offset
+            lj = lens_f[ec]
+            pj = pkts_f[ec]
+            valid = ((r >= 0) & (e_g >= ii * E) & (e_g < (ii + 1) * E)
+                     & (oj + lj > 8 * b) & (oj < 8 * b + 8))
+            shift = 8 * b + 8 - (oj + lj)
+            pos_c = (pj & ((1 << jnp.clip(8 - shift, 0, 31)) - 1)) << \
+                jnp.clip(shift, 0, 31)
+            neg_c = (pj >> jnp.clip(-shift, 0, 31)) & 0xFF
+            byte = byte + jnp.where(valid,
+                                    jnp.where(shift >= 0, pos_c, neg_c), 0)
+
+        # --- 0xFF stuffing ----------------------------------------------------
+        nraw = total // 8                               # (N,)
+        in_range = b < nraw[:, None]
+        is_ff = (byte == 0xFF) & in_range
+        nff_before = jnp.cumsum(is_ff.astype(jnp.int32), axis=1) \
+            - is_ff.astype(jnp.int32)
+        # overflowing images clamp to the trash slot of their own region
+        # (the caller checks nbytes > byte_cap and raises)
+        out_idx = jnp.where(in_range,
+                            jnp.minimum(b + nff_before, byte_cap), byte_cap)
+        g_out = (out_idx + ii * R).reshape(-1)
+        out = jnp.zeros((n_img * R,), jnp.int32).at[g_out].add(
+            byte.reshape(-1), indices_are_sorted=True)
+        out = out.reshape(n_img, R)[:, :byte_cap]
+        nbytes = nraw + jnp.sum(is_ff.astype(jnp.int32), axis=1)
+        return out.astype(jnp.uint8), nbytes
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# host-side header writer
+# ---------------------------------------------------------------------------
+
+def _dqt(qtab, tid):
+    return struct.pack(">HHB", 0xFFDB, 67, tid) + bytes(
+        int(qtab[z]) & 0xFF for z in ZIGZAG)
+
+
+def _dht():
+    out = b""
+    for (cls, tid), (bits, vals) in sorted(std_huffman_tables().items()):
+        out += struct.pack(">HHB", 0xFFC4, 19 + len(vals),
+                           (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def jpeg_header(width: int, height: int, comp_sig, quality: int) -> bytes:
+    """SOI..SOS header for a baseline scan with the standard tables."""
+    from . import jpeg_tpu
+
+    qluma, qchroma = jpeg_tpu.quality_tables(quality)
+    ncomp = len(comp_sig)
+    out = struct.pack(">H", 0xFFD8)
+    out += (struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00"
+            + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0))
+    out += _dqt(qluma, 0)
+    if ncomp > 1:
+        out += _dqt(qchroma, 1)
+    sof = struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * ncomp, 8,
+                      height, width, ncomp)
+    for ci, (_, _, hs, vs) in enumerate(comp_sig):
+        sof += struct.pack(">BBB", ci + 1, (hs << 4) | vs,
+                           0 if ci == 0 else 1)
+    out += sof
+    out += _dht()
+    sos = struct.pack(">HHB", 0xFFDA, 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += struct.pack(">BB", ci + 1, (tid << 4) | tid)
+    sos += struct.pack(">BBB", 0, 63, 0)
+    return out + sos
+
+
+def assemble(header: bytes, scan: np.ndarray, nbytes: int) -> bytes:
+    if nbytes > scan.size:
+        raise OverflowError(
+            f"TPU Huffman scan overflowed its {scan.size}-byte buffer")
+    return header + scan[:nbytes].tobytes() + b"\xff\xd9"

@@ -18,6 +18,7 @@ matmuls over N*H rows).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -42,6 +43,20 @@ def signature(co: native.JpegCoefficients):
     return (co.width, co.height, co.color_space,
             tuple((c["blocks_h"], c["blocks_w"], c["h_samp"], c["v_samp"])
                   for c in co.comps))
+
+
+def _resized_comp_sig(h: int, w: int, channels: int):
+    """Component geometry of the re-encoded image, matching
+    jpeg_tpu._jit_encode's block grids (4:2:0 for colour)."""
+    def cdiv(a, b):
+        return -(-a // b)
+
+    if channels == 1:
+        return ((cdiv(h, 8), cdiv(w, 8), 1, 1),)
+    ch, cw = cdiv(h, 2), cdiv(w, 2)
+    return ((cdiv(h, 8), cdiv(w, 8), 2, 2),
+            (cdiv(ch, 8), cdiv(cw, 8), 1, 1),
+            (cdiv(ch, 8), cdiv(cw, 8), 1, 1))
 
 
 def bucket_by_signature(cos):
@@ -74,7 +89,9 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                      yuv420_out: bool = False,
                      fused: bool = False,
                      int8_ks: Optional[tuple] = None,
-                     gap8_ks: Optional[tuple] = None):
+                     gap8_ks: Optional[tuple] = None,
+                     device_scan_cap: Optional[int] = None,
+                     gap4_ks: Optional[tuple] = None):
     """Build the fused batched graph for one signature bucket.
 
     Stages: coefficients -> RGB/grey (N,H,W,C int32) -> optional resize
@@ -131,6 +148,57 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                                 indices_are_sorted=True)
         return flat.reshape(shape)
 
+    def gap4_restore(prim, sg, sv, ci, cv, bh, bw):
+        # nibble wire: primary (gap<<4 | value-code) bytes, value-code
+        # 7 adds zero (dummies/tail), 15 escapes to the gap8 side
+        # stream; both index chains are sorted for fast scatter
+        m = bh * bw * 64
+        g = (prim >> 4).astype(jnp.int32)
+        idx = jnp.cumsum(g, axis=1) - 1
+        nib = (prim & 15).astype(jnp.int32)
+        v = jnp.where(nib == 15, 0, nib - 7)
+
+        def one(i, vv, i2, vv2):
+            d = jnp.zeros((m,), jnp.int32).at[i].add(
+                vv, indices_are_sorted=True)
+            return d.at[i2].add(vv2.astype(jnp.int32),
+                                indices_are_sorted=True)
+
+        idx2 = jnp.cumsum(sg.astype(jnp.int32), axis=1) - 1
+        dense = jax.vmap(one)(idx, v, idx2, sv)
+        flat = dense.reshape(-1)
+        flat = flat.at[ci].add(cv.astype(jnp.int32), indices_are_sorted=True)
+        return flat.reshape((-1, bh, bw, 64))
+
+    def unpack_gap4(buf):
+        from jax import lax
+
+        nb, n = gap4_ks[0], len(comp_sig)
+        off = 0
+        parts = []
+
+        def take(count, dtype):
+            nonlocal off
+            width = jnp.dtype(dtype).itemsize
+            raw = buf[off:off + count * width]
+            off += count * width
+            if width == 1:
+                return lax.bitcast_convert_type(raw, dtype)
+            return lax.bitcast_convert_type(raw.reshape(count, width), dtype)
+
+        for i in range(n):
+            k1, k2, kc = gap4_ks[1][i]
+            prim = take(nb * k1, jnp.uint8).reshape(nb, k1)
+            sg = take(nb * k2, jnp.uint8).reshape(nb, k2)
+            sv = take(nb * k2, jnp.int8).reshape(nb, k2)
+            ci = take(kc, jnp.int32)
+            cv = take(kc, jnp.int16)
+            parts.append((prim, sg, sv, ci, cv))
+        qtabs = tuple(
+            take(nb * 64, jnp.uint16).reshape(nb, 1, 1, 64)
+            for _ in range(n))
+        return parts, qtabs
+
     def unpack_gap8(buf):
         # single coalesced uint8 upload buffer -> per-component arrays.
         # One transfer instead of ~15: this link pays a large fixed
@@ -166,7 +234,13 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
 
     def fn(*args):
         n = len(comp_sig)
-        if gap8_ks is not None:
+        if gap4_ks is not None:
+            parts, qtabs = unpack_gap4(args[0])
+            coefs = tuple(
+                gap4_restore(p_, sg, sv, ci, cv,
+                             comp_sig[i][0], comp_sig[i][1])
+                for i, (p_, sg, sv, ci, cv) in enumerate(parts))
+        elif gap8_ks is not None:
             parts, qtabs = unpack_gap8(args[0])
             coefs = tuple(
                 gap8_restore(g, v, ci, cv, comp_sig[i][0], comp_sig[i][1])
@@ -258,7 +332,17 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
             ew = out_w if out_w is not None else width
             enc = jpeg_tpu._jit_encode.__wrapped__(eh, ew, img.shape[-1],
                                                    img.shape[-1] == 3)
-            return enc(img.astype(jnp.uint8), qluma, qchroma)
+            out_coefs = enc(img.astype(jnp.uint8), qluma, qchroma)
+            if device_scan_cap is None:
+                return out_coefs
+            # full on-device entropy encode: the readback is finished
+            # scan bytes (~0.1-0.2 B/px) instead of 4:2:0 planes
+            from .jpeg_batch import _resized_comp_sig
+            from ..ops.jpeg_huffman_tpu import build_scan_encoder
+
+            rsig = _resized_comp_sig(eh, ew, img.shape[-1])
+            scan_enc = build_scan_encoder(rsig, device_scan_cap)
+            return scan_enc(out_coefs)
         return img.astype(jnp.uint8)
 
     return jax.jit(fn)
@@ -282,12 +366,19 @@ class JpegBatchPipeline:
                  encode_backend: str = "tpu",
                  upload: str = "dense",
                  fused: bool = False,
-                 num_threads: Optional[int] = None):
-        """encode_backend: 'tpu' runs fDCT+quantise on device and only
-        Huffman on the host (minimal host compute); 'host' reads back the
-        resized uint8 pixels and runs the whole encode through libjpeg —
-        fewer device->host bytes (u8 pixels vs int16 coefficients),
-        preferable when readback bandwidth is the bottleneck.
+                 num_threads: Optional[int] = None,
+                 scan_byte_cap: Optional[int] = None):
+        """encode_backend: 'device' runs the ENTIRE encode on the chip —
+        fDCT, quantisation and baseline Huffman coding incl. byte
+        stuffing (ops/jpeg_huffman_tpu.py; scan bytes are byte-identical
+        to libjpeg's) — so the readback is finished scan bytes
+        (~0.1-0.2 B/px) and the host only prepends a cached header.
+        'tpu' runs fDCT+quantise on device and Huffman on the host;
+        'raw420' reads back 4:2:0 planes for jpeg_write_raw_data;
+        'host' reads back the resized uint8 pixels and runs the whole
+        encode through libjpeg. 'device' minimises both link directions
+        and host CPU; scan_byte_cap bounds its per-image output buffer
+        (default ~0.5 B/sample; overflow raises).
 
         upload: 'dense' ships full (N, bh, bw, 64) int16 coefficient
         tensors; 'sparse' ships (index, value) pairs of the nonzero
@@ -313,6 +404,7 @@ class JpegBatchPipeline:
         self._encode_backend = encode_backend
         self._upload = upload
         self._fused = fused
+        self._scan_byte_cap = scan_byte_cap
         self._pool = ThreadPoolExecutor(max_workers=num_threads or 8,
                                         thread_name_prefix="picha-entropy")
 
@@ -351,6 +443,50 @@ class JpegBatchPipeline:
                 q = np.stack([co.comps[i]["qtable"] for co in cos])
                 args.append(q[:, None, None, :])
             return sig, tuple(ks), args
+        if self._upload == "gap4":
+            # nibble wire buffer: [per comp: prim | sgaps | svals |
+            # corr_idx | corr_val] then the uint16 qtables
+            nb = len(cos)
+            ks = []
+            sections = []
+            for i in range(n):
+                m = cos[0].comps[i]["coefs"].size
+                packed = [native.gap4_pack(co.comps[i]["coefs"]) for co in cos]
+                k1 = max(p.size for p, _, _, _, _ in packed)
+                k1 = -(-k1 // 8192) * 8192
+                k2 = max(sg.size for _, sg, _, _, _ in packed)
+                k2 = -(-k2 // 4096) * 4096
+                # pad with (gap 0, value-code 7) = advance 0, add 0 —
+                # a zero byte would decode as value -7
+                prim = np.full((nb, k1), 0x07, np.uint8)
+                sgaps = np.zeros((nb, k2), np.uint8)
+                svals = np.zeros((nb, k2), np.int8)
+                ci_parts, cv_parts = [], []
+                for j, (p_, sg, sv, ci, cv) in enumerate(packed):
+                    prim[j, : p_.size] = p_
+                    sgaps[j, : sg.size] = sg
+                    svals[j, : sv.size] = sv
+                    if ci.size:
+                        ci_parts.append(ci.astype(np.int64) + j * m)
+                        cv_parts.append(cv)
+                nc = sum(p.size for p in ci_parts)
+                kc = -(-max(1, nc) // 1024) * 1024
+                corr_idx = np.full((kc,), nb * m - 1, np.int32)
+                corr_val = np.zeros((kc,), np.int16)
+                if nc:
+                    corr_idx[:nc] = np.concatenate(ci_parts)
+                    corr_val[:nc] = np.concatenate(cv_parts)
+                sections += [prim.reshape(-1), sgaps.reshape(-1),
+                             svals.view(np.uint8).reshape(-1),
+                             corr_idx.view(np.uint8).reshape(-1),
+                             corr_val.view(np.uint8).reshape(-1)]
+                ks.append((k1, k2, kc))
+            for i in range(n):
+                q = np.stack([co.comps[i]["qtable"] for co in cos])
+                sections.append(np.ascontiguousarray(
+                    q.astype(np.uint16)).view(np.uint8).reshape(-1))
+            wire = np.concatenate(sections)
+            return sig, (nb, tuple(ks)), [wire]
         if self._upload == "gap8":
             # one coalesced uint8 wire buffer (unpack_gap8 is the device
             # side): [per comp: gaps | vals | corr_idx | corr_val] then
@@ -424,15 +560,31 @@ class JpegBatchPipeline:
     # -- device stage ------------------------------------------------------
 
     def run_bucket(self, sig, args, sparse_ks=None, int8_ks=None,
-                   gap8_ks=None):
+                   gap8_ks=None, gap4_ks=None):
         device_quality = (self._encode_quality
-                          if self._encode_backend == "tpu" else None)
+                          if self._encode_backend in ("tpu", "device")
+                          else None)
         yuv = (self._encode_backend == "raw420"
                and self._encode_quality is not None)
+        cap = None
+        if self._encode_backend == "device" and device_quality is not None:
+            cap = self._scan_cap_for(sig)
         fn = _jit_batch_graph(sig, self._width, self._height, self._filter,
                               self._fscale, self._normalize, device_quality,
-                              sparse_ks, yuv, self._fused, int8_ks, gap8_ks)
+                              sparse_ks, yuv, self._fused, int8_ks, gap8_ks,
+                              cap, gap4_ks)
         return fn(*args)
+
+    def _scan_cap_for(self, sig) -> int:
+        ew = self._width if self._width is not None else sig[0]
+        eh = self._height if self._height is not None else sig[1]
+        if self._scan_byte_cap is not None:
+            return self._scan_byte_cap
+        # q<=95 baseline scans of natural images run ~0.05-0.2 B/sample;
+        # budget ~0.33 B/sample (plus a floor) and overflow loudly —
+        # the byte-stage device cost is linear in this cap
+        samples = ew * eh * 2  # 4:2:0 worst case incl. chroma
+        return max(1 << 16, -(-samples // 4 // 4096) * 4096)
 
     def _stage_device(self, cos):
         """Host pack + async upload + graph dispatch for one homogeneous
@@ -441,7 +593,7 @@ class JpegBatchPipeline:
         import jax
 
         sig = signature(cos[0])
-        if self._upload in ("sparse", "int8", "gap8"):
+        if self._upload in ("sparse", "int8", "gap8", "gap4"):
             sig, ks, args = self.stack_bucket(cos)
             dargs = [jax.device_put(a) for a in args]
             kw = {self._upload + "_ks": ks}
@@ -461,7 +613,7 @@ class JpegBatchPipeline:
 
     def _process(self, cos):
         """Homogeneous batch -> (sig, device output)."""
-        if self._upload in ("sparse", "int8", "gap8"):
+        if self._upload in ("sparse", "int8", "gap8", "gap4"):
             sig, ks, args = self.stack_bucket(cos)
             return sig, self.run_bucket(sig, args,
                                         **{self._upload + "_ks": ks})
@@ -479,7 +631,34 @@ class JpegBatchPipeline:
                 lambda img: native.jpeg_encode(img, q), batch))
         if self._encode_backend == "raw420":
             return self.raw420_encode(out, sig)
+        if self._encode_backend == "device":
+            return self.scan_finish(out, sig)
         return self.huffman_encode(out, sig)
+
+    def scan_finish(self, out, sig):
+        """Host stage for the 'device' encode backend: read back the
+        per-image byte counts, then only the longest used prefix of the
+        scan buffer (length bucketed to 64 KiB so the slice program
+        compiles a handful of times), and prepend the cached header."""
+        from ..ops.jpeg_huffman_tpu import assemble, jpeg_header
+
+        scan, nbytes = out
+        nb = np.asarray(nbytes)
+        cap = scan.shape[1]
+        if int(nb.max()) > cap:
+            raise OverflowError(
+                f"device scan buffer overflow ({int(nb.max())} > {cap}); "
+                "raise scan_byte_cap or lower the quality")
+        m = min(cap, -(-int(nb.max()) // 65536) * 65536)
+        host = np.asarray(scan[:, :m])
+        ew = self._width if self._width is not None else sig[0]
+        eh = self._height if self._height is not None else sig[1]
+        # channel count of the encode comes from the decode colour space
+        channels = 1 if len(sig[3]) == 1 else 3
+        rsig = _resized_comp_sig(eh, ew, channels)
+        header = jpeg_header(ew, eh, rsig, self._encode_quality)
+        return [assemble(header, host[i], int(nb[i]))
+                for i in range(host.shape[0])]
 
     def _call_mixed(self, cos):
         """Heterogeneous batch: bucket by signature, pad each bucket to
@@ -510,6 +689,163 @@ class JpegBatchPipeline:
                        if r.shape[-1] != cmax else r for r in results]
             return np.stack(results)
         return results
+
+    def host_encode_batch(self, bufs):
+        """Pure-host reference path for one batch: libjpeg decode ->
+        resize (XLA:CPU, same weights as the device graph, one batched
+        call when dims agree) -> libjpeg encode. Used by the hybrid
+        scheduler to soak up host cycles the device chain leaves
+        idle."""
+        import jax
+
+        from ..ops.resize import resize_array
+
+        q = self._encode_quality
+        stats = [native.jpeg_stat(b) for b in bufs]
+        if any(st is None for st in stats):
+            raise CodecError("invalid JPEG in batch")
+        arrs = [native.jpeg_decode(b, 3 if st[2] >= 3 else 1, st[0], st[1])
+                for b, st in zip(bufs, stats)]
+        try:
+            cpu = jax.devices("cpu")[0]
+        except Exception:  # noqa: BLE001 — cpu-only platform
+            cpu = None
+        # per-image resize: a batched (16,1088,1920,3) f32 call measured
+        # ~2x slower per image on the 1-core host (400 MB intermediates)
+        with (jax.default_device(cpu) if cpu is not None
+              else contextlib.nullcontext()):
+            rs = [resize_array(a, self._width, self._height,
+                               filter=self._filter,
+                               filter_scale=self._fscale) for a in arrs]
+        return [native.jpeg_encode(np.ascontiguousarray(r), q) for r in rs]
+
+    @staticmethod
+    def _put(q, item, stop):
+        """Bounded put that gives up when the consumer is gone."""
+        import queue as _queue
+
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def stream_hybrid(self, batches, depth: int = 2):
+        """Like stream(), plus a host worker that steals whole batches
+        for the pure-host path whenever the single-core host would
+        otherwise idle behind the device chain (this environment's
+        device stream serialises upload/compute/readback, leaving the
+        host ~50% idle). Results still arrive in input order; hybrid
+        batches are valid JPEGs of the same quality but not bit-equal
+        to device-encoded ones (different fDCT path)."""
+        import heapq
+        import queue as _queue
+
+        q_in: _queue.Queue = _queue.Queue(maxsize=depth + 2)
+        q_dev: _queue.Queue = _queue.Queue(maxsize=depth)
+        q_done: _queue.Queue = _queue.Queue()
+        _END = object()
+        stop = threading.Event()
+        put = self._put
+
+        def feeder():
+            n = 0
+            try:
+                for bufs in batches:
+                    if not put(q_in, ("ok", (n, bufs)), stop):
+                        return
+                    n += 1
+            except BaseException as e:  # noqa: BLE001
+                put(q_in, ("err", e), stop)
+            for _ in range(2):  # one sentinel per worker
+                put(q_in, (_END, n), stop)
+
+        def tpu_worker():
+            while not stop.is_set():
+                kind, item = q_in.get()
+                if kind is _END:
+                    put(q_dev, (_END, None), stop)
+                    return
+                if kind == "err":
+                    put(q_dev, ("err", item), stop)
+                    return
+                idx, bufs = item
+                try:
+                    cos = self.entropy_decode(bufs)
+                    ok = put(q_dev, ("ok", (idx, self._stage_device(cos))),
+                             stop)
+                except BaseException as e:  # noqa: BLE001
+                    put(q_dev, ("err", e), stop)
+                    return
+                if not ok:
+                    return
+
+        def tpu_finisher():
+            while not stop.is_set():
+                kind, item = q_dev.get()
+                if kind is _END:
+                    put(q_done, (_END, None), stop)
+                    return
+                if kind == "err":
+                    put(q_done, ("err", item), stop)
+                    return
+                idx, (sig, out) = item
+                try:
+                    put(q_done, ("ok", (idx, self._finish(sig, out))), stop)
+                except BaseException as e:  # noqa: BLE001
+                    put(q_done, ("err", e), stop)
+                    return
+
+        def host_worker():
+            while not stop.is_set():
+                kind, item = q_in.get()
+                if kind is _END:
+                    put(q_done, (_END, None), stop)
+                    return
+                if kind == "err":
+                    put(q_done, ("err", item), stop)
+                    return
+                idx, bufs = item
+                try:
+                    put(q_done, ("ok", (idx, self.host_encode_batch(bufs))),
+                        stop)
+                except BaseException as e:  # noqa: BLE001
+                    put(q_done, ("err", e), stop)
+                    return
+
+        threads = [threading.Thread(target=t, daemon=True)
+                   for t in (feeder, tpu_worker, tpu_finisher, host_worker)]
+        for t in threads:
+            t.start()
+        done_sentinels = 0
+        heap: list = []
+        next_idx = 0
+        try:
+            while done_sentinels < 2 or heap:
+                if heap and heap[0][0] == next_idx:
+                    _, result = heapq.heappop(heap)
+                    next_idx += 1
+                    yield result
+                    continue
+                kind, item = q_done.get()
+                if kind is _END:
+                    done_sentinels += 1
+                    continue
+                if kind == "err":
+                    raise item
+                heapq.heappush(heap, item)
+        finally:
+            stop.set()
+            for q in (q_in, q_dev, q_done):
+                try:
+                    while True:
+                        q.get_nowait()
+                except _queue.Empty:
+                    pass
+            for t in threads:
+                t.join(timeout=1.0)
 
     def stream(self, batches, depth: int = 2):
         """Stage-overlapped pipeline over an iterable of homogeneous
@@ -565,17 +901,7 @@ class JpegBatchPipeline:
                 if kind == "err":
                     raise item
                 sig, out = item
-                if self._encode_quality is None:
-                    yield out
-                elif self._encode_backend == "raw420":
-                    yield self.raw420_encode(out, sig)
-                elif self._encode_backend == "host":
-                    batch = np.asarray(out)
-                    yield list(self._pool.map(
-                        lambda img: native.jpeg_encode(
-                            img, self._encode_quality), batch))
-                else:
-                    yield self.huffman_encode(out, sig)
+                yield self._finish(sig, out)
         finally:
             te.join(timeout=0.1)
             td.join(timeout=0.1)

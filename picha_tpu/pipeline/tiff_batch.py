@@ -37,6 +37,14 @@ def host_stage(buf: bytes, index: int = 0):
     if index < 0 or index >= len(ifds):
         raise CodecError("invalid directory index")
     ifd = ifds[index]
+    try:
+        return _host_stage_parsed(buf, endian, ifd, index)
+    except (TypeError, ValueError) as e:
+        # crafted tag types leak non-numeric values into arithmetic
+        raise CodecError("malformed TIFF tags") from e
+
+
+def _host_stage_parsed(buf, endian, ifd, index):
     width = int(ifd.one(T.T_WIDTH, 0))
     height = int(ifd.one(T.T_HEIGHT, 0))
     if width <= 0 or height <= 0:

@@ -64,3 +64,36 @@ def test_pathological_headers():
     with pytest.raises(PichaError):
         picha.decodeTiffSync(tif)
     assert picha.statTiff(tif) is None
+
+
+def test_fax_and_ycbcr_mutations_never_crash():
+    """Round-2 decode paths (CCITT fax, FillOrder=2, subsampled YCbCr)
+    under the same mutation battery: typed error or valid Image."""
+    from tests.test_tiff import _pil_bilevel_tiff, _craft_fax_tiff
+    from tests.test_tiff import _craft_ycbcr_tiff
+    from picha_tpu.codecs import tiff as T
+    rng = np.random.default_rng(99)
+    arr = rng.random((24, 60)) < 0.5
+    seeds = [_pil_bilevel_tiff(arr, "group4"),
+             _pil_bilevel_tiff(arr, "group3"),
+             _pil_bilevel_tiff(arr, "tiff_ccitt")]
+    # fillorder-2 variant
+    buf = _pil_bilevel_tiff(arr, "group4")
+    _, ifds = T._parse_ifds(buf)
+    off = ifds[0].one(T.T_STRIP_OFFSETS)
+    cnt = ifds[0].one(T.T_STRIP_COUNTS)
+    seg = T._BITREV[np.frombuffer(buf[off:off + cnt], np.uint8)].tobytes()
+    seeds.append(_craft_fax_tiff(seg, 60, 24, 4, 2))
+    # subsampled YCbCr
+    y = rng.integers(0, 256, (24, 60), np.uint8)
+    cb = rng.integers(0, 256, (12, 30), np.uint8)
+    seeds.append(_craft_ycbcr_tiff(y, cb, cb, 60, 24, 2, 2))
+    for seed_buf in seeds:
+        for mutant in _mutations(seed_buf, rng):
+            try:
+                img = picha.decodeTiffSync(mutant)
+                assert img.width >= 0
+            except PichaError:
+                pass
+            st = picha.statTiff(mutant)
+            assert st is None or st["width"] >= 0

@@ -1,0 +1,144 @@
+"""TPU Huffman encoder vs libjpeg — the scan bytes must be IDENTICAL.
+
+Both sides encode the same quantised coefficients with the standard
+Annex K tables (no optimisation, no restart markers), so everything
+after SOS up to EOI is deterministic and comparable byte-for-byte.
+"""
+import numpy as np
+import pytest
+
+from conftest import fixture_bytes
+
+from picha_tpu.native import lib as native
+from picha_tpu.ops import jpeg_huffman_tpu as H
+from picha_tpu.ops import jpeg_tpu
+
+
+def scan_of(jpeg_bytes: bytes) -> bytes:
+    """Bytes between the SOS header and EOI."""
+    b = jpeg_bytes
+    i = 2
+    while i < len(b):
+        assert b[i] == 0xFF, "marker desync"
+        m = b[i + 1]
+        ln = (b[i + 2] << 8) | b[i + 3]
+        if m == 0xDA:
+            start = i + 2 + ln
+            assert b[-2:] == b"\xff\xd9"
+            return b[start:-2]
+        i += 2 + ln
+    raise AssertionError("no SOS")
+
+
+def tpu_encode_from_coefs(co, quality=85):
+    comp_sig = tuple((c["blocks_h"], c["blocks_w"], c["h_samp"], c["v_samp"])
+                     for c in co.comps)
+    coefs = tuple(np.asarray(c["coefs"], np.int32)[None] for c in co.comps)
+    enc = H.build_scan_encoder(comp_sig, byte_cap=1 << 18)
+    scan, nbytes = enc(coefs)
+    scan, nbytes = np.asarray(scan[0]), int(nbytes[0])
+    assert nbytes <= scan.size
+    return scan[:nbytes].tobytes()
+
+
+def libjpeg_encode_from_coefs(co):
+    comps = [{"coefs": np.asarray(c["coefs"], np.int16),
+              "qtable": np.asarray(c["qtable"], np.uint16),
+              "h_samp": c["h_samp"], "v_samp": c["v_samp"]}
+             for c in co.comps]
+    return native.jpeg_coef_write(co.width, co.height, comps)
+
+
+@pytest.mark.parametrize("name", ["test2.jpg", "test.jpeg", "test2g.jpg"])
+def test_scan_bytes_match_libjpeg_fixture(name):
+    co = native.JpegCoefficients(fixture_bytes(name))
+    want = scan_of(libjpeg_encode_from_coefs(co))
+    got = tpu_encode_from_coefs(co)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed,w,h,c", [(0, 64, 48, 3), (1, 17, 13, 3),
+                                        (2, 33, 31, 1), (3, 128, 96, 3)])
+def test_scan_bytes_match_libjpeg_synthetic(seed, w, h, c):
+    """Random images (odd dims exercise dummy blocks in partial MCUs)."""
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    buf = native.jpeg_encode(np.repeat(arr, 3, -1) if c == 1 else arr, 90)
+    co = native.JpegCoefficients(
+        buf if c == 3 else native.jpeg_encode(arr.repeat(3, -1), 90))
+    if c == 1:
+        # grey: re-encode through the grey path
+        import io
+        from PIL import Image as PILImage
+        b = io.BytesIO()
+        PILImage.fromarray(arr[..., 0], "L").save(b, "JPEG", quality=90)
+        co = native.JpegCoefficients(b.getvalue())
+    want = scan_of(libjpeg_encode_from_coefs(co))
+    got = tpu_encode_from_coefs(co)
+    assert got == want
+
+
+def test_full_file_decodes_and_matches_pixels():
+    """Header + scan assembles into a JPEG whose decode equals the
+    libjpeg coef_write decode exactly."""
+    co = native.JpegCoefficients(fixture_bytes("test2.jpg"))
+    comp_sig = tuple((c["blocks_h"], c["blocks_w"], c["h_samp"], c["v_samp"])
+                     for c in co.comps)
+    # reconstruct quality from the qtable is overkill: write DQT from
+    # the coefficients' own tables via a custom header
+    header = H.jpeg_header(co.width, co.height, comp_sig, 85)
+    # NOTE: the fixture's qtable IS quality 85? Not necessarily — build
+    # the oracle from coefficients re-encoded with OUR quality tables.
+    arr = native.jpeg_decode(fixture_bytes("test2.jpg"), 3,
+                             co.width, co.height)
+    comps = jpeg_tpu.encode_to_coefficients(arr, 85)
+    comp_sig = tuple((c["coefs"].shape[0], c["coefs"].shape[1],
+                      c["h_samp"], c["v_samp"]) for c in comps)
+    coefs = tuple(np.asarray(c["coefs"], np.int32)[None] for c in comps)
+    enc = H.build_scan_encoder(comp_sig, byte_cap=1 << 18)
+    scan, nbytes = enc(coefs)
+    out = H.assemble(H.jpeg_header(co.width, co.height, comp_sig, 85),
+                     np.asarray(scan[0]), int(nbytes[0]))
+    mine = native.jpeg_decode(out, 3, co.width, co.height)
+    ref = native.jpeg_decode(native.jpeg_coef_write(
+        co.width, co.height,
+        [{"coefs": np.asarray(c["coefs"], np.int16),
+          "qtable": np.asarray(c["qtable"], np.uint16),
+          "h_samp": c["h_samp"], "v_samp": c["v_samp"]} for c in comps]),
+        3, co.width, co.height)
+    np.testing.assert_array_equal(mine, ref)
+
+
+def test_pipeline_device_encode_matches_tpu_backend():
+    """encode_backend='device' (full on-chip encode) must produce the
+    same scan bytes as encode_backend='tpu' (device coefficients + host
+    libjpeg Huffman) — identical coefficients, identical std tables."""
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    bufs = [fixture_bytes("test2.jpg")] * 3
+    dev = JpegBatchPipeline(width=32, height=24, encode_quality=85,
+                            encode_backend="device", fused=True,
+                            upload="gap8")(bufs)
+    host = JpegBatchPipeline(width=32, height=24, encode_quality=85,
+                             encode_backend="tpu", fused=True,
+                             upload="gap8")(bufs)
+    assert len(dev) == len(host) == 3
+    for d, h in zip(dev, host):
+        assert scan_of(bytes(d)) == scan_of(bytes(h))
+        # and the full file decodes identically
+        img_d = native.jpeg_decode(bytes(d), 3, 32, 24)
+        img_h = native.jpeg_decode(bytes(h), 3, 32, 24)
+        np.testing.assert_array_equal(img_d, img_h)
+
+
+def test_pipeline_device_encode_stream():
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    bufs = [fixture_bytes("test2.jpg")] * 2
+    p = JpegBatchPipeline(width=32, height=24, encode_quality=85,
+                          encode_backend="device", fused=True,
+                          upload="gap8")
+    want = p(bufs)
+    got = list(p.stream(iter([bufs, bufs]), depth=2))
+    assert [bytes(x) for x in got[0]] == [bytes(x) for x in want]
+    assert [bytes(x) for x in got[1]] == [bytes(x) for x in want]

@@ -517,3 +517,47 @@ def test_tiff_batch_predictor_and_cmyk():
     got = np.asarray(TiffBatchPipeline()([buf]))
     want = picha.decodeTiffSync(buf).to_array()
     np.testing.assert_array_equal(got[0], want)
+
+
+def test_gap4_upload_matches_dense(jpeg_bufs):
+    dense = np.asarray(JpegBatchPipeline(width=32, height=24)(jpeg_bufs))
+    g4 = np.asarray(JpegBatchPipeline(width=32, height=24,
+                                      upload="gap4")(jpeg_bufs))
+    np.testing.assert_array_equal(dense, g4)
+    df = np.asarray(JpegBatchPipeline(width=32, height=24,
+                                      fused=True)(jpeg_bufs))
+    g4f = np.asarray(JpegBatchPipeline(width=32, height=24, fused=True,
+                                       upload="gap4")(jpeg_bufs))
+    np.testing.assert_array_equal(df, g4f)
+
+
+def test_stream_hybrid_order_and_validity(jpeg_bufs):
+    """Hybrid scheduler: results arrive in input order; every output is
+    a valid JPEG of the target size from either path (device chain or
+    the pure-host path), pixels within lossy tolerance of each other."""
+    p = JpegBatchPipeline(width=32, height=24, encode_quality=85,
+                          encode_backend="raw420", fused=True,
+                          upload="gap4")
+    batches = [jpeg_bufs, list(reversed(jpeg_bufs)), jpeg_bufs,
+               list(reversed(jpeg_bufs))]
+    ref = p(jpeg_bufs)
+    got = list(p.stream_hybrid(iter(batches), depth=2))
+    assert len(got) == 4
+    ref_img = picha.decodeJpegSync(ref[0]).to_array().astype(int)
+    for bi, res in enumerate(got):
+        assert len(res) == len(jpeg_bufs)
+        order = jpeg_bufs if bi % 2 == 0 else list(reversed(jpeg_bufs))
+        for j, enc in enumerate(res):
+            img = picha.decodeJpegSync(enc)
+            assert (img.width, img.height) == (32, 24)
+        # batch 0/2 first image == ref first image's source
+        img0 = picha.decodeJpegSync(res[0]).to_array().astype(int)
+        if bi % 2 == 0:
+            assert np.abs(img0 - ref_img).mean() < 8
+
+
+def test_stream_hybrid_propagates_errors(jpeg_bufs):
+    p = JpegBatchPipeline(width=16, height=12, encode_quality=85,
+                          encode_backend="raw420", upload="gap4")
+    with pytest.raises(Exception):
+        list(p.stream_hybrid(iter([jpeg_bufs, [b"bogus"] * 2]), depth=2))
