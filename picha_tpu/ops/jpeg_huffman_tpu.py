@@ -14,16 +14,15 @@ That makes the whole entropy-encode stage a vectorizable XLA graph:
      lengths via inclusive prefix-max of nonzero positions, ZRL symbols
      pinned at the zero positions 16k after the previous nonzero, EOB
      as a 65th virtual slot,
-  4. (code << size) | value-bits packets (<= 27 bits, int32-safe) and
-     their absolute bit offsets via cumsums, plus a final 1-bits pad
-     packet per image,
-  5. rank-space compaction with ONLY sorted scatters (an unsorted
-     795k-element scatter costs seconds on TPU): rank = prefix count
-     of non-empty packets, inverted by a sorted scatter-min; "last
-     rank starting at or before byte b" by a sorted scatter-max over
-     start bytes + a prefix max,
-  6. bytes by gather: each output byte ORs the <= 6 overlapping
-     packets' aligned contributions (bit-disjoint, so add == or),
+  4. (code << size) | value-bits packets (<= 27 bits, int32-safe, one
+     packed (len<<16|code) lookup per symbol) and their absolute bit
+     offsets via cumsums, plus a final 1-bits pad packet per image,
+  5. bit assembly as TWO sorted scatter-adds into 32-bit words: a
+     packet spans at most two words at any offset, packets are
+     bit-disjoint so add == or (wraparound-safe across the sign bit);
+     everything is image-major batch-flat — vmapped or unsorted
+     scatters cost seconds on this backend, these cost ~25 ms,
+  6. words -> bytes densely (MSB-first shifts),
   7. 0xFF byte stuffing as a +popcount-shift scatter (the inserted
      0x00 is the zero-initialised gap).
 
@@ -173,10 +172,14 @@ def build_scan_encoder(comp_sig, byte_cap: int):
     idx_np, dummy_np, tid_np, prev_np = _mcu_layout(comp_sig)
     nblk = idx_np.size
     tabs = _device_tables()
+    # one packed (len << 16 | code) table per class halves the gather
+    # count — small-table gathers are a dominant device cost here
     dc_code = np.stack([tabs[(0, 0)][0], tabs[(0, 1)][0]])   # (2, 12)
     dc_len = np.stack([tabs[(0, 0)][1], tabs[(0, 1)][1]])
     ac_code = np.stack([tabs[(1, 0)][0], tabs[(1, 1)][0]])   # (2, 256)
     ac_len = np.stack([tabs[(1, 0)][1], tabs[(1, 1)][1]])
+    dc_packed = (dc_len << 16) | dc_code
+    ac_packed = (ac_len << 16) | ac_code
     zz = ZIGZAG
 
     def bitsize(x):
@@ -212,10 +215,9 @@ def build_scan_encoder(comp_sig, byte_cap: int):
         # --- DC packets ----------------------------------------------------
         s = bitsize(diff)
         lo = jnp.where(diff < 0, diff - 1, diff) & ((1 << s) - 1)
-        code = jnp.asarray(dc_code)[tid[None, :], s]
-        ln = jnp.asarray(dc_len)[tid[None, :], s]
-        dc_pkt = (code << s) | lo
-        dc_len_b = ln + s                               # (N, nblk)
+        cl = jnp.asarray(dc_packed)[tid[None, :], s]
+        dc_pkt = ((cl & 0xFFFF) << s) | lo
+        dc_len_b = (cl >> 16) + s                       # (N, nblk)
 
         # --- AC packets (positions 1..63) ------------------------------------
         nz = ac != 0                                    # (N, nblk, 63)
@@ -231,10 +233,9 @@ def build_scan_encoder(comp_sig, byte_cap: int):
         s_ac = bitsize(ac)
         sym = ((run & 15) << 4) | s_ac
         lo_ac = jnp.where(ac < 0, ac - 1, ac) & ((1 << s_ac) - 1)
-        code_ac = jnp.asarray(ac_code)[tid[None, :, None], sym]
-        len_ac_ = jnp.asarray(ac_len)[tid[None, :, None], sym]
-        ac_pkt = (code_ac << s_ac) | lo_ac
-        ac_bits = len_ac_ + s_ac
+        cl_ac = jnp.asarray(ac_packed)[tid[None, :, None], sym]
+        ac_pkt = ((cl_ac & 0xFFFF) << s_ac) | lo_ac
+        ac_bits = (cl_ac >> 16) + s_ac
         # ZRL at zero positions 16k past the previous nonzero, provided
         # another nonzero follows (run >= 16k is then guaranteed)
         has_next = jnp.flip(jax.lax.associative_scan(
@@ -267,47 +268,32 @@ def build_scan_encoder(comp_sig, byte_cap: int):
         pkts = jnp.concatenate([pkts, ((1 << pad) - 1)[:, None]], axis=1)
         total = total + pad
 
-        # --- global rank space (all indices sorted image-major) -------------
+        # --- bit assembly: two sorted scatter-adds into 32-bit words --------
+        # A packet is <= 27 bits, so at any bit offset it spans at most
+        # two 32-bit words. Packets occupy disjoint bit ranges, so
+        # scatter-ADD == bitwise OR (no carries), including across the
+        # int32 sign bit (wraparound add). This replaces a 6-window
+        # gather stage whose ~75M table lookups dominated device time.
         ii = jnp.arange(n_img, dtype=jnp.int32)[:, None]
-        keep = lens > 0
-        rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1   # (N, E)
-        g_rank = (rank + ii * E).reshape(-1)
-        big = jnp.int32(1 << 30)
-        e_local = jnp.arange(E, dtype=jnp.int32)[None, :]
-        g_eidx = jnp.where(keep, e_local + ii * E, big).reshape(-1)
-        # the rank-r packet is the FIRST element holding rank r (empty
-        # elements share the rank but lose the scatter-min)
-        idx_by_rank = jnp.full((n_img * E,), big, jnp.int32).at[g_rank].min(
-            g_eidx, indices_are_sorted=True)
-
-        # "last rank starting at or before byte b" per image region:
-        # sorted scatter-max + prefix max; cross-image leakage is masked
-        # by the same-image check below
-        g_start = (jnp.clip(offs >> 3, 0, byte_cap) + ii * R).reshape(-1)
-        jmap = jnp.zeros((n_img * R,), jnp.int32).at[g_start].max(
-            (rank + ii * E).reshape(-1), indices_are_sorted=True)
-        hi = jax.lax.associative_scan(jnp.maximum, jmap).reshape(n_img, R)
-        hi = hi[:, :byte_cap] + 1                       # (N, byte_cap)
-
-        offs_f, lens_f, pkts_f = (offs.reshape(-1), lens.reshape(-1),
-                                  pkts.reshape(-1))
+        nwords = -(-byte_cap // 4)
+        WR = nwords + 2  # per-image word region incl. 2 trash slots
+        wi = offs >> 5                                   # (N, E)
+        bo = offs & 31
+        rem = bo + lens - 32                             # >0: spills word 2
+        sh1 = jnp.clip(jnp.where(rem <= 0, -rem, rem), 0, 31)
+        c1 = jnp.where(rem <= 0, pkts << sh1, pkts >> sh1)
+        c2 = jnp.where(rem > 0, pkts << jnp.clip(32 - rem, 0, 31), 0)
+        g_wi = (jnp.clip(wi, 0, nwords) + ii * WR).reshape(-1)
+        words = jnp.zeros((n_img * WR,), jnp.int32)
+        words = words.at[g_wi].add(c1.reshape(-1), indices_are_sorted=True)
+        words = words.at[g_wi + 1].add(c2.reshape(-1),
+                                       indices_are_sorted=True)
+        words = words.reshape(n_img, WR)[:, :nwords]
+        # words -> bytes, MSB-first within each word
+        shifts = jnp.array([24, 16, 8, 0], jnp.int32)
+        byte = ((words[:, :, None] >> shifts) & 0xFF).reshape(
+            n_img, nwords * 4)[:, :byte_cap]
         b = jnp.arange(byte_cap, dtype=jnp.int32)[None, :]
-        byte = jnp.zeros((n_img, byte_cap), jnp.int32)
-        for w in range(1, 7):
-            r = hi - w
-            e_g = idx_by_rank[jnp.clip(r, 0, n_img * E - 1)]
-            ec = jnp.clip(e_g, 0, n_img * E - 1)
-            oj = offs_f[ec]                             # local bit offset
-            lj = lens_f[ec]
-            pj = pkts_f[ec]
-            valid = ((r >= 0) & (e_g >= ii * E) & (e_g < (ii + 1) * E)
-                     & (oj + lj > 8 * b) & (oj < 8 * b + 8))
-            shift = 8 * b + 8 - (oj + lj)
-            pos_c = (pj & ((1 << jnp.clip(8 - shift, 0, 31)) - 1)) << \
-                jnp.clip(shift, 0, 31)
-            neg_c = (pj >> jnp.clip(-shift, 0, 31)) & 0xFF
-            byte = byte + jnp.where(valid,
-                                    jnp.where(shift >= 0, pos_c, neg_c), 0)
 
         # --- 0xFF stuffing ----------------------------------------------------
         nraw = total // 8                               # (N,)

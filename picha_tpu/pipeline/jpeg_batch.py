@@ -124,17 +124,16 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
     def gap8_restore(g, v, ci, cv, bh, bw):
         # gap-delta wire format (native/src/sparsepack.cc): per-image
         # (gap u8, val i8) pairs with cumulative 1-based indexing, plus
-        # a batch-flat int16 correction list for |v| > 127. Both
-        # scatters ride the sorted fast path.
+        # a batch-flat int16 correction list for |v| > 127. One global
+        # image-major scatter (batched/vmapped scatters lower poorly on
+        # this backend), indices sorted end to end.
         m = bh * bw * 64
+        n_img = g.shape[0]
         idx = jnp.cumsum(g.astype(jnp.int32), axis=1) - 1  # (N, K) sorted
-
-        def one(i, vv):
-            return jnp.zeros((m,), jnp.int32).at[i].add(
-                vv.astype(jnp.int32), indices_are_sorted=True)
-
-        dense = jax.vmap(one)(idx, v)
-        flat = dense.reshape(-1)
+        gi = (jnp.maximum(idx, 0)
+              + jnp.arange(n_img, dtype=jnp.int32)[:, None] * m).reshape(-1)
+        flat = jnp.zeros((n_img * m,), jnp.int32).at[gi].add(
+            v.astype(jnp.int32).reshape(-1), indices_are_sorted=True)
         flat = flat.at[ci].add(cv.astype(jnp.int32), indices_are_sorted=True)
         return flat.reshape((-1, bh, bw, 64))
 
@@ -151,22 +150,22 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
     def gap4_restore(prim, sg, sv, ci, cv, bh, bw):
         # nibble wire: primary (gap<<4 | value-code) bytes, value-code
         # 7 adds zero (dummies/tail), 15 escapes to the gap8 side
-        # stream; both index chains are sorted for fast scatter
+        # stream; all three scatters are single global image-major
+        # sorted ops (no vmap — it lowers scatters poorly here)
         m = bh * bw * 64
+        n_img = prim.shape[0]
+        base = jnp.arange(n_img, dtype=jnp.int32)[:, None] * m
         g = (prim >> 4).astype(jnp.int32)
         idx = jnp.cumsum(g, axis=1) - 1
         nib = (prim & 15).astype(jnp.int32)
         v = jnp.where(nib == 15, 0, nib - 7)
-
-        def one(i, vv, i2, vv2):
-            d = jnp.zeros((m,), jnp.int32).at[i].add(
-                vv, indices_are_sorted=True)
-            return d.at[i2].add(vv2.astype(jnp.int32),
-                                indices_are_sorted=True)
-
+        gi = (jnp.maximum(idx, 0) + base).reshape(-1)
+        flat = jnp.zeros((n_img * m,), jnp.int32).at[gi].add(
+            v.reshape(-1), indices_are_sorted=True)
         idx2 = jnp.cumsum(sg.astype(jnp.int32), axis=1) - 1
-        dense = jax.vmap(one)(idx, v, idx2, sv)
-        flat = dense.reshape(-1)
+        gi2 = (jnp.maximum(idx2, 0) + base).reshape(-1)
+        flat = flat.at[gi2].add(sv.astype(jnp.int32).reshape(-1),
+                                indices_are_sorted=True)
         flat = flat.at[ci].add(cv.astype(jnp.int32), indices_are_sorted=True)
         return flat.reshape((-1, bh, bw, 64))
 
