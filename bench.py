@@ -148,7 +148,50 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12):
         n += len(encoded)
     dt = time.perf_counter() - t0
     return n / dt, {"up_MB_per_batch": round(up_bytes / 1e6, 1),
-                    "down_MB_per_batch": round(down_bytes / 1e6, 1)}
+                    "down_MB_per_batch": round(down_bytes / 1e6, 1),
+                    "encode_backend": backend}
+
+
+def bench_e2e_best(bufs, batch, out_w, out_h):
+    """The backend an operator would pick: run the raw420 pipeline,
+    then opportunistically try the full on-chip encode in a watchdogged
+    subprocess (its first compile has taken 90 s to 30+ min through
+    this environment's remote compile service) and report the faster
+    of the two."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    best = bench_e2e(bufs, batch, out_w, out_h)
+    if os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") == "0":
+        return best
+    code = (
+        "import json, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "from bench import make_test_images, bench_e2e\n"
+        "bufs = make_test_images(%d, %d, %d)\n"
+        "ips, d = bench_e2e(bufs, %d, %d, %d)\n"
+        "print('RESULT ' + json.dumps([ips, d]))\n"
+        % (os.path.dirname(os.path.abspath(__file__)),
+           batch, 1920, 1088, batch, out_w, out_h))
+    env = dict(os.environ)
+    env["PICHA_BENCH_ENCODE"] = "device"
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], env=env,
+                              capture_output=True, text=True, timeout=600)
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                ips, d = _json.loads(line[len("RESULT "):])
+                log(f"device-encode e2e try: {ips:.1f} img/s")
+                if ips > best[0]:
+                    return ips, d
+    except subprocess.TimeoutExpired:
+        log("device-encode e2e try timed out (remote compile); "
+            "keeping raw420")
+    except Exception as e:  # noqa: BLE001
+        log(f"device-encode e2e try failed: {type(e).__name__}: {e}")
+    return best
 
 
 def bench_train_ingest(bufs, batch, rounds=10):
@@ -326,7 +369,7 @@ def main():
             f"({'OK' if parity <= 1.0 else 'VIOLATION'} of <=1 LSB invariant)")
 
     e2e_ips = None
-    e2e = stage("e2e", bench_e2e, bufs, batch, out_w, out_h)
+    e2e = stage("e2e", bench_e2e_best, bufs, batch, out_w, out_h)
     if e2e:
         e2e_ips, ebytes = e2e
         detail.update(ebytes)

@@ -109,16 +109,21 @@ static void fill(Lut& t, const Code* codes, size_t n) {
   }
 }
 
-static Lut g_lut[2];  // [0]=white, [1]=black
-static bool g_init = false;
+struct Tables {
+  Lut lut[2];  // [0]=white, [1]=black
+  Tables() {
+    fill(lut[0], kWhite, sizeof(kWhite) / sizeof(Code));
+    fill(lut[0], kExt, sizeof(kExt) / sizeof(Code));
+    fill(lut[1], kBlack, sizeof(kBlack) / sizeof(Code));
+    fill(lut[1], kExt, sizeof(kExt) / sizeof(Code));
+  }
+};
 
-static void init_tables() {
-  if (g_init) return;
-  fill(g_lut[0], kWhite, sizeof(kWhite) / sizeof(Code));
-  fill(g_lut[0], kExt, sizeof(kExt) / sizeof(Code));
-  fill(g_lut[1], kBlack, sizeof(kBlack) / sizeof(Code));
-  fill(g_lut[1], kExt, sizeof(kExt) / sizeof(Code));
-  g_init = true;
+// C++11 magic static: thread-safe one-time construction (the earlier
+// bool-flag lazy init was a data race, caught by the TSAN harness)
+static const Tables& tables() {
+  static const Tables t;
+  return t;
 }
 
 struct Bits {
@@ -148,6 +153,7 @@ static int err_out(char** err, const char* msg) {
 // Decode one MH run of the given colour. Returns total run (makeup
 // chains included) or -1 on invalid code.
 static int decode_run(Bits& br, int colour) {
+  const Lut* g_lut = tables().lut;
   int total = 0;
   for (;;) {
     uint32_t key = br.peek(kLookupBits);
@@ -298,7 +304,7 @@ static int decode_row_2d(Bits& br, int width, const std::vector<int>& ref,
 PICHA_API int picha_fax_decode(const uint8_t* src, size_t len, int width,
                                int height, int comp, uint32_t options,
                                uint8_t* out, int* rows_done, char** err) {
-  init_tables();
+  tables();  // force one-time table construction (thread-safe)
   if (width <= 0 || height <= 0) return err_out(err, "bad fax dimensions");
   Bits br{src, len * 8};
   std::vector<int> ref, cur;

@@ -22,6 +22,43 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
   unsigned state = (unsigned)seed * 2654435761u + 12345u;
   auto rnd = [&]() { state = state * 1664525u + 1013904223u; return state; };
 
+  // gap8/gap4 sparse packing on private data (init_tables-free, pure)
+  {
+    std::vector<int16_t> coefs(4096);
+    for (auto& c : coefs) c = (rnd() % 7 == 0) ? (int16_t)(rnd() % 600) - 300 : 0;
+    size_t n = coefs.size();
+    std::vector<uint8_t> gaps(n + n / 255 + 2);
+    std::vector<int8_t> vals(n + n / 255 + 2);
+    std::vector<int32_t> ci(n);
+    std::vector<int16_t> cv(n);
+    size_t np_ = 0, nc = 0;
+    picha_gap8_pack(coefs.data(), n, gaps.data(), vals.data(), &np_,
+                    ci.data(), cv.data(), &nc);
+    std::vector<uint8_t> prim(n + n / 15 + 2);
+    std::vector<uint8_t> sg(n + n / 255 + 2);
+    std::vector<int8_t> sv(n + n / 255 + 2);
+    size_t k1 = 0, k2 = 0;
+    picha_gap4_pack(coefs.data(), n, prim.data(), &k1, sg.data(), sv.data(),
+                    &k2, ci.data(), cv.data(), &nc);
+  }
+
+  // CCITT fax decode of arbitrary bits (shared static tables, read-only
+  // after first init — the TSAN-interesting part)
+  {
+    std::vector<uint8_t> bits(256);
+    for (auto& b : bits) b = (uint8_t)rnd();
+    std::vector<uint8_t> out(64 * 32);
+    int rows_done = 0;
+    char* err = nullptr;
+    for (int comp = 2; comp <= 4; ++comp) {
+      if (picha_fax_decode(bits.data(), bits.size(), 64, 32, comp, comp == 3,
+                           out.data(), &rows_done, &err) != 0) {
+        picha_free(err);
+        err = nullptr;
+      }
+    }
+  }
+
   // PNG filter round trip on private data
   const int rows = 37, rowbytes = 120, bpp = 3;
   std::vector<uint8_t> img(rows * rowbytes);
