@@ -120,6 +120,13 @@ def get_lib():
                 C.POINTER(C.c_int16), C.POINTER(C.c_size_t)]
             lib.picha_gap4_pack.restype = C.c_int
 
+            lib.picha_resize_u8.argtypes = [
+                C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int,
+                C.POINTER(C.c_uint8), C.c_int, C.c_int,
+                C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int,
+                C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int]
+            lib.picha_resize_u8.restype = C.c_int
+
             lib.picha_webp_stat.argtypes = [
                 C.POINTER(C.c_uint8), C.c_size_t,
                 C.POINTER(C.c_int), C.POINTER(C.c_int), C.POINTER(C.c_int)]
@@ -475,3 +482,28 @@ def gap4_pack(coefs: np.ndarray):
     k, ns, nc = nprim.value, nsec.value, ncorr.value
     return (prim[:k], sgaps[:ns], svals[:ns],
             corr_idx[:nc].copy(), corr_val[:nc].copy())
+
+
+# ---------------------------------------------------------------------------
+# Host separable resize (native single-image fast path)
+# ---------------------------------------------------------------------------
+
+def resize_u8(arr: np.ndarray, dw: int, dh: int,
+              xstart: np.ndarray, xw: np.ndarray,
+              ystart: np.ndarray, yw: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 -> (dh, dw, C) uint8 with precomputed uniform tap
+    windows (ops/resize.py resize_windows — reference float32 weights)."""
+    lib = get_lib()
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    sh, sw, ch = arr.shape
+    out = np.empty((dh, dw, ch), np.uint8)
+    rc = lib.picha_resize_u8(
+        _u8ptr(arr.reshape(-1)), sh, sw, ch, _u8ptr(out.reshape(-1)),
+        dh, dw,
+        xstart.ctypes.data_as(C.POINTER(C.c_int32)),
+        xw.ctypes.data_as(C.POINTER(C.c_float)), xw.shape[1],
+        ystart.ctypes.data_as(C.POINTER(C.c_int32)),
+        yw.ctypes.data_as(C.POINTER(C.c_float)), yw.shape[1])
+    if rc != 0:
+        raise CodecError("native resize failed")
+    return out

@@ -82,6 +82,15 @@ PICHA_API int picha_packbits_decode(const uint8_t* src, size_t srclen,
                                     uint8_t* out, size_t outcap,
                                     size_t* outlen);
 
+// ---- host separable resize (native single-image fast path) ----------------
+// Uniform tap windows per output index (start + k zero-padded float32
+// taps, the reference resize.cc weight numerics built in Python).
+PICHA_API int picha_resize_u8(const uint8_t* src, int sh, int sw, int ch,
+                              uint8_t* dst, int dh, int dw,
+                              const int32_t* xstart, const float* xw,
+                              int xk, const int32_t* ystart,
+                              const float* yw, int yk);
+
 // ---- CCITT fax (TIFF compressions 2, 3, 4) --------------------------------
 // Decodes a T.4/T.6 bitstream (MSB-first; caller pre-reverses
 // FillOrder=2 data) into one byte per pixel, 0=white 1=black. comp: 2 =

@@ -343,8 +343,12 @@ def resize_array(arr: np.ndarray, width: int, height: int,
     if cpu_dev is not None:
         # single host image on an accelerator platform: the per-call
         # transfer (6 MB at ~25 MB/s on this tunnel) dwarfs the compute;
-        # run the identical jitted graph on XLA:CPU instead (reference
-        # resizeSync is a single-threaded host call, resize.cc:367-403)
+        # use the native C++ separable resize (reference resizeSync is a
+        # single-threaded host call, resize.cc:367-403), falling back to
+        # the identical jitted graph on XLA:CPU
+        out = _resize_native(np.asarray(arr), width, height, name, fscale)
+        if out is not None:
+            return out
         import jax
 
         with jax.default_device(cpu_dev):
@@ -395,6 +399,43 @@ def _host_cheap(arr, dst_w: int, dst_h: int, threshold: int = 20_000_000) -> boo
     src_h, src_w, c = arr.shape[-3], arr.shape[-2], arr.shape[-1]
     macs = n * c * (src_h * src_w * dst_w + dst_h * dst_w * src_h)
     return macs < threshold
+
+
+@functools.lru_cache(maxsize=512)
+def resize_windows(dst_size: int, src_size: int, filter_name: str,
+                   filter_scale: float):
+    """Uniform per-output tap windows: (starts int32 (dst,), taps
+    float32 (dst, k)) with the reference's weight values, zero-padded
+    to the max window width; starts clamped so every window fits."""
+    items = list(_iter_contribs(dst_size, src_size, filter_name,
+                                filter_scale))
+    k = max(w.size for _, _, w in items)
+    k = min(k, src_size)
+    starts = np.empty(dst_size, np.int32)
+    taps = np.zeros((dst_size, k), np.float32)
+    for i, left, w in items:
+        s = min(max(left, 0), src_size - k)
+        starts[i] = s
+        taps[i, left - s : left - s + w.size] = w
+    return starts, taps
+
+
+def _resize_native(arr: np.ndarray, width: int, height: int, name: str,
+                   fscale: float):
+    """C++ separable resize (native/src/hostresize.cc) — the reference's
+    own architecture (resize.cc:66-134): sequential-f32 tap
+    accumulation, pinned pack numerics. uint8 only; returns None when
+    not applicable so callers fall through."""
+    if arr.dtype != np.uint8 or arr.ndim != 3:
+        return None
+    try:
+        from ..native import lib as native
+    except Exception:  # noqa: BLE001 — native lib unavailable
+        return None
+    xs, xw = resize_windows(width, arr.shape[1], name, fscale)
+    ys, yw = resize_windows(height, arr.shape[0], name, fscale)
+    return native.resize_u8(np.ascontiguousarray(arr), width, height,
+                            xs, xw, ys, yw)
 
 
 def _resize_numpy(arr: np.ndarray, width: int, height: int, name: str,

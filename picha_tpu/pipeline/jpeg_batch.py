@@ -709,13 +709,23 @@ class JpegBatchPipeline:
             cpu = jax.devices("cpu")[0]
         except Exception:  # noqa: BLE001 — cpu-only platform
             cpu = None
-        # per-image resize: a batched (16,1088,1920,3) f32 call measured
-        # ~2x slower per image on the 1-core host (400 MB intermediates)
-        with (jax.default_device(cpu) if cpu is not None
-              else contextlib.nullcontext()):
-            rs = [resize_array(a, self._width, self._height,
-                               filter=self._filter,
-                               filter_scale=self._fscale) for a in arrs]
+        # per-image resize, preferring the native C++ separable path
+        # (~4x faster than the XLA:CPU graph on this 1-core host; a
+        # batched f32 call measured slower still — 400 MB intermediates)
+        from ..ops.resize import _resize_native
+
+        def one_resize(a):
+            r = _resize_native(a, self._width, self._height,
+                               self._filter, self._fscale)
+            if r is not None:
+                return r
+            with (jax.default_device(cpu) if cpu is not None
+                  else contextlib.nullcontext()):
+                return resize_array(a, self._width, self._height,
+                                    filter=self._filter,
+                                    filter_scale=self._fscale)
+
+        rs = [one_resize(a) for a in arrs]
         return [native.jpeg_encode(np.ascontiguousarray(r), q) for r in rs]
 
     @staticmethod
@@ -864,29 +874,35 @@ class JpegBatchPipeline:
         q_cos: _queue.Queue = _queue.Queue(maxsize=depth)
         q_dev: _queue.Queue = _queue.Queue(maxsize=depth)
         _END = object()
+        stop = threading.Event()
+        put = self._put
 
         def entropy_worker():
             try:
                 for bufs in batches:
-                    q_cos.put(("ok", self.entropy_decode(bufs)))
+                    if not put(q_cos, ("ok", self.entropy_decode(bufs)),
+                               stop):
+                        return
             except BaseException as e:  # noqa: BLE001 — relay to consumer
-                q_cos.put(("err", e))
-            q_cos.put((_END, None))
+                put(q_cos, ("err", e), stop)
+            put(q_cos, (_END, None), stop)
 
         def device_worker():
-            while True:
+            while not stop.is_set():
                 kind, item = q_cos.get()
                 if kind is _END:
                     break
                 if kind == "err":
-                    q_dev.put(("err", item))
+                    put(q_dev, ("err", item), stop)
                     break
                 try:
-                    q_dev.put(("ok", self._stage_device(item)))
+                    if not put(q_dev, ("ok", self._stage_device(item)),
+                               stop):
+                        return
                 except BaseException as e:  # noqa: BLE001
-                    q_dev.put(("err", e))
+                    put(q_dev, ("err", e), stop)
                     break
-            q_dev.put((_END, None))
+            put(q_dev, (_END, None), stop)
 
         te = threading.Thread(target=entropy_worker, daemon=True)
         td = threading.Thread(target=device_worker, daemon=True)
@@ -902,8 +918,15 @@ class JpegBatchPipeline:
                 sig, out = item
                 yield self._finish(sig, out)
         finally:
-            te.join(timeout=0.1)
-            td.join(timeout=0.1)
+            stop.set()
+            for q in (q_cos, q_dev):
+                try:
+                    while True:
+                        q.get_nowait()
+                except _queue.Empty:
+                    pass
+            te.join(timeout=1.0)
+            td.join(timeout=1.0)
 
     def raw420_encode(self, planes, sig):
         """Host stage for the yuv420 output mode: coalesced (N, bytes)

@@ -126,3 +126,41 @@ def test_banded_upscale():
     arr = rng.integers(0, 256, (src, 8, 1), dtype=np.uint8)
     out = resize_array(arr, 8, 2 * src)
     assert out.shape == (2 * src, 8, 1)
+
+
+def test_native_resize_matches_reference_paths():
+    """The C++ separable resize (hostresize.cc) must stay within 1 LSB
+    of the numpy reference path for every filter, and hit the public
+    golden tolerance."""
+    from picha_tpu.ops.resize import _resize_native, _resize_numpy
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    for name in ["cubic", "lanczos", "box", "triangle", "catmulrom",
+                 "mitchel"]:
+        got = _resize_native(img, 37, 23, name, 1.0)
+        assert got is not None and got.shape == (23, 37, 3)
+        want = _resize_numpy(img, 37, 23, name, 1.0)
+        d = np.abs(got.astype(int) - want.astype(int))
+        assert d.max() <= 1, f"{name}: max diff {d.max()}"
+
+
+def test_native_resize_golden():
+    """decode test2.jpg -> native resize 32x24 -> matches the
+    pre-rendered golden (reference test/resize.js:22-30 tolerance)."""
+    import picha_tpu as picha
+    from conftest import fixture_bytes
+    from picha_tpu.ops.resize import _resize_native
+    img = picha.decodeJpegSync(fixture_bytes("test2.jpg"))
+    out = _resize_native(img.to_array(), 32, 24, "cubic", 0.70)
+    golden = picha.decodePngSync(fixture_bytes("test2.png"))
+    g = golden.to_array()[:, :, :3].astype(int)
+    assert np.abs(out.astype(int) - g).mean() < 2
+
+
+def test_native_resize_upscale_and_edges():
+    from picha_tpu.ops.resize import _resize_native, _resize_numpy
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (5, 7, 4), dtype=np.uint8)
+    got = _resize_native(img, 31, 17, "cubic", 0.70)
+    want = _resize_numpy(img, 31, 17, "cubic", 0.70)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
