@@ -5,6 +5,13 @@
   prefetch          — double-buffered host->device overlap
 """
 
+from ..runtime.compile_cache import enable as _enable_compile_cache
+
+# the pipelines jit large graphs; a persistent cache makes their
+# compiles (minutes through this environment's remote compile service)
+# one-time costs shared across processes
+_enable_compile_cache()
+
 from .image_batch import ImageBatchPipeline  # noqa: F401
 from .jpeg_batch import JpegBatchPipeline, entropy_decode, signature  # noqa: F401
 from .prefetch import map_prefetch, prefetch  # noqa: F401

@@ -1,0 +1,52 @@
+"""Persistent XLA compilation cache bootstrap.
+
+This environment compiles TPU graphs through a remote compile service
+whose cold compiles of large graphs (the on-chip JPEG Huffman encoder's
+scatter/scan program in particular) have taken anywhere from 90 s to
+30+ minutes. JAX's persistent compilation cache works against this
+backend (verified: serialized executables round-trip; a fresh process
+reloads a cached graph in milliseconds), which turns those into
+one-time costs shared across processes.
+
+The reference has no analog — its "compilation" is node-gyp at install
+time (binding.gyp); this is the TPU-native equivalent of shipping a
+prebuilt binary.
+
+Call :func:`enable` before the first jit compile (safe to call any
+time; the cache dir config is consulted per-compile). The pipelines and
+``bench.py`` call it on import. Opt out with PICHA_NO_COMPILE_CACHE=1,
+redirect with PICHA_COMPILE_CACHE_DIR.
+"""
+from __future__ import annotations
+
+import os
+import pathlib
+
+_DEFAULT_DIR = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+_enabled = False
+
+
+def enable(path: os.PathLike | str | None = None) -> bool:
+    """Idempotently point JAX's persistent compilation cache at
+    ``path`` (default: <repo>/.jax_cache, override via
+    PICHA_COMPILE_CACHE_DIR). Returns True if the cache is active."""
+    global _enabled
+    if os.environ.get("PICHA_NO_COMPILE_CACHE") == "1":
+        return False
+    if _enabled and path is None:
+        return True
+    import jax
+
+    target = pathlib.Path(
+        path or os.environ.get("PICHA_COMPILE_CACHE_DIR", _DEFAULT_DIR))
+    try:
+        target.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(target))
+        # default thresholds skip sub-second compiles; tiny graphs are
+        # exactly what the single-image ops dispatch, so cache them all
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 — cache is an optimisation only
+        return False
+    _enabled = True
+    return True
