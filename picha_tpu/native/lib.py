@@ -119,6 +119,18 @@ def get_lib():
                 C.POINTER(C.c_size_t), C.POINTER(C.c_int32),
                 C.POINTER(C.c_int16), C.POINTER(C.c_size_t)]
             lib.picha_gap4_pack.restype = C.c_int
+            lib.picha_gap4_batch_begin.argtypes = [
+                C.POINTER(C.c_void_p), C.c_int, C.c_size_t,
+                C.POINTER(C.c_void_p),
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64)]
+            lib.picha_gap4_batch_begin.restype = C.c_int
+            lib.picha_gap4_batch_finish.argtypes = [
+                C.c_void_p,
+                C.POINTER(C.c_uint8), C.c_size_t,
+                C.POINTER(C.c_uint8), C.POINTER(C.c_int8), C.c_size_t,
+                C.POINTER(C.c_int32), C.POINTER(C.c_int16), C.c_size_t]
+            lib.picha_gap4_batch_finish.restype = C.c_int
 
             lib.picha_resize_u8.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int,
@@ -482,6 +494,53 @@ def gap4_pack(coefs: np.ndarray):
     k, ns, nc = nprim.value, nsec.value, ncorr.value
     return (prim[:k], sgaps[:ns], svals[:ns],
             corr_idx[:nc].copy(), corr_val[:nc].copy())
+
+
+def gap4_pack_batch(planes, k1_granule: int = 8192, k2_granule: int = 4096,
+                    kc_granule: int = 1024):
+    """Pack a batch of same-shape int16 coefficient planes straight
+    into the padded gap4 wire rows (sparsepack.cc batch entry points):
+    a count pass sizes the rows, the pack pass writes each image's
+    primary/side streams into its final row including the no-op
+    padding, and the int16 corrections land batch-flat with +j*m
+    offsets. Returns (k1, k2, kc, prim (nb,k1) u8, sgaps (nb,k2) u8,
+    svals (nb,k2) i8, corr_idx (kc,) i32, corr_val (kc,) i16) — byte
+    identical to assembling per-image gap4_pack outputs, ~4x cheaper
+    on one core."""
+    lib = get_lib()
+    nb = len(planes)
+    flats = [np.ascontiguousarray(p.reshape(-1), dtype=np.int16)
+             for p in planes]
+    n = flats[0].size
+    ptrs = (C.c_void_p * nb)(*[f.ctypes.data for f in flats])
+    np1 = np.empty(nb, np.int64)
+    np2 = np.empty(nb, np.int64)
+    np3 = np.empty(nb, np.int64)
+    handle = C.c_void_p()
+    rc = lib.picha_gap4_batch_begin(
+        ptrs, nb, n, C.byref(handle),
+        np1.ctypes.data_as(C.POINTER(C.c_int64)),
+        np2.ctypes.data_as(C.POINTER(C.c_int64)),
+        np3.ctypes.data_as(C.POINTER(C.c_int64)))
+    if rc != 0:
+        raise CodecError("gap4 batch pack failed")
+    k1 = -(-int(np1.max()) // k1_granule) * k1_granule
+    k2 = -(-int(np2.max()) // k2_granule) * k2_granule
+    kc = -(-max(1, int(np3.sum())) // kc_granule) * kc_granule
+    prim = np.empty((nb, k1), np.uint8)
+    sgaps = np.empty((nb, k2), np.uint8)
+    svals = np.empty((nb, k2), np.int8)
+    corr_idx = np.empty(kc, np.int32)
+    corr_val = np.empty(kc, np.int16)
+    rc = lib.picha_gap4_batch_finish(
+        handle, _u8ptr(prim.reshape(-1)), k1,
+        _u8ptr(sgaps.reshape(-1)),
+        svals.ctypes.data_as(C.POINTER(C.c_int8)), k2,
+        corr_idx.ctypes.data_as(C.POINTER(C.c_int32)),
+        corr_val.ctypes.data_as(C.POINTER(C.c_int16)), kc)
+    if rc != 0:
+        raise CodecError("gap4 batch finish failed")
+    return k1, k2, kc, prim, sgaps, svals, corr_idx, corr_val
 
 
 # ---------------------------------------------------------------------------

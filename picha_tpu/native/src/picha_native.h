@@ -116,6 +116,21 @@ PICHA_API int picha_gap4_pack(const int16_t* coefs, size_t n,
                               uint8_t* sgaps, int8_t* svals, size_t* nsec,
                               int32_t* corr_idx, int16_t* corr_val,
                               size_t* ncorr);
+// Batch wire assembly for one component plane across nb images, one
+// scan: `begin` packs every image into internal scratch and reports
+// the per-image entry counts; the caller sizes the padded rows and
+// `finish` copies each image's streams into its final (nb, k1)/(nb,
+// k2) row (no-op-code padding) plus the batch-flat correction list,
+// then frees the handle (always, even on error).
+PICHA_API int picha_gap4_batch_begin(const int16_t* const* coefs, int nb,
+                                     size_t n, void** handle,
+                                     int64_t* nprim, int64_t* nsec,
+                                     int64_t* ncorr);
+PICHA_API int picha_gap4_batch_finish(void* handle, uint8_t* prim,
+                                      size_t k1, uint8_t* sgaps,
+                                      int8_t* svals, size_t k2,
+                                      int32_t* corr_idx, int16_t* corr_val,
+                                      size_t kc);
 
 // ---- WebP (libwebp shim) -------------------------------------------------
 PICHA_API int picha_webp_stat(const uint8_t* src, size_t len,

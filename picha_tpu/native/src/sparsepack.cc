@@ -21,6 +21,8 @@
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <memory>
+#include <vector>
 
 #ifdef __AVX2__
 #include <immintrin.h>
@@ -99,6 +101,206 @@ PICHA_API int picha_gap8_pack(const int16_t* coefs, size_t n,
   *npairs = p.k;
   *ncorr = p.c;
   return 0;
+}
+
+namespace {
+
+// Core of the nibble pack (shared by the single-image entry point and
+// the batch wire assembler). WRITE=false only counts — the batch
+// packer runs a count pass first so the padded wire rows can be
+// allocated up front and each image packs straight into its final row
+// (replaces a per-image Python assembly that cost ~8 ms/image).
+template <bool WRITE>
+inline void gap4_one(const int16_t* coefs, size_t n, uint8_t* prim,
+                     size_t* nprim, uint8_t* sgaps, int8_t* svals,
+                     size_t* nsec, int32_t* corr_idx, int16_t* corr_val,
+                     size_t* ncorr, int64_t corr_base, size_t corr_cap) {
+  size_t k = 0, s = 0, c = 0;
+  size_t prev = (size_t)-1, sprev = (size_t)-1;
+  size_t i = 0;
+#ifdef __AVX2__
+  const __m256i zero = _mm256_setzero_si256();
+#endif
+  while (i < n) {
+#ifdef __AVX2__
+    for (; i + 16 <= n; i += 16) {
+      __m256i x = _mm256_loadu_si256((const __m256i*)(coefs + i));
+      uint32_t zm =
+          (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi16(x, zero));
+      if (~zm) break;
+    }
+#endif
+    while (i < n && coefs[i] == 0) ++i;
+    if (i >= n) break;
+    int16_t v = coefs[i];
+    size_t gap = i - prev;
+    while (gap > 15) {
+      if (WRITE) prim[k] = (15u << 4) | 7u;  // advance 15, add zero
+      ++k;
+      gap -= 15;
+    }
+    if (v >= -7 && v <= 7) {
+      if (WRITE) prim[k] = ((uint8_t)gap << 4) | (uint8_t)(v + 7);
+      ++k;
+    } else {
+      if (WRITE) prim[k] = ((uint8_t)gap << 4) | 15u;  // escape
+      ++k;
+      size_t sg = i - sprev;
+      while (sg > 255) {
+        if (WRITE) {
+          sgaps[s] = 255;
+          svals[s] = 0;
+        }
+        ++s;
+        sg -= 255;
+      }
+      if (WRITE) {
+        int16_t v8 = v < -128 ? -128 : (v > 127 ? 127 : v);
+        sgaps[s] = (uint8_t)sg;
+        svals[s] = (int8_t)v8;
+        if (v != v8 && c < corr_cap) {
+          corr_idx[c] = (int32_t)(corr_base + (int64_t)i);
+          corr_val[c] = (int16_t)(v - v8);
+        }
+      }
+      ++s;
+      if (v < -128 || v > 127) ++c;
+      sprev = i;
+    }
+    prev = i;
+    ++i;
+  }
+  {  // pin both tails at n-1 with zero adds, keeping indices sorted
+    size_t gap = (n - 1) - prev;
+    if (prev == (size_t)-1) gap = n;
+    while (gap > 15) {
+      if (WRITE) prim[k] = (15u << 4) | 7u;
+      ++k;
+      gap -= 15;
+    }
+    if (WRITE) prim[k] = ((uint8_t)gap << 4) | 7u;
+    ++k;
+    size_t sg = (n - 1) - sprev;
+    if (sprev == (size_t)-1) sg = n;
+    while (sg > 255) {
+      if (WRITE) {
+        sgaps[s] = 255;
+        svals[s] = 0;
+      }
+      ++s;
+      sg -= 255;
+    }
+    if (WRITE) {
+      sgaps[s] = (uint8_t)sg;
+      svals[s] = 0;
+    }
+    ++s;
+  }
+  *nprim = k;
+  *nsec = s;
+  *ncorr = c;
+}
+
+}  // namespace
+
+// Batch wire assembly, single scan. The packed sizes are only known
+// after packing, so the batch is packed once into an internal scratch
+// (one worst-case-sized block per image) behind a handle; the caller
+// reads the counts, sizes the padded rows, and `finish` memcpys each
+// image's streams into its final row (padding with the no-op codes)
+// and lays the corrections out batch-flat. Exactly one pass over the
+// coefficients — the scan, not the copy, is the dominant cost.
+struct PichaGap4Batch {
+  int nb = 0;
+  size_t n = 0;
+  std::vector<std::unique_ptr<uint8_t[]>> prim;
+  std::vector<std::unique_ptr<uint8_t[]>> sgaps;
+  std::vector<std::unique_ptr<int8_t[]>> svals;
+  std::vector<std::unique_ptr<int32_t[]>> cidx;
+  std::vector<std::unique_ptr<int16_t[]>> cval;
+  std::vector<size_t> np_, ns_, nc_;
+};
+
+PICHA_API int picha_gap4_batch_begin(const int16_t* const* coefs, int nb,
+                                     size_t n, void** handle,
+                                     int64_t* nprim, int64_t* nsec,
+                                     int64_t* ncorr) {
+  auto* h = new PichaGap4Batch;
+  h->nb = nb;
+  h->n = n;
+  size_t cap1 = n + n / 15 + 2, cap2 = n + n / 255 + 2;
+  h->prim.resize(nb);
+  h->sgaps.resize(nb);
+  h->svals.resize(nb);
+  h->cidx.resize(nb);
+  h->cval.resize(nb);
+  h->np_.resize(nb);
+  h->ns_.resize(nb);
+  h->nc_.resize(nb);
+  for (int j = 0; j < nb; ++j) {
+    h->prim[j].reset(new uint8_t[cap1]);
+    h->sgaps[j].reset(new uint8_t[cap2]);
+    h->svals[j].reset(new int8_t[cap2]);
+    // |v| > 127 runs ~0.2% of coefficients on noisy high-bitrate
+    // content; size for ~1.5% so the exact-resize re-pack is rare
+    size_t ccap = n / 64 + 256;
+    h->cidx[j].reset(new int32_t[ccap]);
+    h->cval[j].reset(new int16_t[ccap]);
+    size_t k = 0, s = 0, c = 0;
+    gap4_one<true>(coefs[j], n, h->prim[j].get(), &k, h->sgaps[j].get(),
+                   h->svals[j].get(), &s, h->cidx[j].get(),
+                   h->cval[j].get(), &c, (int64_t)j * (int64_t)n, ccap);
+    if (c > ccap) {  // corrections are rare; re-pack with exact room
+      ccap = c;
+      h->cidx[j].reset(new int32_t[ccap]);
+      h->cval[j].reset(new int16_t[ccap]);
+      k = s = c = 0;
+      gap4_one<true>(coefs[j], n, h->prim[j].get(), &k, h->sgaps[j].get(),
+                     h->svals[j].get(), &s, h->cidx[j].get(),
+                     h->cval[j].get(), &c, (int64_t)j * (int64_t)n, ccap);
+    }
+    h->np_[j] = k;
+    h->ns_[j] = s;
+    h->nc_[j] = c;
+    nprim[j] = (int64_t)k;
+    nsec[j] = (int64_t)s;
+    ncorr[j] = (int64_t)c;
+  }
+  *handle = h;
+  return 0;
+}
+
+PICHA_API int picha_gap4_batch_finish(void* handle, uint8_t* prim,
+                                      size_t k1, uint8_t* sgaps,
+                                      int8_t* svals, size_t k2,
+                                      int32_t* corr_idx, int16_t* corr_val,
+                                      size_t kc) {
+  auto* h = (PichaGap4Batch*)handle;
+  size_t c_off = 0;
+  int rc = 0;
+  for (int j = 0; j < h->nb; ++j) {
+    size_t k = h->np_[j], s = h->ns_[j], c = h->nc_[j];
+    if (k > k1 || s > k2 || c_off + c > kc) {
+      rc = 1;
+      break;
+    }
+    memcpy(prim + (size_t)j * k1, h->prim[j].get(), k);
+    memset(prim + (size_t)j * k1 + k, 0x07, k1 - k);
+    memcpy(sgaps + (size_t)j * k2, h->sgaps[j].get(), s);
+    memset(sgaps + (size_t)j * k2 + s, 0, k2 - s);
+    memcpy(svals + (size_t)j * k2, h->svals[j].get(), s);
+    memset(svals + (size_t)j * k2 + s, 0, k2 - s);
+    memcpy(corr_idx + c_off, h->cidx[j].get(), c * sizeof(int32_t));
+    memcpy(corr_val + c_off, h->cval[j].get(), c * sizeof(int16_t));
+    c_off += c;
+  }
+  if (rc == 0)
+    for (; c_off < kc; ++c_off) {
+      corr_idx[c_off] = (int32_t)((int64_t)h->nb * (int64_t)h->n - 1);
+      corr_val[c_off] = 0;
+    }
+  delete h;
+  return rc;
 }
 
 // Nibble-packed variant: one byte per nonzero — (gap 4b | value-code

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Sequence
@@ -409,7 +410,16 @@ class JpegBatchPipeline:
 
     # -- host stage --------------------------------------------------------
 
+    def _map(self, fn, seq):
+        """Pool map on multi-core hosts; serial on one core, where pool
+        threads only convoy on the GIL (measured 15% slower)."""
+        if (os.cpu_count() or 1) <= 1:
+            return [fn(x) for x in seq]
+        return list(self._pool.map(fn, seq))
+
     def entropy_decode(self, bufs):
+        if (os.cpu_count() or 1) <= 1:
+            return entropy_decode(bufs, None)
         return entropy_decode(bufs, self._pool)
 
     def stack_bucket(self, cos):
@@ -444,41 +454,21 @@ class JpegBatchPipeline:
             return sig, tuple(ks), args
         if self._upload == "gap4":
             # nibble wire buffer: [per comp: prim | sgaps | svals |
-            # corr_idx | corr_val] then the uint16 qtables
+            # corr_idx | corr_val] then the uint16 qtables. The whole
+            # assembly (pack + pad + flat corrections) happens in C++
+            # (native gap4_pack_batch): per-image Python reassembly
+            # measured ~8 ms/image on one core, the batch call ~1.5 ms.
             nb = len(cos)
             ks = []
             sections = []
             for i in range(n):
-                m = cos[0].comps[i]["coefs"].size
-                packed = [native.gap4_pack(co.comps[i]["coefs"]) for co in cos]
-                k1 = max(p.size for p, _, _, _, _ in packed)
-                k1 = -(-k1 // 8192) * 8192
-                k2 = max(sg.size for _, sg, _, _, _ in packed)
-                k2 = -(-k2 // 4096) * 4096
-                # pad with (gap 0, value-code 7) = advance 0, add 0 —
-                # a zero byte would decode as value -7
-                prim = np.full((nb, k1), 0x07, np.uint8)
-                sgaps = np.zeros((nb, k2), np.uint8)
-                svals = np.zeros((nb, k2), np.int8)
-                ci_parts, cv_parts = [], []
-                for j, (p_, sg, sv, ci, cv) in enumerate(packed):
-                    prim[j, : p_.size] = p_
-                    sgaps[j, : sg.size] = sg
-                    svals[j, : sv.size] = sv
-                    if ci.size:
-                        ci_parts.append(ci.astype(np.int64) + j * m)
-                        cv_parts.append(cv)
-                nc = sum(p.size for p in ci_parts)
-                kc = -(-max(1, nc) // 1024) * 1024
-                corr_idx = np.full((kc,), nb * m - 1, np.int32)
-                corr_val = np.zeros((kc,), np.int16)
-                if nc:
-                    corr_idx[:nc] = np.concatenate(ci_parts)
-                    corr_val[:nc] = np.concatenate(cv_parts)
+                k1, k2, kc, prim, sgaps, svals, ci, cv = \
+                    native.gap4_pack_batch(
+                        [co.comps[i]["coefs"] for co in cos])
                 sections += [prim.reshape(-1), sgaps.reshape(-1),
                              svals.view(np.uint8).reshape(-1),
-                             corr_idx.view(np.uint8).reshape(-1),
-                             corr_val.view(np.uint8).reshape(-1)]
+                             ci.view(np.uint8).reshape(-1),
+                             cv.view(np.uint8).reshape(-1)]
                 ks.append((k1, k2, kc))
             for i in range(n):
                 q = np.stack([co.comps[i]["qtable"] for co in cos])
@@ -626,8 +616,8 @@ class JpegBatchPipeline:
         if self._encode_backend == "host":
             batch = np.asarray(out)  # (N, h, w, C) uint8
             q = self._encode_quality
-            return list(self._pool.map(
-                lambda img: native.jpeg_encode(img, q), batch))
+            return self._map(lambda img: native.jpeg_encode(img, q),
+                             batch)
         if self._encode_backend == "raw420":
             return self.raw420_encode(out, sig)
         if self._encode_backend == "device":
@@ -742,119 +732,87 @@ class JpegBatchPipeline:
         return False
 
     def stream_hybrid(self, batches, depth: int = 2):
-        """Like stream(), plus a host worker that steals whole batches
-        for the pure-host path whenever the single-core host would
-        otherwise idle behind the device chain (this environment's
-        device stream serialises upload/compute/readback, leaving the
-        host ~50% idle). Results still arrive in input order; hybrid
-        batches are valid JPEGs of the same quality but not bit-equal
-        to device-encoded ones (different fDCT path)."""
-        import heapq
-        import queue as _queue
+        """Hybrid host+device scheduler: the device chain is kept up to
+        `depth` batches deep with asynchronous dispatch and readback
+        (dispatch, device_put and copy_to_host_async all return
+        immediately on this platform and is_ready() is truthful), and
+        every moment the device pipeline is full the SAME thread runs
+        the pure-host path (libjpeg + AVX2 resize) on the next batch.
 
-        q_in: _queue.Queue = _queue.Queue(maxsize=depth + 2)
-        q_dev: _queue.Queue = _queue.Queue(maxsize=depth)
-        q_done: _queue.Queue = _queue.Queue()
-        _END = object()
-        stop = threading.Event()
-        put = self._put
+        Single-threaded by design: on a 1-core host, a thread-per-stage
+        scheduler convoys on the GIL — measured ~5x inflation of every
+        stage (host batch 274 -> 1353 ms) and half the throughput of
+        just running the host path serially. Cooperative scheduling
+        with async device I/O gets host-path throughput PLUS the device
+        chain's contribution.
 
-        def feeder():
-            n = 0
-            try:
-                for bufs in batches:
-                    if not put(q_in, ("ok", (n, bufs)), stop):
-                        return
-                    n += 1
-            except BaseException as e:  # noqa: BLE001
-                put(q_in, ("err", e), stop)
-            for _ in range(2):  # one sentinel per worker
-                put(q_in, (_END, n), stop)
+        Results yield in input order; hybrid (host-path) batches are
+        valid JPEGs of the same quality but not bit-equal to
+        device-encoded ones (different fDCT path)."""
+        import collections
 
-        def tpu_worker():
-            while not stop.is_set():
-                kind, item = q_in.get()
-                if kind is _END:
-                    put(q_dev, (_END, None), stop)
-                    return
-                if kind == "err":
-                    put(q_dev, ("err", item), stop)
-                    return
-                idx, bufs = item
+        import jax
+
+        it = iter(batches)
+        backlog = collections.deque()   # (idx, bufs) read ahead
+        inflight = collections.deque()  # (idx, sig, device out)
+        pending = {}                    # idx -> finished result
+        next_yield = 0
+        n_read = 0
+        done_feeding = False
+
+        def leaves(out):
+            return [x for x in jax.tree_util.tree_leaves(out)
+                    if hasattr(x, "is_ready")]
+
+        def pump():
+            nonlocal n_read, done_feeding
+            while not done_feeding and len(backlog) < depth + 2:
                 try:
-                    cos = self.entropy_decode(bufs)
-                    ok = put(q_dev, ("ok", (idx, self._stage_device(cos))),
-                             stop)
-                except BaseException as e:  # noqa: BLE001
-                    put(q_dev, ("err", e), stop)
+                    bufs = next(it)
+                except StopIteration:
+                    done_feeding = True
                     return
-                if not ok:
-                    return
+                backlog.append((n_read, bufs))
+                n_read += 1
 
-        def tpu_finisher():
-            while not stop.is_set():
-                kind, item = q_dev.get()
-                if kind is _END:
-                    put(q_done, (_END, None), stop)
+        def harvest(block: bool = False):
+            # finish device batches whose readback has landed (head of
+            # the deque first — the device stream is in-order)
+            while inflight:
+                if not block and not all(
+                        x.is_ready() for x in leaves(inflight[0][2])):
                     return
-                if kind == "err":
-                    put(q_done, ("err", item), stop)
-                    return
-                idx, (sig, out) = item
-                try:
-                    put(q_done, ("ok", (idx, self._finish(sig, out))), stop)
-                except BaseException as e:  # noqa: BLE001
-                    put(q_done, ("err", e), stop)
-                    return
+                idx, sig, out = inflight.popleft()
+                pending[idx] = self._finish(sig, out)
+                block = False  # only force the head
 
-        def host_worker():
-            while not stop.is_set():
-                kind, item = q_in.get()
-                if kind is _END:
-                    put(q_done, (_END, None), stop)
-                    return
-                if kind == "err":
-                    put(q_done, ("err", item), stop)
-                    return
-                idx, bufs = item
-                try:
-                    put(q_done, ("ok", (idx, self.host_encode_batch(bufs))),
-                        stop)
-                except BaseException as e:  # noqa: BLE001
-                    put(q_done, ("err", e), stop)
-                    return
-
-        threads = [threading.Thread(target=t, daemon=True)
-                   for t in (feeder, tpu_worker, tpu_finisher, host_worker)]
-        for t in threads:
-            t.start()
-        done_sentinels = 0
-        heap: list = []
-        next_idx = 0
-        try:
-            while done_sentinels < 2 or heap:
-                if heap and heap[0][0] == next_idx:
-                    _, result = heapq.heappop(heap)
-                    next_idx += 1
-                    yield result
-                    continue
-                kind, item = q_done.get()
-                if kind is _END:
-                    done_sentinels += 1
-                    continue
-                if kind == "err":
-                    raise item
-                heapq.heappush(heap, item)
-        finally:
-            stop.set()
-            for q in (q_in, q_dev, q_done):
-                try:
-                    while True:
-                        q.get_nowait()
-                except _queue.Empty:
-                    pass
-            for t in threads:
-                t.join(timeout=1.0)
+        pump()
+        while backlog or inflight or pending:
+            while next_yield in pending:
+                yield pending.pop(next_yield)
+                next_yield += 1
+            pump()
+            harvest()
+            # feed the device while it has capacity AND a spare batch
+            # remains for the host path (committing the tail to the
+            # slower chain would add its full latency to the stream)
+            if len(backlog) >= 2 and len(inflight) < depth:
+                idx, bufs = backlog.popleft()
+                sig, out = self._stage_device(self.entropy_decode(bufs))
+                for x in leaves(out):
+                    x.copy_to_host_async()
+                inflight.append((idx, sig, out))
+                continue
+            if backlog:
+                idx, bufs = backlog.popleft()
+                pending[idx] = self.host_encode_batch(bufs)
+                continue
+            if inflight:
+                harvest(block=True)
+        while next_yield in pending:
+            yield pending.pop(next_yield)
+            next_yield += 1
 
     def stream(self, batches, depth: int = 2):
         """Stage-overlapped pipeline over an iterable of homogeneous
@@ -947,7 +905,7 @@ class JpegBatchPipeline:
             cr = buf[i, ysz + csz :].reshape(hpad // 2, wpad // 2)
             return native.jpeg_encode_raw420(y, cb, cr, ew, eh, q)
 
-        return list(self._pool.map(enc, range(buf.shape[0])))
+        return self._map(enc, range(buf.shape[0]))
 
     def huffman_encode(self, coef_out, sig):
         """Host stage: quantised coefficient batches -> JPEG bytes."""
@@ -963,7 +921,7 @@ class JpegBatchPipeline:
                 comps = [{"coefs": outs[0][i], "qtable": qluma,
                           "h_samp": 1, "v_samp": 1}]
                 return native.jpeg_coef_write(ew, eh, comps)
-            return list(self._pool.map(enc1, range(n)))
+            return self._map(enc1, range(n))
         def enc3(i):
             comps = [
                 {"coefs": outs[0][i], "qtable": qluma, "h_samp": 2, "v_samp": 2},
@@ -971,4 +929,4 @@ class JpegBatchPipeline:
                 {"coefs": outs[2][i], "qtable": qchroma, "h_samp": 1, "v_samp": 1},
             ]
             return native.jpeg_coef_write(ew, eh, comps)
-        return list(self._pool.map(enc3, range(n)))
+        return self._map(enc3, range(n))
