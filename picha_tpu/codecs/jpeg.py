@@ -18,7 +18,10 @@ mis-encoded other formats as if RGB (jpegcodec.cc:345-352, masked by
 its negotiation bug); we reject instead, and the API layer's
 negotiation converts first (SURVEY.md appendix).
 
-Options: quality 0-100, default 85, clamped (jpegcodec.cc:434-441).
+Options: quality 0-100, default 85, clamped (jpegcodec.cc:434-441);
+``restartInterval`` (extension, default 0) writes DRI + restart
+markers every N MCUs — segments become independently decodable, which
+the TPU entropy decoder exploits for exact parallel entry states.
 """
 from __future__ import annotations
 
@@ -74,6 +77,10 @@ def encode(img: Image, opts: dict) -> bytes:
             f"jpeg encode supports rgb/grey, got {img.pixel}")
     quality = int(opts.get("quality", DEFAULT_QUALITY))
     quality = max(0, min(100, quality))
+    restart = int(opts.get("restartInterval",
+                           opts.get("restart_interval", 0)))
+    if restart < 0:
+        raise InvalidOptionsError("restartInterval must be >= 0")
     arr = img.to_array()
     if opts.get("backend") == "tpu":
         from ..ops import jpeg_tpu
@@ -83,7 +90,7 @@ def encode(img: Image, opts: dict) -> bytes:
         return native.jpeg_coef_write(
             img.width, img.height, comps,
             optimize_huffman=bool(opts.get("optimize", False)))
-    return native.jpeg_encode(arr, quality)
+    return native.jpeg_encode(arr, quality, restart=restart)
 
 
 class JpegCodec:

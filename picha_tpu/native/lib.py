@@ -52,13 +52,13 @@ def get_lib():
             lib.picha_jpeg_decode.restype = C.c_int
             lib.picha_jpeg_encode.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int, C.c_int,
-                C.c_int, C.POINTER(C.POINTER(C.c_uint8)),
+                C.c_int, C.c_int, C.POINTER(C.POINTER(C.c_uint8)),
                 C.POINTER(C.c_size_t), C.POINTER(C.c_char_p)]
             lib.picha_jpeg_encode.restype = C.c_int
 
             lib.picha_jpeg_encode_raw420.argtypes = [
                 C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
-                C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int,
+                C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int, C.c_int,
                 C.POINTER(C.POINTER(C.c_uint8)), C.POINTER(C.c_size_t),
                 C.POINTER(C.c_char_p)]
             lib.picha_jpeg_encode_raw420.restype = C.c_int
@@ -224,7 +224,10 @@ def jpeg_decode(buf: bytes, want_channels: int, width: int, height: int) -> np.n
     return out
 
 
-def jpeg_encode(arr: np.ndarray, quality: int) -> bytes:
+def jpeg_encode(arr: np.ndarray, quality: int, restart: int = 0) -> bytes:
+    """restart > 0 writes DRI + restart markers every `restart` MCUs,
+    making the scan parallel-decodable (the TPU entropy decoder gets
+    exactly known entry states per segment; ~2 bytes/MCU cost)."""
     lib = get_lib()
     arr = np.ascontiguousarray(arr)
     h, w, ch = arr.shape
@@ -232,15 +235,16 @@ def jpeg_encode(arr: np.ndarray, quality: int) -> bytes:
     outlen = C.c_size_t()
     err = C.c_char_p()
     rc = lib.picha_jpeg_encode(_u8ptr(arr.reshape(-1)), w, h, w * ch, ch,
-                               quality, C.byref(out), C.byref(outlen),
-                               C.byref(err))
+                               quality, restart, C.byref(out),
+                               C.byref(outlen), C.byref(err))
     if rc != 0:
         raise CodecError(take_error(lib, err))
     return take_buffer(lib, out, outlen.value)
 
 
 def jpeg_encode_raw420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
-                       width: int, height: int, quality: int) -> bytes:
+                       width: int, height: int, quality: int,
+                       restart: int = 0) -> bytes:
     """Encode from padded 4:2:0 planes: y (ceil16(h), ceil16(w)) u8,
     cb/cr half-size. Host does only fDCT+quant+Huffman."""
     lib = get_lib()
@@ -252,7 +256,8 @@ def jpeg_encode_raw420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     err = C.c_char_p()
     rc = lib.picha_jpeg_encode_raw420(
         _u8ptr(y.reshape(-1)), _u8ptr(cb.reshape(-1)), _u8ptr(cr.reshape(-1)),
-        width, height, quality, C.byref(out), C.byref(outlen), C.byref(err))
+        width, height, quality, restart, C.byref(out), C.byref(outlen),
+        C.byref(err))
     if rc != 0:
         raise CodecError(take_error(lib, err))
     return take_buffer(lib, out, outlen.value)

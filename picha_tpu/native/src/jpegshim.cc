@@ -136,7 +136,8 @@ PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
 
 PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
                                 int stride, int channels, int quality,
-                                uint8_t** out, size_t* outlen, char** err) {
+                                int restart_mcus, uint8_t** out,
+                                size_t* outlen, char** err) {
   jpeg_compress_struct cinfo;
   ErrorTrap trap;
   cinfo.err = &trap.mgr;
@@ -160,6 +161,10 @@ PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
   if (quality < 0) quality = 0;
   if (quality > 100) quality = 100;
   jpeg_set_quality(&cinfo, quality, TRUE /* force_baseline */);
+  // restart markers make the scan parallel-decodable (each segment is
+  // an independent bitstream with reset DC prediction) — the TPU
+  // entropy decoder exploits them; small intervals cost ~2 bytes/MCU
+  if (restart_mcus > 0) cinfo.restart_interval = (unsigned)restart_mcus;
   jpeg_start_compress(&cinfo, TRUE);
   for (int y = 0; y < height; ++y) {
     JSAMPROW p = (JSAMPROW)(src + (size_t)y * stride);
@@ -178,7 +183,8 @@ PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
 // (ceil16(h), ceil16(w)), Cb/Cr to half that.
 PICHA_API int picha_jpeg_encode_raw420(const uint8_t* y, const uint8_t* cb,
                                        const uint8_t* cr, int width,
-                                       int height, int quality, uint8_t** out,
+                                       int height, int quality,
+                                       int restart_mcus, uint8_t** out,
                                        size_t* outlen, char** err) {
   jpeg_compress_struct cinfo;
   ErrorTrap trap;

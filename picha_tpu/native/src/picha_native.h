@@ -43,9 +43,13 @@ PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
 // quality clamped 0..100 (default handling is the caller's), baseline
 // Huffman tables; channels 1 -> grayscale, 3 -> YCbCr 4:2:0 (libjpeg
 // defaults, matching the reference's encoder src/jpegcodec.cc:334-370).
+// restart_mcus > 0 writes DRI + restart markers every restart_mcus
+// MCUs — makes the scan parallel-decodable (the TPU entropy decoder
+// gets exactly known entry states per segment).
 PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
                                 int stride, int channels, int quality,
-                                uint8_t** out, size_t* outlen, char** err);
+                                int restart_mcus, uint8_t** out,
+                                size_t* outlen, char** err);
 
 // Raw DCT coefficient access for the TPU pixel-stage path.
 typedef struct PichaJpegCoefs PichaJpegCoefs;  // opaque

@@ -1,0 +1,639 @@
+"""JPEG baseline Huffman DECODING on the TPU.
+
+SURVEY.md §7 calls entropy decode "inherently serial per-image" — the
+win there was batch parallelism on the host. This module moves the
+stage onto the chip anyway, via chunked speculative decoding (after
+"Accelerating JPEG Decompression on GPUs", Weissenberger & Schmidt
+2021 — PAPERS.md; prototype + convergence study in
+ops/jpeg_scan_chunked.py):
+
+  1. each restart segment's bitstream is cut into C-bit chunks; every
+     chunk is a SIMD lane,
+  2. all lanes decode their chunk in lockstep from a guessed entry
+     state (bit offset 0, fresh MCU); the decoder state at a symbol
+     boundary is just (bit offset, MCU slot, coefficient index) — DC
+     values are emitted as diffs, so predictors are not part of it,
+  3. Jacobi iteration to the fixed point: chunk i+1's entry <- chunk
+     i's exit; Huffman streams self-synchronise, so truth propagates
+     many chunks per pass (measured: sync distance ~12-15 kbit -> 13
+     passes at C=1024 for 1080p, image-size independent),
+  4. a final pass re-decodes with converged entries and emits packed
+     (block, coef, value) triples, monotone per lane, which one
+     sorted scatter-add turns into dense coefficient planes; DC diffs
+     are integrated by a segmented associative scan (resets at restart
+     segments), and the scan-order -> component-grid permutation is a
+     static gather.
+
+Bit-pattern tolerance: speculative lanes decode garbage by
+construction; every table lookup is clamped and over-long codes decode
+as length 16. Non-convergence within the pass budget (or a lane
+overflowing its step budget — adversarial short codes) sets a flag and
+the caller falls back to the host path.
+
+Why this is worth chip time on a host-starved system: shipping the raw
+scan replaces the coefficient wire (~2.4x more bytes), the host
+libjpeg entropy decode, and the sparse pack — and on this environment
+an in-flight transfer steals ~2/3 of the single host core, so wire
+bytes ARE host cost. The host keeps only the header parse.
+
+Reference parity anchor: /root/reference/src/jpegcodec.cc:100-106
+drives the equivalent stage through libjpeg's jpeg_read_scanlines.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import numpy as np
+
+from .jpeg_scan import (ScanInfo, ZIGZAG, derive_tables, mcu_slot_tables,
+                        scatter_layout)
+
+CHUNK_BITS = 1024            # C: per-lane chunk size
+LANE_GRANULE = 2048          # lane-count bucket (bounds recompiles)
+WORD_GRANULE = 16384         # words-section bucket (64 KiB)
+MAX_PASSES = 48              # Jacobi budget (measured need: ~13)
+
+
+# ---------------------------------------------------------------------------
+# host prep
+# ---------------------------------------------------------------------------
+
+def prep_tables(info: ScanInfo):
+    """Per-image decode tables, one row pair per component:
+    t = comp*2 + (0 dc | 1 ac). Returns (limit (6,16) i32 left-aligned
+    exclusive bounds for l=1..16, delta (6,17) i32 = valptr - mincode,
+    hv (6,256) i32). Unused component rows are zero."""
+    limit = np.zeros((6, 16), np.int32)
+    delta = np.zeros((6, 17), np.int32)
+    hv = np.zeros((6, 256), np.int32)
+    for ci in range(info.ncomp):
+        for cls in (0, 1):
+            lim, mc, vp, h = derive_tables(
+                *info.huffman[(cls, info.scan_tables[ci][cls])])
+            t = ci * 2 + cls
+            limit[t] = np.minimum(lim[1:17], 2 ** 31 - 1).astype(np.int32)
+            delta[t] = (vp - mc).astype(np.int32)
+            hv[t] = h
+    return limit, delta, hv
+
+
+def min_bits_per_symbol(info: ScanInfo) -> float:
+    """Tight sustained lower bound on bits/symbol under the image's
+    tables — sizes the per-chunk step budget. Every symbol is a DC, an
+    EOB, or a value-carrying/ZRL AC; DCs and EOBs come at most once per
+    block, so the sustained minimum is the best of: an empty-block
+    cycle (DC+EOB over 2 symbols), a full-block cycle (DC + 63 cheapest
+    ACs over 64), or pure cheapest-AC runs."""
+    min_dc, min_eob, min_ac = 16.0, 16.0, 32.0
+    for (cls, _tid), (bits, vals) in info.huffman.items():
+        p = 0
+        for ln in range(1, 17):
+            for v in vals[p : p + bits[ln - 1]]:
+                if cls == 0:
+                    min_dc = min(min_dc, float(ln + v))
+                elif v == 0:
+                    min_eob = min(min_eob, float(ln))
+                else:
+                    size = v & 15
+                    min_ac = min(min_ac, float(ln + size))
+            p += bits[ln - 1]
+    return max(1.0, min((min_dc + min_eob) / 2.0,
+                        (min_dc + 63.0 * min_ac) / 64.0, min_ac))
+
+
+class ScanBatch:
+    """Host-side wire prep for one same-signature batch of parsed
+    scans. All arrays are numpy; `args()` returns the upload list."""
+
+    def __init__(self, infos: List[ScanInfo], chunk_bits: int = CHUNK_BITS):
+        self.infos = infos
+        self.C = C = chunk_bits
+        info0 = infos[0]
+        sig = info0.comp_sig
+        self.comp_sig = sig
+        self.comp_of = mcu_slot_tables(sig)          # (B,)
+        self.B = B = int(self.comp_of.size)
+        self.mcus = mcus = info0.mcus
+        self.nblk_img = mcus * B
+        n_img = len(infos)
+
+        words_parts = []
+        lane_word_base, lane_pinned, lane_img = [], [], []
+        lane_seg_first, lane_blk_limit, lane_blk_base = [], [], []
+        word_off = 0
+        for img, info in enumerate(infos):
+            ri = info.restart_interval or mcus
+            blk_base_img = img * self.nblk_img
+            for si, seg in enumerate(info.segments):
+                n_mcu = min(ri, mcus - si * ri)
+                if n_mcu <= 0:
+                    continue
+                nch = max(1, -(-(len(seg) * 8) // C))
+                # pad segment to chunk multiple + 2 slack words of 1s
+                nbytes = nch * (C // 8) + 8
+                raw = np.frombuffer(seg.ljust(nbytes, b"\xff"), np.uint8)
+                words_parts.append(
+                    raw.reshape(-1, 4).astype(np.uint32) @
+                    np.array([1 << 24, 1 << 16, 1 << 8, 1], np.uint32))
+                first_lane = len(lane_word_base)
+                seg_blk0 = blk_base_img + si * ri * B
+                for c in range(nch):
+                    lane_word_base.append(word_off + c * (C // 32))
+                    lane_pinned.append(c == 0)
+                    lane_img.append(img)
+                    lane_seg_first.append(first_lane)
+                    lane_blk_base.append(seg_blk0)
+                    lane_blk_limit.append(seg_blk0 + n_mcu * B)
+                word_off += nbytes // 4
+        n_lanes = len(lane_word_base)
+        self.n_lanes = -(-n_lanes // LANE_GRANULE) * LANE_GRANULE
+        pad = self.n_lanes - n_lanes
+        trash_blk = n_img * self.nblk_img
+        # dead pad lanes: pinned, pointing at the last slack words,
+        # block range empty at the trash block (keeps scatter monotone)
+        self.words = np.concatenate(
+            words_parts + [np.full(64, 0xFFFFFFFF, np.uint32)])
+        dead_base = self.words.size - C // 32 - 2
+        self.lane_word_base = np.array(
+            lane_word_base + [dead_base] * pad, np.int32)
+        self.lane_pinned = np.array(lane_pinned + [True] * pad, bool)
+        self.lane_img = np.array(lane_img + [n_img - 1] * pad, np.int32)
+        self.lane_seg_first = np.array(
+            lane_seg_first + [n_lanes] * pad, np.int32)
+        self.lane_blk_base = np.array(
+            lane_blk_base + [trash_blk] * pad, np.int32)
+        self.lane_blk_limit = np.array(
+            lane_blk_limit + [trash_blk] * pad, np.int32)
+
+        # dedupe decode tables across the batch: a same-signature batch
+        # almost always shares its Huffman tables (std tables), so the
+        # per-step table select runs over a handful of UNIQUE rows held
+        # in registers instead of streaming a per-lane expansion
+        # through HBM (the expansion measured ~half the kernel time)
+        tabs = [prep_tables(i) for i in infos]
+        uniq = {}
+        uid_img = np.zeros((n_img, 6), np.uint8)
+        rows = []
+        for img, (limit, delta, hv) in enumerate(tabs):
+            for t in range(6):
+                key = (limit[t].tobytes(), delta[t].tobytes(),
+                       hv[t].tobytes())
+                if key not in uniq:
+                    uniq[key] = len(rows)
+                    rows.append((limit[t], delta[t], hv[t]))
+                uid_img[img, t] = uniq[key]
+        self.n_uniq = -(-len(rows) // 8) * 8  # bucket: bounds recompiles
+        self.limit = np.zeros((self.n_uniq, 16), np.int32)
+        self.delta = np.zeros((self.n_uniq, 17), np.int32)
+        self.hv = np.zeros((self.n_uniq, 256), np.int32)
+        for u, (lim, dl, hvr) in enumerate(rows):
+            self.limit[u], self.delta[u], self.hv[u] = lim, dl, hvr
+        self.lane_uid6 = uid_img[self.lane_img]       # (L, 6) u8
+        self.qtables = [
+            np.stack([info.comps[ci][2] for info in infos])[:, None, None, :]
+            for ci in range(info0.ncomp)]
+
+        # DC segmented-scan reset mask: True at each component's first
+        # block of every restart segment (per image — DRI varies)
+        reset = np.zeros((n_img, self.nblk_img), bool)
+        for img, info in enumerate(infos):
+            ri = info.restart_interval or mcus
+            for si in range(len(info.segments)):
+                s = si * ri * B
+                if s >= self.nblk_img:
+                    break
+                seen = set()
+                for j in range(s, min(s + B, self.nblk_img)):
+                    ci = int(self.comp_of[j - s])
+                    if ci not in seen:
+                        reset[img, j] = True
+                        seen.add(ci)
+        self.reset = reset
+
+        # worst-case symbols per chunk under these tables
+        mb = min(min_bits_per_symbol(i) for i in infos)
+        self.steps = int(C / mb) + 8
+
+    def args(self):
+        return [self.words, self.lane_word_base,
+                self.lane_pinned, self.lane_img, self.lane_seg_first,
+                self.lane_blk_base, self.lane_blk_limit,
+                self.limit, self.delta, self.hv, self.lane_uid6,
+                self.reset]
+
+    def static_key(self):
+        return (self.C, self.n_lanes, self.steps, self.B,
+                tuple(int(x) for x in self.comp_of), self.mcus,
+                len(self.infos), self.n_uniq)
+
+    def wire(self):
+        """One coalesced uint8 upload buffer (this link pays a large
+        fixed latency per transfer) + the static unpack key. Layout:
+        words (u32, padded to WORD_GRANULE) | 4 x lane i32 tables |
+        limit | delta | hv (i32) | qtables (u16 per comp) |
+        lane_pinned (u8) | reset (u8)."""
+        nw = -(-self.words.size // WORD_GRANULE) * WORD_GRANULE
+        words = np.full(nw, 0xFFFFFFFF, np.uint32)
+        words[: self.words.size] = self.words
+        sections = [
+            words.view(np.uint8),
+            self.lane_word_base.view(np.uint8),
+            self.lane_img.view(np.uint8),
+            self.lane_seg_first.view(np.uint8),
+            self.lane_blk_base.view(np.uint8),
+            self.lane_blk_limit.view(np.uint8),
+            np.ascontiguousarray(self.limit).view(np.uint8).reshape(-1),
+            np.ascontiguousarray(self.delta).view(np.uint8).reshape(-1),
+            np.ascontiguousarray(self.hv).view(np.uint8).reshape(-1),
+        ]
+        for q in self.qtables:
+            sections.append(np.ascontiguousarray(
+                q.astype(np.uint16)).view(np.uint8).reshape(-1))
+        sections.append(self.lane_pinned.astype(np.uint8))
+        sections.append(np.ascontiguousarray(self.lane_uid6).reshape(-1))
+        sections.append(self.reset.astype(np.uint8).reshape(-1))
+        ks = self.static_key() + (nw,)
+        return ks, np.concatenate(sections)
+
+
+def build_wire_unpack(scan_ks, ncomp: int):
+    """Device-side unpack of ScanBatch.wire() -> (decoder args tuple,
+    qtabs tuple of (N, 1, 1, 64))."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    C, n_lanes, steps, B, comp_of, mcus, n_img, n_uniq, nw = scan_ks
+    nblk_img = mcus * B
+
+    def unpack(buf):
+        off = 0
+
+        def take(count, dtype):
+            nonlocal off
+            width = jnp.dtype(dtype).itemsize
+            raw = buf[off:off + count * width]
+            off += count * width
+            if width == 1:
+                return lax.bitcast_convert_type(raw, dtype)
+            return lax.bitcast_convert_type(raw.reshape(count, width),
+                                            dtype)
+
+        words = take(nw, jnp.uint32)
+        lane_word_base = take(n_lanes, jnp.int32)
+        lane_img = take(n_lanes, jnp.int32)
+        lane_seg_first = take(n_lanes, jnp.int32)
+        lane_blk_base = take(n_lanes, jnp.int32)
+        lane_blk_limit = take(n_lanes, jnp.int32)
+        limit = take(n_uniq * 16, jnp.int32).reshape(n_uniq, 16)
+        delta = take(n_uniq * 17, jnp.int32).reshape(n_uniq, 17)
+        hv = take(n_uniq * 256, jnp.int32).reshape(n_uniq, 256)
+        qtabs = tuple(
+            take(n_img * 64, jnp.uint16).reshape(n_img, 1, 1, 64)
+            for _ in range(ncomp))
+        lane_pinned = take(n_lanes, jnp.uint8) != 0
+        lane_uid6 = take(n_lanes * 6, jnp.uint8).reshape(n_lanes, 6)
+        reset = take(n_img * nblk_img, jnp.uint8).reshape(
+            n_img, nblk_img) != 0
+        return (words, lane_word_base, lane_pinned, lane_img,
+                lane_seg_first, lane_blk_base, lane_blk_limit,
+                limit, delta, hv, lane_uid6, reset), qtabs
+
+    return unpack
+
+
+# ---------------------------------------------------------------------------
+# device kernel
+# ---------------------------------------------------------------------------
+
+def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
+                       comp_of: tuple, mcus: int, n_img: int,
+                       n_uniq: int = 8, max_passes: int = MAX_PASSES,
+                       ablate: str = ""):
+    """Traceable fn(*ScanBatch.args()) -> (coefs (N, mcus*B, 64) i32
+    natural order scan-ordered blocks with absolute DC, ok (bool)).
+
+    Splitting per component happens in the caller (split_planes /
+    decode_planes) so this graph stays shape-generic. Embeddable in a
+    larger jit (the batched pipeline fuses it with decode+resize)."""
+    import jax
+    import jax.numpy as jnp
+
+    W = C // 32 + 2
+    nblk_img = mcus * B
+    nblk_total = n_img * nblk_img
+    comp_of_arr = np.array(comp_of, np.int32)
+    zz = ZIGZAG
+
+    U = n_uniq
+
+    def make_step(emit: bool):
+        def step(state, win_pair, word_base, limdelta_u, hv_flat,
+                 hv2d, lane_uid6, blk_base, blk_limit):
+            if emit:
+                pos, slot, z, nblk, over, last = state
+            else:
+                pos, slot, z, nblk, over = state
+            active = pos < word_base * 32 + C
+            # one paired one-hot select fetches BOTH words covering the
+            # 32-bit window at `pos`; code bits (<=16) + value bits
+            # (<=11) fit in it, so this is the only bit fetch per symbol
+            if "window" in ablate:  # timing ablation: fake the window
+                w32 = (pos.astype(jnp.uint32) * jnp.uint32(2654435761))
+            else:
+                wl = (pos >> 5) - word_base
+                sel = (wl[:, None] == jnp.arange(W)[None, :])
+                pair = jnp.sum(jnp.where(sel[:, :, None], win_pair, 0),
+                               axis=1)                   # (L, 2) uint32
+                b = (pos & 31).astype(jnp.uint32)
+                w32 = (pair[:, 0] << b) | jnp.where(
+                    b == 0, jnp.uint32(0),
+                    pair[:, 1] >> (jnp.uint32(32) - b))
+            P = (w32 >> jnp.uint32(16)).astype(jnp.int32)  # 16-bit peek
+            tid = jnp.sum(
+                jnp.where(slot[:, None] == jnp.arange(B)[None, :],
+                          comp_of_arr[None, :], 0), axis=1)
+            t = tid * 2 + (z > 0).astype(jnp.int32)        # (L,) 0..5
+            # per-lane unique-table id: (L, 6) u8 one-hot over t (tiny)
+            uid = jnp.sum(
+                jnp.where(t[:, None] == jnp.arange(6)[None, :],
+                          lane_uid6.astype(jnp.int32), 0), axis=1)
+            if "tables" in ablate:  # timing ablation: fake clen/idx
+                clen = 2 + (P & 7)
+                idx = P & 255
+            else:
+                # broadcast-select over the TINY unique-table set (U
+                # rows live in registers/VMEM; the per-lane (L, 6, 33)
+                # expansion this replaces streamed ~32 MB of HBM per
+                # step and was half the kernel's time)
+                u_oh = (uid[:, None] == jnp.arange(U)[None, :])
+                ld = jnp.sum(jnp.where(u_oh[:, :, None],
+                                       limdelta_u[None, :, :], 0),
+                             axis=1)                      # (L, 33)
+                clen = 1 + jnp.sum(
+                    (P[:, None] >= ld[:, :16]).astype(jnp.int32), axis=1)
+                clen = jnp.minimum(clen, 16)
+                d_sel = jnp.sum(
+                    jnp.where(clen[:, None] == jnp.arange(17)[None, :],
+                              ld[:, 16:], 0), axis=1)
+                idx = jnp.clip((P >> (16 - clen)) + d_sel, 0, 255)
+            if "gather" in ablate:  # timing ablation: fake the symbol
+                sym = idx & 127
+            elif "onehot" in ablate:
+                # gather-free symbol lookup: fused broadcast-compare
+                # reduction over the tiny (U, 256) table
+                sel = ((uid[:, None] == jnp.arange(U)[None, :])[:, :, None]
+                       & (idx[:, None, None]
+                          == jnp.arange(256)[None, None, :]))
+                sym = jnp.sum(jnp.where(sel, hv2d[None, :, :], 0),
+                              axis=(1, 2))
+            else:
+                sym = hv_flat[uid * 256 + idx]
+            run = jnp.where(z > 0, sym >> 4, 0)
+            size = sym & 15
+            # value bits: bits [clen, clen+size) of the same window
+            sizem1 = jnp.maximum(size - 1, 0).astype(jnp.uint32)
+            val = jnp.where(
+                size > 0,
+                ((w32 << clen.astype(jnp.uint32)) >> (jnp.uint32(32)
+                 - jnp.maximum(size, 1).astype(jnp.uint32))
+                 ).astype(jnp.int32), 0)
+            val = jnp.where(val < (1 << sizem1).astype(jnp.int32),
+                            val - (1 << size) + 1, val)
+            val = jnp.where(size > 0, val, 0)
+            is_dc = z == 0
+            is_eob = (~is_dc) & (size == 0) & (run != 15)
+            is_zrl = (~is_dc) & (size == 0) & (run == 15)
+            z_coef = jnp.where(is_dc, 0, z + run)          # emit position
+            z_new = jnp.where(
+                is_dc, 1,
+                jnp.where(is_eob, 64,
+                          jnp.where(is_zrl, z + 16, z + run + 1)))
+            adv = clen + jnp.where(is_dc | (~is_eob) & (~is_zrl), size, 0)
+            pos_new = jnp.where(active, pos + adv, pos)
+            ended = active & (z_new >= 64)
+            z_new = jnp.where(active, jnp.where(z_new >= 64, 0, z_new), z)
+            slot_new = jnp.where(ended, (slot + 1) % B, slot)
+            nblk_new = jnp.where(ended, nblk + 1, nblk)
+            over_new = over  # updated by caller on the last step
+            if not emit:
+                return (pos_new, slot_new, z_new, nblk_new, over_new), None
+            # scatter in ZIGZAG coefficient space: z_coef is
+            # non-decreasing within a block and blocks are partitioned
+            # across lanes in order, so real emissions are monotone per
+            # lane; masked slots RE-USE the lane's last emitted index
+            # with a zero add (a fresh index computed from frozen state
+            # could overtake the next lane's early writes and break the
+            # sorted-scatter contract). Dezigzag is a dense permutation
+            # afterwards.
+            blk = blk_base + nblk
+            emit_ok = ((active & (size > 0)) | (active & is_dc)) \
+                & (z_coef < 64) & (blk < blk_limit)
+            blkc = jnp.minimum(blk, blk_limit)
+            eidx_raw = blkc * 64 + jnp.clip(z_coef, 0, 63)
+            eidx = jnp.where(emit_ok, eidx_raw, last)
+            eval_ = jnp.where(emit_ok, val, 0)
+            last_new = jnp.where(emit_ok, eidx_raw, last)
+            return (pos_new, slot_new, z_new, nblk_new, over_new,
+                    last_new), (eidx, eval_)
+        return step
+
+    step_fn = make_step(False)
+    emit_fn = make_step(True)
+
+    def run_chunk(entries, win_pair, word_base, limdelta_u, hv_flat,
+                  hv2d, lane_uid6, blk_base, blk_limit):
+        off, slot, z = entries
+        pos0 = word_base * 32 + off
+        state = (pos0, slot, z, jnp.zeros_like(off),
+                 jnp.zeros_like(off, dtype=bool))
+
+        # while_loop to the LAST active lane, bounded by `steps`: real
+        # content averages ~6 bits/symbol, so most passes finish in a
+        # third of the worst-case budget
+        def cond(c):
+            i, st = c
+            if ablate:  # fixed trip count: comparable ablation timings
+                return i < steps
+            return (i < steps) & jnp.any(st[0] < word_base * 32 + C)
+
+        def body(c):
+            i, st = c
+            st, _o = step_fn(st, win_pair, word_base, limdelta_u,
+                             hv_flat, hv2d, lane_uid6, blk_base,
+                             blk_limit)
+            return (i + 1, st)
+
+        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        pos, slot, z, nblk, _ = st
+        overflow = pos < word_base * 32 + C   # didn't finish in budget
+        return (pos - (word_base * 32 + C), slot, z), nblk, overflow
+
+    def fn(words, lane_word_base, lane_pinned, lane_img, lane_seg_first,
+           lane_blk_base, lane_blk_limit, limit, delta, hv, lane_uid6,
+           reset):
+        L = n_lanes
+        win = words[(lane_word_base[:, None]
+                     + jnp.arange(W)[None, :]).astype(jnp.int32)]
+        # (L, W, 2): each slot carries (word w, word w+1) so one select
+        # per symbol yields the full crossing window
+        win_pair = jnp.stack(
+            [win, jnp.concatenate(
+                [win[:, 1:], jnp.zeros((L, 1), win.dtype)], axis=1)],
+            axis=2)
+        limdelta_u = jnp.concatenate([limit, delta], axis=1)  # (U, 33)
+        hv_flat = hv.reshape(-1)           # (U*256,)
+        zero = jnp.zeros(L, jnp.int32)
+
+        def pass_body(carry):
+            entries, _, _, it, _ = carry
+            ex, nblk, overflow = run_chunk(
+                entries, win_pair, lane_word_base, limdelta_u, hv_flat,
+                hv, lane_uid6, lane_blk_base, lane_blk_limit)
+            # chunk i+1's entry <- chunk i's exit (segment-start lanes
+            # keep the pinned (0,0,0) entry)
+            prop = tuple(
+                jnp.where(lane_pinned, 0,
+                          jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                           e[:-1]]))
+                for e in ex)
+            changed = jnp.any(jnp.stack(
+                [jnp.any(p != e) for p, e in zip(prop, entries)]))
+            return (prop, nblk, overflow, it + 1, changed)
+
+        def pass_cond(carry):
+            _, _, _, it, changed = carry
+            if ablate:  # fixed pass count for comparable timings
+                return it < 8
+            return changed & (it < max_passes)
+
+        init = ((zero, zero, zero), zero, jnp.zeros(L, bool),
+                jnp.int32(0), jnp.bool_(True))
+        entries, nblk, overflow, it, changed = jax.lax.while_loop(
+            pass_cond, pass_body, init)
+        ok = (~changed) & ~jnp.any(overflow)
+
+        # converged per-lane block starts: segmented prefix of nblk
+        csum = jnp.cumsum(nblk)
+        prev = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
+        seg_base = prev[lane_seg_first]    # cumsum before segment start
+        blk_start = lane_blk_base + (prev - seg_base)
+
+        # final emission pass (early-exit like the convergence passes;
+        # rows past the last active step are back-filled with each
+        # lane's final emitted index + zero value, keeping the flat
+        # stream sorted)
+        def emit_cond(c):
+            i, st, _bi, _bv = c
+            if ablate:
+                return i < steps
+            return (i < steps) & jnp.any(
+                st[0] < lane_word_base * 32 + C)
+
+        def emit_body(c):
+            i, st, buf_i, buf_v = c
+            st, (eidx, ev) = emit_fn(st, win_pair, lane_word_base,
+                                     limdelta_u, hv_flat, hv,
+                                     lane_uid6, blk_start,
+                                     lane_blk_limit)
+            return (i + 1, st, buf_i.at[i].set(eidx), buf_v.at[i].set(ev))
+
+        off, slot, z = entries
+        pos0 = lane_word_base * 32 + off
+        last0 = blk_start * 64 + jnp.clip(z, 0, 63)
+        st0 = (pos0, slot, z, zero, jnp.zeros(L, bool), last0)
+        buf_i = jnp.zeros((steps, L), jnp.int32)
+        buf_v = jnp.zeros((steps, L), jnp.int32)
+        i_end, st_end, buf_i, buf_v = jax.lax.while_loop(
+            emit_cond, emit_body, (jnp.int32(0), st0, buf_i, buf_v))
+        tail = jnp.arange(steps, dtype=jnp.int32)[:, None] >= i_end
+        buf_i = jnp.where(tail, st_end[5][None, :], buf_i)
+        buf_v = jnp.where(tail, 0, buf_v)
+        flat_i = buf_i.T.reshape(-1)       # lane-major -> sorted
+        flat_v = buf_v.T.reshape(-1)
+        out = jnp.zeros(nblk_total * 64 + 64, jnp.int32)
+        out = out.at[flat_i].add(flat_v, indices_are_sorted=True)
+        out = out[: nblk_total * 64].reshape(n_img, nblk_img, 64)
+        # zigzag -> natural order (dense static permutation)
+        out = out[:, :, jnp.asarray(np.argsort(zz))]
+
+        # DC diffs -> absolute: segmented inclusive scan per component
+        comp_seq = jnp.tile(jnp.asarray(comp_of_arr), mcus)  # (nblk_img,)
+        dc = out[:, :, 0]
+        acc = jnp.zeros_like(dc)
+        for ci in range(int(comp_of_arr.max()) + 1):
+            m = comp_seq == ci
+            x = jnp.where(m[None, :], dc, 0)
+            f = reset & m[None, :]
+
+            def op(a, b):
+                av, af = a
+                bv, bf = b
+                return (bv + jnp.where(bf, 0, av), af | bf)
+
+            s, _ = jax.lax.associative_scan(op, (x, f), axis=1)
+            acc = acc + jnp.where(m[None, :], s, 0)
+        out = out.at[:, :, 0].set(acc)
+        return out, ok
+
+    return fn
+
+
+@functools.lru_cache(maxsize=32)
+def build_decoder(C: int, n_lanes: int, steps: int, B: int,
+                  comp_of: tuple, mcus: int, n_img: int, n_uniq: int = 8,
+                  max_passes: int = MAX_PASSES, ablate: str = ""):
+    import jax
+
+    return jax.jit(build_decoder_core(C, n_lanes, steps, B, comp_of,
+                                      mcus, n_img, n_uniq, max_passes,
+                                      ablate))
+
+
+@functools.lru_cache(maxsize=64)
+def split_indices(comp_sig):
+    """Static per-component gather indices: grid flat position ->
+    scan-order block index (inverse of scatter_layout; every real grid
+    position appears exactly once in the scan)."""
+    out_idx, _, total = scatter_layout(comp_sig)
+    inv = np.zeros(total, np.int32)
+    real = out_idx < total
+    inv[out_idx[real]] = np.nonzero(real)[0].astype(np.int32)
+    bases = np.cumsum([0] + [c[0] * c[1] for c in comp_sig])[:-1]
+    return [inv[bases[ci] : bases[ci] + bh * bw]
+            for ci, (bh, bw, _, _) in enumerate(comp_sig)]
+
+
+def split_planes(out, comp_sig):
+    """(N, mcus*B, 64) scan-order blocks -> tuple of (N, bh, bw, 64)
+    per-component planes (device-side static gather)."""
+    import jax.numpy as jnp
+
+    n_img = out.shape[0]
+    return tuple(
+        out[:, jnp.asarray(idx), :].reshape(
+            n_img, comp_sig[ci][0], comp_sig[ci][1], 64)
+        for ci, idx in enumerate(split_indices(comp_sig)))
+
+
+def decode_planes(batch: ScanBatch, outs=None):
+    """Run the device decoder and split scan-order blocks into
+    per-component natural-order planes (host-side numpy finishing for
+    tests; the pipeline keeps everything on device via
+    build_plane_splitter)."""
+    import jax.numpy as jnp
+
+    fn = build_decoder(*batch.static_key())
+    out, ok = fn(*[jnp.asarray(a) for a in batch.args()])
+    out = np.asarray(out)
+    if not bool(np.asarray(ok)):
+        return None
+    sig = batch.comp_sig
+    out_idx, _, total = scatter_layout(sig)
+    n_img = out.shape[0]
+    flat = np.zeros((n_img, total + 1, 64), np.int32)
+    flat[:, out_idx] = out
+    bases = np.cumsum([0] + [c[0] * c[1] for c in sig])[:-1]
+    return [flat[:, bases[ci] : bases[ci] + bh * bw]
+            .reshape(n_img, bh, bw, 64)
+            for ci, (bh, bw, _, _) in enumerate(sig)]

@@ -40,7 +40,13 @@ def entropy_decode(bufs: Sequence[bytes], pool: Optional[ThreadPoolExecutor] = N
     return list(pool.map(native.JpegCoefficients, bufs))
 
 
-def signature(co: native.JpegCoefficients):
+def signature(co):
+    from ..ops.jpeg_scan import ScanInfo
+
+    if isinstance(co, ScanInfo):
+        # scan-upload path: geometry from the header parse alone (the
+        # comp_sig values equal libjpeg's, tested) — no entropy decode
+        return (co.width, co.height, co.color_space, co.comp_sig)
     return (co.width, co.height, co.color_space,
             tuple((c["blocks_h"], c["blocks_w"], c["h_samp"], c["v_samp"])
                   for c in co.comps))
@@ -92,7 +98,8 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                      int8_ks: Optional[tuple] = None,
                      gap8_ks: Optional[tuple] = None,
                      device_scan_cap: Optional[int] = None,
-                     gap4_ks: Optional[tuple] = None):
+                     gap4_ks: Optional[tuple] = None,
+                     scan_ks: Optional[tuple] = None):
     """Build the fused batched graph for one signature bucket.
 
     Stages: coefficients -> RGB/grey (N,H,W,C int32) -> optional resize
@@ -234,7 +241,21 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
 
     def fn(*args):
         n = len(comp_sig)
-        if gap4_ks is not None:
+        ok_flag = None
+        if scan_ks is not None:
+            # raw-scan upload: the ENTIRE entropy decode runs on the
+            # chip (ops/jpeg_huffman_decode_tpu.py — chunked
+            # speculative Huffman decode), fused into this graph. The
+            # host's only work was the header parse + wire layout.
+            from ..ops.jpeg_huffman_decode_tpu import (
+                build_decoder_core, build_wire_unpack, split_planes)
+
+            unpack = build_wire_unpack(scan_ks, n)
+            dec_args, qtabs = unpack(args[0])
+            core = build_decoder_core(*scan_ks[:8])
+            scan_out, ok_flag = core(*dec_args)
+            coefs = split_planes(scan_out, comp_sig)
+        elif gap4_ks is not None:
             parts, qtabs = unpack_gap4(args[0])
             coefs = tuple(
                 gap4_restore(p_, sg, sv, ci, cv,
@@ -258,92 +279,98 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
             qtabs = args[3 * n:4 * n]
         else:
             coefs, qtabs = args[:n], args[n:2 * n]
-        if fused:
-            # single-shot path: dequant+IDCT+upsample(+resize) folded
-            # into two matmuls per component (ops/jpeg_fused.py, or the
-            # Pallas banded kernel when fused == "pallas");
-            # decode-only uses identity resampling matrices
-            from ..ops.jpeg_fused import IDENTITY, fused_decode_resize
+        def pixel_stages(coefs, qtabs):
+            if fused:
+                # single-shot path: dequant+IDCT+upsample(+resize) folded
+                # into two matmuls per component (ops/jpeg_fused.py, or the
+                # Pallas banded kernel when fused == "pallas");
+                # decode-only uses identity resampling matrices
+                from ..ops.jpeg_fused import IDENTITY, fused_decode_resize
 
-            if out_w is not None:
-                fw, fh, fname = out_w, out_h, filter_name
-            else:
-                fw, fh, fname = width, height, IDENTITY
-            if fused == "pallas":
-                from ..ops.jpeg_fused_pallas import fused_decode_resize_pallas
+                if out_w is not None:
+                    fw, fh, fname = out_w, out_h, filter_name
+                else:
+                    fw, fh, fname = width, height, IDENTITY
+                if fused == "pallas":
+                    from ..ops.jpeg_fused_pallas import fused_decode_resize_pallas
 
-                f255 = fused_decode_resize_pallas(
-                    comp_sig, color_space, width, height, fw, fh, fname,
-                    filter_scale, coefs, qtabs)
+                    f255 = fused_decode_resize_pallas(
+                        comp_sig, color_space, width, height, fw, fh, fname,
+                        filter_scale, coefs, qtabs)
+                else:
+                    f255 = fused_decode_resize(comp_sig, color_space, width,
+                                               height, fw, fh, fname,
+                                               filter_scale, coefs, qtabs)
+                if normalize:
+                    return jnp.clip(f255, 0.0, 255.0) * jnp.float32(1.0 / 255.0)
+                img = jnp.floor(jnp.clip(f255 + 0.5, 0.0, 255.0)).astype(jnp.int32)
+            elif out_w is not None:
+                rgb = decode_stage(coefs, qtabs)  # (N,H,W,C) int32
+                f = rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+                f = resize_f32(f, out_w, out_h, filter_name, filter_scale)
+                if normalize:
+                    # clip resize overshoot so staged and fused agree
+                    return jnp.clip(f, 0.0, 1.0)  # (N,out_h,out_w,C) f32
+                img = jnp.floor(jnp.clip(f * 255.0 + 0.5, 0.0, 255.0))
+                img = img.astype(jnp.int32)
             else:
-                f255 = fused_decode_resize(comp_sig, color_space, width,
-                                           height, fw, fh, fname,
-                                           filter_scale, coefs, qtabs)
-            if normalize:
-                return jnp.clip(f255, 0.0, 255.0) * jnp.float32(1.0 / 255.0)
-            img = jnp.floor(jnp.clip(f255 + 0.5, 0.0, 255.0)).astype(jnp.int32)
-        elif out_w is not None:
-            rgb = decode_stage(coefs, qtabs)  # (N,H,W,C) int32
-            f = rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-            f = resize_f32(f, out_w, out_h, filter_name, filter_scale)
-            if normalize:
-                # clip resize overshoot so staged and fused agree
-                return jnp.clip(f, 0.0, 1.0)  # (N,out_h,out_w,C) f32
-            img = jnp.floor(jnp.clip(f * 255.0 + 0.5, 0.0, 255.0))
-            img = img.astype(jnp.int32)
-        else:
-            rgb = decode_stage(coefs, qtabs)  # (N,H,W,C) int32
-            if normalize:
-                return rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-            img = rgb
-        if yuv420_out:
-            # padded 4:2:0 planes for the host raw-data encoder — halves
-            # the device->host bytes vs RGB (1.5 B/px vs 3 B/px)
-            eh = out_h if out_h is not None else height
-            ew = out_w if out_w is not None else width
-            hpad, wpad = (eh + 15) & ~15, (ew + 15) & ~15
-            if img.shape[-1] == 1:
-                yp = img[..., 0]
-                cbp = jnp.full(
-                    (yp.shape[0], hpad // 2, wpad // 2), 128, jnp.int32)
-                crp = cbp
-                yp = jnp.pad(yp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
-                             mode="edge")
-            else:
-                yp, cbp, crp = jpeg_tpu.rgb_to_ycbcr(img)
-                yp = jnp.pad(yp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
-                             mode="edge")
-                cbp = jpeg_tpu.box_downsample_2x2(
-                    jnp.pad(cbp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
-                            mode="edge"))
-                crp = jpeg_tpu.box_downsample_2x2(
-                    jnp.pad(crp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
-                            mode="edge"))
-            # one (N, bytes) uint8 buffer per batch: a single readback
-            # instead of three (per-transfer link latency dominates)
-            nimg = yp.shape[0]
-            return jnp.concatenate(
-                [yp.astype(jnp.uint8).reshape(nimg, -1),
-                 cbp.astype(jnp.uint8).reshape(nimg, -1),
-                 crp.astype(jnp.uint8).reshape(nimg, -1)], axis=1)
-        if encode_quality is not None:
-            qluma, qchroma = jpeg_tpu.quality_tables(encode_quality)
-            eh = out_h if out_h is not None else height
-            ew = out_w if out_w is not None else width
-            enc = jpeg_tpu._jit_encode.__wrapped__(eh, ew, img.shape[-1],
-                                                   img.shape[-1] == 3)
-            out_coefs = enc(img.astype(jnp.uint8), qluma, qchroma)
-            if device_scan_cap is None:
-                return out_coefs
-            # full on-device entropy encode: the readback is finished
-            # scan bytes (~0.1-0.2 B/px) instead of 4:2:0 planes
-            from .jpeg_batch import _resized_comp_sig
-            from ..ops.jpeg_huffman_tpu import build_scan_encoder
+                rgb = decode_stage(coefs, qtabs)  # (N,H,W,C) int32
+                if normalize:
+                    return rgb.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+                img = rgb
+            if yuv420_out:
+                # padded 4:2:0 planes for the host raw-data encoder — halves
+                # the device->host bytes vs RGB (1.5 B/px vs 3 B/px)
+                eh = out_h if out_h is not None else height
+                ew = out_w if out_w is not None else width
+                hpad, wpad = (eh + 15) & ~15, (ew + 15) & ~15
+                if img.shape[-1] == 1:
+                    yp = img[..., 0]
+                    cbp = jnp.full(
+                        (yp.shape[0], hpad // 2, wpad // 2), 128, jnp.int32)
+                    crp = cbp
+                    yp = jnp.pad(yp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                                 mode="edge")
+                else:
+                    yp, cbp, crp = jpeg_tpu.rgb_to_ycbcr(img)
+                    yp = jnp.pad(yp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                                 mode="edge")
+                    cbp = jpeg_tpu.box_downsample_2x2(
+                        jnp.pad(cbp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                                mode="edge"))
+                    crp = jpeg_tpu.box_downsample_2x2(
+                        jnp.pad(crp, ((0, 0), (0, hpad - eh), (0, wpad - ew)),
+                                mode="edge"))
+                # one (N, bytes) uint8 buffer per batch: a single readback
+                # instead of three (per-transfer link latency dominates)
+                nimg = yp.shape[0]
+                return jnp.concatenate(
+                    [yp.astype(jnp.uint8).reshape(nimg, -1),
+                     cbp.astype(jnp.uint8).reshape(nimg, -1),
+                     crp.astype(jnp.uint8).reshape(nimg, -1)], axis=1)
+            if encode_quality is not None:
+                qluma, qchroma = jpeg_tpu.quality_tables(encode_quality)
+                eh = out_h if out_h is not None else height
+                ew = out_w if out_w is not None else width
+                enc = jpeg_tpu._jit_encode.__wrapped__(eh, ew, img.shape[-1],
+                                                       img.shape[-1] == 3)
+                out_coefs = enc(img.astype(jnp.uint8), qluma, qchroma)
+                if device_scan_cap is None:
+                    return out_coefs
+                # full on-device entropy encode: the readback is finished
+                # scan bytes (~0.1-0.2 B/px) instead of 4:2:0 planes
+                from .jpeg_batch import _resized_comp_sig
+                from ..ops.jpeg_huffman_tpu import build_scan_encoder
 
-            rsig = _resized_comp_sig(eh, ew, img.shape[-1])
-            scan_enc = build_scan_encoder(rsig, device_scan_cap)
-            return scan_enc(out_coefs)
-        return img.astype(jnp.uint8)
+                rsig = _resized_comp_sig(eh, ew, img.shape[-1])
+                scan_enc = build_scan_encoder(rsig, device_scan_cap)
+                return scan_enc(out_coefs)
+            return img.astype(jnp.uint8)
+
+        result = pixel_stages(coefs, qtabs)
+        if ok_flag is not None:
+            return result, ok_flag
+        return result
 
     return jax.jit(fn)
 
@@ -418,6 +445,18 @@ class JpegBatchPipeline:
         return list(self._pool.map(fn, seq))
 
     def entropy_decode(self, bufs):
+        if self._upload == "scan":
+            # no host entropy decode at all: parse the headers, ship
+            # the raw scan, Huffman-decode on the chip. Files the
+            # device decoder can't take (progressive, arithmetic,
+            # multi-scan) fall back to the host path transparently.
+            from ..ops.jpeg_scan import parse_baseline
+
+            infos = [parse_baseline(bytes(b)) for b in bufs]
+            if all(i is not None for i in infos):
+                for i, b in zip(infos, bufs):
+                    i.src = b
+                return infos
         if (os.cpu_count() or 1) <= 1:
             return entropy_decode(bufs, None)
         return entropy_decode(bufs, self._pool)
@@ -427,7 +466,14 @@ class JpegBatchPipeline:
 
         Returns (sig, args) for dense upload, or (sig, ks, args) for
         sparse upload (ks = static padded-nnz per component)."""
+        from ..ops.jpeg_scan import ScanInfo
+
         sig = signature(cos[0])
+        if isinstance(cos[0], ScanInfo):
+            from ..ops.jpeg_huffman_decode_tpu import ScanBatch
+
+            ks, wire = ScanBatch(cos).wire()
+            return sig, ks, [wire]
         n = len(cos[0].comps)
         args = []
         if self._upload == "sparse":
@@ -549,7 +595,7 @@ class JpegBatchPipeline:
     # -- device stage ------------------------------------------------------
 
     def run_bucket(self, sig, args, sparse_ks=None, int8_ks=None,
-                   gap8_ks=None, gap4_ks=None):
+                   gap8_ks=None, gap4_ks=None, scan_ks=None):
         device_quality = (self._encode_quality
                           if self._encode_backend in ("tpu", "device")
                           else None)
@@ -561,7 +607,7 @@ class JpegBatchPipeline:
         fn = _jit_batch_graph(sig, self._width, self._height, self._filter,
                               self._fscale, self._normalize, device_quality,
                               sparse_ks, yuv, self._fused, int8_ks, gap8_ks,
-                              cap, gap4_ks)
+                              cap, gap4_ks, scan_ks)
         return fn(*args)
 
     def _scan_cap_for(self, sig) -> int:
@@ -581,7 +627,14 @@ class JpegBatchPipeline:
         device."""
         import jax
 
+        from ..ops.jpeg_scan import ScanInfo
+
         sig = signature(cos[0])
+        if isinstance(cos[0], ScanInfo):
+            sig, ks, args = self.stack_bucket(cos)
+            dargs = [jax.device_put(a) for a in args]
+            out = self.run_bucket(sig, dargs, scan_ks=ks)
+            return sig, ("scan", out, [i.src for i in cos])
         if self._upload in ("sparse", "int8", "gap8", "gap4"):
             sig, ks, args = self.stack_bucket(cos)
             dargs = [jax.device_put(a) for a in args]
@@ -602,6 +655,12 @@ class JpegBatchPipeline:
 
     def _process(self, cos):
         """Homogeneous batch -> (sig, device output)."""
+        from ..ops.jpeg_scan import ScanInfo
+
+        if isinstance(cos[0], ScanInfo):
+            sig, ks, args = self.stack_bucket(cos)
+            out = self.run_bucket(sig, args, scan_ks=ks)
+            return sig, ("scan", out, [i.src for i in cos])
         if self._upload in ("sparse", "int8", "gap8", "gap4"):
             sig, ks, args = self.stack_bucket(cos)
             return sig, self.run_bucket(sig, args,
@@ -611,6 +670,15 @@ class JpegBatchPipeline:
 
     def _finish(self, sig, out):
         """Device output -> arrays or encoded bytes."""
+        if isinstance(out, tuple) and len(out) == 3 and out[0] == "scan":
+            _, (res, okf), srcs = out
+            if not bool(np.asarray(okf)):
+                # the chunked decoder did not converge (pathological
+                # stream) — redo the batch through host entropy decode
+                # + dense upload; same device pixel stages, identical
+                # results
+                return self._scan_fallback(srcs)
+            out = res
         if self._encode_quality is None:
             return out
         if self._encode_backend == "host":
@@ -623,6 +691,11 @@ class JpegBatchPipeline:
         if self._encode_backend == "device":
             return self.scan_finish(out, sig)
         return self.huffman_encode(out, sig)
+
+    def _scan_fallback(self, bufs):
+        cos = entropy_decode(list(bufs), None)
+        sig, args = self.stack_bucket(cos)
+        return self._finish(sig, self.run_bucket(sig, args))
 
     def scan_finish(self, out, sig):
         """Host stage for the 'device' encode backend: read back the
@@ -755,7 +828,7 @@ class JpegBatchPipeline:
 
         it = iter(batches)
         backlog = collections.deque()   # (idx, bufs) read ahead
-        inflight = collections.deque()  # (idx, sig, device out)
+        inflight = collections.deque()  # (idx, sig, device out, bufs)
         pending = {}                    # idx -> finished result
         next_yield = 0
         n_read = 0
@@ -776,16 +849,14 @@ class JpegBatchPipeline:
                 backlog.append((n_read, bufs))
                 n_read += 1
 
-        def harvest(block: bool = False):
+        def harvest():
             # finish device batches whose readback has landed (head of
             # the deque first — the device stream is in-order)
             while inflight:
-                if not block and not all(
-                        x.is_ready() for x in leaves(inflight[0][2])):
+                if not all(x.is_ready() for x in leaves(inflight[0][2])):
                     return
-                idx, sig, out = inflight.popleft()
+                idx, sig, out, _bufs = inflight.popleft()
                 pending[idx] = self._finish(sig, out)
-                block = False  # only force the head
 
         pump()
         while backlog or inflight or pending:
@@ -795,21 +866,31 @@ class JpegBatchPipeline:
             pump()
             harvest()
             # feed the device while it has capacity AND a spare batch
-            # remains for the host path (committing the tail to the
-            # slower chain would add its full latency to the stream)
+            # remains for the host path
             if len(backlog) >= 2 and len(inflight) < depth:
                 idx, bufs = backlog.popleft()
                 sig, out = self._stage_device(self.entropy_decode(bufs))
                 for x in leaves(out):
                     x.copy_to_host_async()
-                inflight.append((idx, sig, out))
+                inflight.append((idx, sig, out, bufs))
                 continue
             if backlog:
                 idx, bufs = backlog.popleft()
                 pending[idx] = self.host_encode_batch(bufs)
                 continue
             if inflight:
-                harvest(block=True)
+                # no backlog left: instead of idling behind a slow
+                # device batch, the host re-runs the OLDEST in-flight
+                # one on its own path and the stream takes whichever
+                # finished (the device result is simply dropped). This
+                # caps the stream tail at one host batch even when the
+                # device chain's per-batch latency is many times the
+                # host's.
+                idx, sig, out, bufs = inflight.popleft()
+                if all(x.is_ready() for x in leaves(out)):
+                    pending[idx] = self._finish(sig, out)
+                else:
+                    pending[idx] = self.host_encode_batch(bufs)
         while next_yield in pending:
             yield pending.pop(next_yield)
             next_yield += 1

@@ -1,0 +1,202 @@
+"""TPU JPEG Huffman decoder (ops/jpeg_huffman_decode_tpu.py) and its
+host-side scan model (ops/jpeg_scan.py).
+
+Oracle: libjpeg itself — native.JpegCoefficients must match the
+decoded planes EXACTLY (the entropy decode is lossless; there is no
+tolerance). Covers the parser, the sequential numpy reference, the
+chunked speculative prototype, and the XLA kernel (CPU backend here;
+bench.py exercises the real chip)."""
+import io
+import pathlib
+
+import numpy as np
+import pytest
+
+from picha_tpu.native import lib as native
+from picha_tpu.ops import jpeg_scan
+from picha_tpu.ops.jpeg_huffman_decode_tpu import (ScanBatch,
+                                                   decode_planes,
+                                                   min_bits_per_symbol)
+
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+def _exact(bufs, **kw):
+    infos = [jpeg_scan.parse_baseline(bytes(b)) for b in bufs]
+    assert all(i is not None for i in infos)
+    planes = decode_planes(ScanBatch(infos, **kw))
+    assert planes is not None, "decoder did not converge"
+    for j, b in enumerate(bufs):
+        co = native.JpegCoefficients(bytes(b))
+        assert len(planes) == len(co.comps)
+        for ci in range(len(planes)):
+            want = co.comps[ci]["coefs"].astype(np.int32)
+            assert np.array_equal(planes[ci][j], want), (j, ci)
+    return infos
+
+
+def test_parse_reports_geometry():
+    rng = np.random.default_rng(0)
+    buf = native.jpeg_encode(rng.integers(0, 256, (77, 115, 3), np.uint8),
+                             85)
+    info = jpeg_scan.parse_baseline(bytes(buf))
+    assert (info.width, info.height, info.ncomp) == (115, 77, 3)
+    co = native.JpegCoefficients(bytes(buf))
+    for ci, (bh, bw, hs, vs) in enumerate(info.comp_sig):
+        c = co.comps[ci]
+        assert (bh, bw, hs, vs) == (c["blocks_h"], c["blocks_w"],
+                                    c["h_samp"], c["v_samp"])
+
+
+def test_parse_rejects_progressive_and_garbage():
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    b = io.BytesIO()
+    PILImage.fromarray(img).save(b, "JPEG", progressive=True)
+    assert jpeg_scan.parse_baseline(b.getvalue()) is None
+    assert jpeg_scan.parse_baseline(b"\x00" * 64) is None
+    assert jpeg_scan.parse_baseline(b"\xff\xd8\xff") is None
+
+
+def test_reference_decoder_exact():
+    rng = np.random.default_rng(1)
+    buf = native.jpeg_encode(rng.integers(0, 256, (48, 64, 3), np.uint8),
+                             85)
+    info = jpeg_scan.parse_baseline(bytes(buf))
+    got = jpeg_scan.decode_reference(info)
+    co = native.JpegCoefficients(bytes(buf))
+    for ci in range(3):
+        assert np.array_equal(got[ci], co.comps[ci]["coefs"])
+
+
+def test_chunked_prototype_exact_and_converges():
+    from picha_tpu.ops.jpeg_scan_chunked import decode_chunked
+
+    rng = np.random.default_rng(2)
+    buf = native.jpeg_encode(rng.integers(0, 256, (48, 64, 3), np.uint8),
+                             85)
+    info = jpeg_scan.parse_baseline(bytes(buf))
+    got, passes = decode_chunked(info, C=256)
+    co = native.JpegCoefficients(bytes(buf))
+    for ci in range(3):
+        assert np.array_equal(got[ci], co.comps[ci]["coefs"])
+    assert passes < 64
+
+
+def test_device_kernel_exact_batch():
+    rng = np.random.default_rng(3)
+    noisy = rng.integers(0, 256, (120, 200, 3), np.uint8)
+    smooth = np.clip(
+        np.linspace(0, 255, 200)[None, :, None] + np.zeros((120, 1, 3)),
+        0, 255).astype(np.uint8)
+    _exact([native.jpeg_encode(noisy, 85),
+            native.jpeg_encode(smooth, 90),
+            native.jpeg_encode(noisy, 40)], chunk_bits=512)
+
+
+def test_device_kernel_grey_and_odd_dims():
+    rng = np.random.default_rng(4)
+    _exact([native.jpeg_encode(
+        rng.integers(0, 256, (64, 100, 1), np.uint8), 85)])
+    _exact([native.jpeg_encode(
+        rng.integers(0, 256, (77, 115, 3), np.uint8), 85)])
+
+
+def test_device_kernel_custom_tables():
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (120, 200, 3), np.uint8)
+    b = io.BytesIO()
+    PILImage.fromarray(img).save(b, "JPEG", quality=80, optimize=True)
+    _exact([b.getvalue()], chunk_bits=512)
+
+
+def test_device_kernel_restart_markers():
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (160, 240, 3), np.uint8)
+    for kw in ({"restart_marker_blocks": 7}, {"restart_marker_rows": 2}):
+        b = io.BytesIO()
+        PILImage.fromarray(img).save(b, "JPEG", quality=85, **kw)
+        _exact([b.getvalue()], chunk_bits=512)
+
+
+def test_device_kernel_fixture():
+    _exact([(FIXTURES / "test2.jpg").read_bytes()])
+
+
+def test_step_budget_bound():
+    rng = np.random.default_rng(7)
+    buf = native.jpeg_encode(rng.integers(0, 256, (32, 32, 3), np.uint8),
+                             85)
+    info = jpeg_scan.parse_baseline(bytes(buf))
+    mb = min_bits_per_symbol(info)
+    assert 2.0 <= mb <= 6.0  # std tables: (2 + 63*3)/64 ~ 2.98
+
+
+def test_truncated_scan_does_not_crash():
+    """Corrupt input must not crash the kernel: either it converges to
+    garbage (flagged exact-mismatch at a higher level) or reports
+    non-convergence — never raises."""
+    rng = np.random.default_rng(8)
+    buf = bytearray(native.jpeg_encode(
+        rng.integers(0, 256, (64, 64, 3), np.uint8), 85))
+    cut = buf[: len(buf) * 2 // 3]  # drop the scan tail (and EOI)
+    info = jpeg_scan.parse_baseline(bytes(cut))
+    if info is None:
+        return
+    planes = decode_planes(ScanBatch([info], chunk_bits=512))
+    assert planes is None or planes[0].shape[1:] == (
+        info.comp_sig[0][0], info.comp_sig[0][1], 64)
+
+
+def test_pipeline_scan_upload_matches_gap4():
+    """upload='scan' (on-chip entropy decode) must match the gap4 path
+    bit-for-bit — same coefficients, same pixel stages."""
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (96, 144, 3), np.uint8)
+    bufs = [native.jpeg_encode(np.roll(img, i, 0), 85) for i in range(3)]
+    a = np.asarray(JpegBatchPipeline(width=72, height=48, fused=True,
+                                     upload="scan")(bufs))
+    b = np.asarray(JpegBatchPipeline(width=72, height=48, fused=True,
+                                     upload="gap4")(bufs))
+    assert np.array_equal(a, b)
+
+
+def test_pipeline_scan_upload_encode_identical():
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (96, 144, 3), np.uint8)
+    bufs = [native.jpeg_encode(np.roll(img, i, 0), 85) for i in range(2)]
+    kw = dict(width=72, height=48, encode_quality=85,
+              encode_backend="raw420", fused=True)
+    a = JpegBatchPipeline(upload="scan", **kw)(bufs)
+    b = JpegBatchPipeline(upload="gap4", **kw)(bufs)
+    assert all(bytes(x) == bytes(y) for x, y in zip(a, b))
+
+
+def test_pipeline_scan_upload_progressive_fallback():
+    """A batch containing a file the device decoder rejects falls back
+    to the host entropy path transparently."""
+    from PIL import Image as PILImage
+
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (96, 144, 3), np.uint8)
+    b = io.BytesIO()
+    PILImage.fromarray(img).save(b, "JPEG", quality=85, progressive=True)
+    bufs = [native.jpeg_encode(img, 85), b.getvalue()]
+    out = np.asarray(JpegBatchPipeline(width=72, height=48, fused=True,
+                                       upload="scan")(bufs))
+    assert out.shape == (2, 48, 72, 3)
+    want = np.asarray(JpegBatchPipeline(width=72, height=48,
+                                        fused=True)(bufs))
+    assert np.array_equal(out, want)
