@@ -100,98 +100,96 @@ def bench_tpu_stage(p, sig, dargs, batch, mpix, iters=20, fused=False):
     return batch * iters / dt
 
 
-def bench_e2e(bufs, batch, out_w, out_h, rounds=12):
-    """Pipelined, stage-overlapped decode -> resize -> encode.
+def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host"):
+    """End-to-end decode -> resize -> encode in one of three
+    configurations an operator could deploy:
 
-    Host->device ships nibble-packed gap-delta sparse coefficients
-    (~1.25 B per nonzero, ~4x fewer bytes than dense int8, bit-exact);
-    the device runs the fused dequant+IDCT+upsample+resize graph and
-    emits 4:2:0 planes in ONE coalesced buffer; host threads run the
-    raw-data libjpeg re-encode. stream() keeps batches in flight so
-    the two link directions (full duplex), the chip, and the host all
-    overlap. PICHA_BENCH_ENCODE=device switches to the full on-chip
-    encode (TPU Huffman, scan bytes byte-identical to libjpeg) — not
-    the default because its first compile takes 20-30 min through this
-    environment's remote compile service.
+      host         pure-host streaming: libjpeg decode, AVX2 native
+                   resize, libjpeg encode — no device in the loop
+      gap4+device  hybrid: host path fills the core while the device
+                   chain (gap4 coefficient upload -> fused decode+
+                   resize -> full on-chip Huffman encode) runs `depth`
+                   batches deep with async dispatch/readback
+      scan+device  hybrid where even the entropy DECODE is on-chip —
+                   the upload is the raw JPEG scan; the host keeps only
+                   the header parse
 
-    Returns (img/s, stage detail dict incl. the link roofline)."""
-    import os
-
+    Returns (img/s, detail). bench_e2e_best probes all three and runs
+    the final measurement on the winner (the compilation cache makes
+    the probes cheap after round one)."""
     from picha_tpu.pipeline import JpegBatchPipeline
 
-    backend = os.environ.get("PICHA_BENCH_ENCODE", "raw420")
-    p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
-                          encode_backend=backend, fused=True,
-                          upload="gap4")
-    # warm up compile + link caches
-    warm = p(bufs[:batch])
-
-    # stage bytes for the roofline
-    cos = p.entropy_decode(bufs[:batch])
-    _, _, args = p.stack_bucket(cos)
-    up_bytes = sum(a.nbytes for a in args)
-    if backend == "device":
-        down_bytes = sum(len(e) for e in warm)  # scan-byte prefix readback
+    if config == "host":
+        p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                              encode_backend="host", upload="gap4")
+        runner = p.stream_host
+        up_b = down_b = 0.0
     else:
-        down_bytes = batch * (((out_h + 15) & ~15)
-                              * ((out_w + 15) & ~15) * 3) // 2
-
-    # hybrid: a host worker steals whole batches for the pure-host
-    # path while the device chain (which serialises upload/compute/
-    # readback on this platform) is busy — both silicon pools run flat
-    # out; set PICHA_BENCH_HYBRID=0 to measure the device chain alone
-    hybrid = os.environ.get("PICHA_BENCH_HYBRID", "1") != "0"
-    runner = p.stream_hybrid if hybrid else p.stream
+        upload, backend = config.split("+")
+        p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                              encode_backend=backend, fused=True,
+                              upload=upload)
+        warm = p(bufs[:batch])
+        cos = p.entropy_decode(bufs[:batch])
+        _, _, args = p.stack_bucket(cos)
+        up_b = sum(a.nbytes for a in args) / 1e6
+        down_b = (sum(len(e) for e in warm) / 1e6 if backend == "device"
+                  else batch * (((out_h + 15) & ~15)
+                                * (((out_w + 15) & ~15)) * 3) / 2 / 1e6)
+        runner = p.stream_hybrid
     t0 = time.perf_counter()
     n = 0
-    for encoded in runner((bufs[:batch] for _ in range(rounds)), depth=3):
+    for encoded in runner(bufs[:batch] for _ in range(rounds)):
         n += len(encoded)
     dt = time.perf_counter() - t0
-    return n / dt, {"up_MB_per_batch": round(up_bytes / 1e6, 1),
-                    "down_MB_per_batch": round(down_bytes / 1e6, 1),
-                    "encode_backend": backend}
+    return n / dt, {"up_MB_per_batch": round(up_b, 1),
+                    "down_MB_per_batch": round(down_b, 1),
+                    "e2e_config": config}
 
 
 def bench_e2e_best(bufs, batch, out_w, out_h):
-    """The backend an operator would pick: run the raw420 pipeline,
-    then opportunistically try the full on-chip encode in a watchdogged
-    subprocess (its first compile has taken 90 s to 30+ min through
-    this environment's remote compile service) and report the faster
-    of the two."""
+    """Probe each deployable configuration briefly, then measure the
+    winner properly — what an operator would run. Device configs probe
+    inside a watchdogged subprocess: their first compile through this
+    environment's remote compile service has taken anywhere from 15 s
+    to 30+ min (one-time; the persistent cache keeps it warm for every
+    later run)."""
     import json as _json
     import os
     import subprocess
     import sys
 
-    best = bench_e2e(bufs, batch, out_w, out_h)
-    if os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") == "0":
-        return best
-    code = (
-        "import json, sys\n"
-        "sys.path.insert(0, %r)\n"
-        "from bench import make_test_images, bench_e2e\n"
-        "bufs = make_test_images(%d, %d, %d)\n"
-        "ips, d = bench_e2e(bufs, %d, %d, %d)\n"
-        "print('RESULT ' + json.dumps([ips, d]))\n"
-        % (os.path.dirname(os.path.abspath(__file__)),
-           batch, 1920, 1088, batch, out_w, out_h))
-    env = dict(os.environ)
-    env["PICHA_BENCH_ENCODE"] = "device"
-    try:
-        proc = subprocess.run([sys.executable, "-c", code], env=env,
-                              capture_output=True, text=True, timeout=600)
-        for line in proc.stdout.splitlines():
-            if line.startswith("RESULT "):
-                ips, d = _json.loads(line[len("RESULT "):])
-                log(f"device-encode e2e try: {ips:.1f} img/s")
-                if ips > best[0]:
-                    return ips, d
-    except subprocess.TimeoutExpired:
-        log("device-encode e2e try timed out (remote compile); "
-            "keeping raw420")
-    except Exception as e:  # noqa: BLE001
-        log(f"device-encode e2e try failed: {type(e).__name__}: {e}")
-    return best
+    probes = {}
+    ips, _ = bench_e2e(bufs, batch, out_w, out_h, rounds=6, config="host")
+    probes["host"] = round(ips, 1)
+    if os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") != "0":
+        for config in ("gap4+device", "scan+device"):
+            code = (
+                "import json, sys\n"
+                "sys.path.insert(0, %r)\n"
+                "from bench import make_test_images, bench_e2e\n"
+                "bufs = make_test_images(%d, %d, %d)\n"
+                "ips, d = bench_e2e(bufs, %d, %d, %d, rounds=6, config=%r)\n"
+                "print('RESULT ' + json.dumps(ips))\n"
+                % (os.path.dirname(os.path.abspath(__file__)),
+                   batch, 1920, 1088, batch, out_w, out_h, config))
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c", code], env=dict(os.environ),
+                    capture_output=True, text=True, timeout=900)
+                for line in proc.stdout.splitlines():
+                    if line.startswith("RESULT "):
+                        probes[config] = round(
+                            _json.loads(line[len("RESULT "):]), 1)
+            except subprocess.TimeoutExpired:
+                log(f"{config} probe timed out (remote compile)")
+            except Exception as e:  # noqa: BLE001
+                log(f"{config} probe failed: {type(e).__name__}: {e}")
+    log(f"e2e config probes (img/s): {probes}")
+    winner = max(probes, key=probes.get)
+    ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=20, config=winner)
+    d["config_probes_img_s"] = probes
+    return ips, d
 
 
 def bench_train_ingest(bufs, batch, rounds=10):
@@ -375,7 +373,7 @@ def main():
         detail.update(ebytes)
         log(f"e2e decode->resize->encode (pipelined): {e2e_ips:.1f} img/s "
             f"({e2e_ips * mpix:.0f} Mpix/s)")
-        if link and host_ips:
+        if link and host_ips and ebytes.get("up_MB_per_batch"):
             up_ips = link[0] * batch / ebytes["up_MB_per_batch"]
             down_ips = link[1] * batch / ebytes["down_MB_per_batch"]
             roof = min(up_ips, down_ips, host_ips)

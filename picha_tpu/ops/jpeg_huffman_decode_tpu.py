@@ -118,10 +118,11 @@ class ScanBatch:
         self.nblk_img = mcus * B
         n_img = len(infos)
 
-        words_parts = []
-        lane_word_base, lane_pinned, lane_img = [], [], []
-        lane_seg_first, lane_blk_limit, lane_blk_base = [], [], []
-        word_off = 0
+        # per-segment geometry, vectorized per image (restart-interval
+        # streams have thousands of tiny segments; per-lane python
+        # lists measured ~150 ms/batch)
+        seg_bytes: List[bytes] = []
+        seg_nch, seg_img, seg_blk0, seg_nblk = [], [], [], []
         for img, info in enumerate(infos):
             ri = info.restart_interval or mcus
             blk_base_img = img * self.nblk_img
@@ -129,42 +130,61 @@ class ScanBatch:
                 n_mcu = min(ri, mcus - si * ri)
                 if n_mcu <= 0:
                     continue
-                nch = max(1, -(-(len(seg) * 8) // C))
-                # pad segment to chunk multiple + 2 slack words of 1s
-                nbytes = nch * (C // 8) + 8
-                raw = np.frombuffer(seg.ljust(nbytes, b"\xff"), np.uint8)
-                words_parts.append(
-                    raw.reshape(-1, 4).astype(np.uint32) @
-                    np.array([1 << 24, 1 << 16, 1 << 8, 1], np.uint32))
-                first_lane = len(lane_word_base)
-                seg_blk0 = blk_base_img + si * ri * B
-                for c in range(nch):
-                    lane_word_base.append(word_off + c * (C // 32))
-                    lane_pinned.append(c == 0)
-                    lane_img.append(img)
-                    lane_seg_first.append(first_lane)
-                    lane_blk_base.append(seg_blk0)
-                    lane_blk_limit.append(seg_blk0 + n_mcu * B)
-                word_off += nbytes // 4
-        n_lanes = len(lane_word_base)
+                seg_bytes.append(seg)
+                seg_nch.append(max(1, -(-(len(seg) * 8) // C)))
+                seg_img.append(img)
+                seg_blk0.append(blk_base_img + si * ri * B)
+                seg_nblk.append(n_mcu * B)
+        seg_nch = np.array(seg_nch, np.int64)
+        seg_img = np.array(seg_img, np.int32)
+        seg_blk0 = np.array(seg_blk0, np.int32)
+        seg_nblk = np.array(seg_nblk, np.int32)
+        nseg = seg_nch.size
+        # one padded byte buffer for all segments -> u32 words
+        seg_words = seg_nch * (C // 32) + 2
+        word_starts = np.concatenate(
+            [[0], np.cumsum(seg_words)]).astype(np.int64)
+        total_words = int(word_starts[-1])
+        byte_buf = np.full(total_words * 4, 0xFF, np.uint8)
+        for s, seg in enumerate(seg_bytes):
+            o = int(word_starts[s]) * 4
+            byte_buf[o : o + len(seg)] = np.frombuffer(seg, np.uint8)
+        words_all = byte_buf.reshape(-1, 4).astype(np.uint32) @ np.array(
+            [1 << 24, 1 << 16, 1 << 8, 1], np.uint32)
+        # expand segments -> lanes (numpy repeat/cumcount)
+        lane_seg = np.repeat(np.arange(nseg), seg_nch)
+        lane_starts = np.concatenate(
+            [[0], np.cumsum(seg_nch)]).astype(np.int64)
+        chunk_in_seg = (np.arange(lane_seg.size)
+                        - lane_starts[lane_seg])
+        lane_word_base = (word_starts[lane_seg]
+                          + chunk_in_seg * (C // 32)).astype(np.int32)
+        lane_pinned = chunk_in_seg == 0
+        lane_img = seg_img[lane_seg]
+        lane_seg_first = lane_starts[lane_seg].astype(np.int32)
+        lane_blk_base = seg_blk0[lane_seg]
+        lane_blk_limit = seg_blk0[lane_seg] + seg_nblk[lane_seg]
+        n_lanes = int(lane_seg.size)
         self.n_lanes = -(-n_lanes // LANE_GRANULE) * LANE_GRANULE
         pad = self.n_lanes - n_lanes
         trash_blk = n_img * self.nblk_img
         # dead pad lanes: pinned, pointing at the last slack words,
         # block range empty at the trash block (keeps scatter monotone)
         self.words = np.concatenate(
-            words_parts + [np.full(64, 0xFFFFFFFF, np.uint32)])
+            [words_all, np.full(64, 0xFFFFFFFF, np.uint32)])
         dead_base = self.words.size - C // 32 - 2
-        self.lane_word_base = np.array(
-            lane_word_base + [dead_base] * pad, np.int32)
-        self.lane_pinned = np.array(lane_pinned + [True] * pad, bool)
-        self.lane_img = np.array(lane_img + [n_img - 1] * pad, np.int32)
-        self.lane_seg_first = np.array(
-            lane_seg_first + [n_lanes] * pad, np.int32)
-        self.lane_blk_base = np.array(
-            lane_blk_base + [trash_blk] * pad, np.int32)
-        self.lane_blk_limit = np.array(
-            lane_blk_limit + [trash_blk] * pad, np.int32)
+
+        def padded(a, fill, dtype):
+            out = np.full(self.n_lanes, fill, dtype)
+            out[:n_lanes] = a
+            return out
+
+        self.lane_word_base = padded(lane_word_base, dead_base, np.int32)
+        self.lane_pinned = padded(lane_pinned, True, bool)
+        self.lane_img = padded(lane_img, n_img - 1, np.int32)
+        self.lane_seg_first = padded(lane_seg_first, n_lanes, np.int32)
+        self.lane_blk_base = padded(lane_blk_base, trash_blk, np.int32)
+        self.lane_blk_limit = padded(lane_blk_limit, trash_blk, np.int32)
 
         # dedupe decode tables across the batch: a same-signature batch
         # almost always shares its Huffman tables (std tables), so the

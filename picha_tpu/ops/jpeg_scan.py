@@ -169,21 +169,31 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             if ss != 0 or se != 63:
                 return None
-            # entropy data runs to the next non-RST marker
+            # entropy data runs to the next non-RST marker. Marker
+            # positions are found vectorized (restart-intervaled
+            # streams can have thousands of segments; a python
+            # byte-loop here measured ~0.4 s per 1080p batch)
             data_start = i + 2 + ln
-            j = data_start
+            arr = np.frombuffer(buf, np.uint8)
+            ff = np.nonzero(arr[data_start:-1] == 0xFF)[0] + data_start
+            nxt = arr[ff + 1]
+            marks = ff[nxt != 0x00]
+            mvals = arr[marks + 1] if marks.size else marks
             seg_bounds: List[Tuple[int, int]] = []
-            seg_start = j
-            while j < len(buf) - 1:
-                if buf[j] == 0xFF and buf[j + 1] != 0x00:
-                    m = buf[j + 1]
-                    if 0xD0 <= m <= 0xD7:
-                        seg_bounds.append((seg_start, j))
-                        j += 2
-                        seg_start = j
-                        continue
+            seg_start = j = data_start
+            for p, m in zip(marks.tolist(), mvals.tolist()):
+                if p < seg_start:
+                    continue  # inside a previous marker pair
+                if m == 0xFF:
+                    continue  # optional fill byte before a marker
+                if 0xD0 <= m <= 0xD7:
+                    seg_bounds.append((seg_start, p))
+                    seg_start = p + 2
+                else:
+                    j = p
                     break
-                j += 1
+            else:
+                j = len(buf)
             seg_bounds.append((seg_start, min(j, len(buf))))
             segments = [_unstuff(buf[a:b]) for a, b in seg_bounds]
             try:
