@@ -137,9 +137,13 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host"):
                   else batch * (((out_h + 15) & ~15)
                                 * (((out_w + 15) & ~15)) * 3) / 2 / 1e6)
         runner = p.stream_hybrid
+    # rotate the batch each round: this platform may memoize identical
+    # dispatches (see bench_tpu_stage), so every round must present
+    # distinct wire bytes to the device chain
     t0 = time.perf_counter()
     n = 0
-    for encoded in runner(bufs[:batch] for _ in range(rounds)):
+    for encoded in runner(
+            bufs[r % batch :] + bufs[: r % batch] for r in range(rounds)):
         n += len(encoded)
     dt = time.perf_counter() - t0
     return n / dt, {"up_MB_per_batch": round(up_b, 1),

@@ -89,7 +89,8 @@ def encode(img: Image, opts: dict) -> bytes:
             arr, quality, subsample=bool(opts.get("subsample", True)))
         return native.jpeg_coef_write(
             img.width, img.height, comps,
-            optimize_huffman=bool(opts.get("optimize", False)))
+            optimize_huffman=bool(opts.get("optimize", False)),
+            restart=restart)
     return native.jpeg_encode(arr, quality, restart=restart)
 
 

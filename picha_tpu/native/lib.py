@@ -82,7 +82,7 @@ def get_lib():
                 C.POINTER(C.POINTER(C.c_int16)),
                 C.POINTER(C.c_int), C.POINTER(C.c_int),
                 C.POINTER(C.c_int), C.POINTER(C.c_int),
-                C.POINTER(C.POINTER(C.c_uint16)), C.c_int,
+                C.POINTER(C.POINTER(C.c_uint16)), C.c_int, C.c_int,
                 C.POINTER(C.POINTER(C.c_uint8)), C.POINTER(C.c_size_t),
                 C.POINTER(C.c_char_p)]
             lib.picha_jpeg_coef_write.restype = C.c_int
@@ -310,7 +310,8 @@ class JpegCoefficients:
 
 
 def jpeg_coef_write(width: int, height: int, comps: list,
-                    optimize_huffman: bool = False) -> bytes:
+                    optimize_huffman: bool = False,
+                    restart: int = 0) -> bytes:
     """comps: list of dicts with coefs (bh, bw, 64) int16, qtable (64,)
     uint16, h_samp, v_samp."""
     lib = get_lib()
@@ -330,7 +331,8 @@ def jpeg_coef_write(width: int, height: int, comps: list,
     err = C.c_char_p()
     rc = lib.picha_jpeg_coef_write(width, height, n, comp_ptrs, h_samp, v_samp,
                                    bw, bh, q_ptrs, int(optimize_huffman),
-                                   C.byref(out), C.byref(outlen), C.byref(err))
+                                   restart, C.byref(out), C.byref(outlen),
+                                   C.byref(err))
     if rc != 0:
         raise CodecError(take_error(lib, err))
     return take_buffer(lib, out, outlen.value)
@@ -529,9 +531,19 @@ def gap4_pack_batch(planes, k1_granule: int = 8192, k2_granule: int = 4096,
         np3.ctypes.data_as(C.POINTER(C.c_int64)))
     if rc != 0:
         raise CodecError("gap4 batch pack failed")
-    k1 = -(-int(np1.max()) // k1_granule) * k1_granule
-    k2 = -(-int(np2.max()) // k2_granule) * k2_granule
-    kc = -(-max(1, int(np3.sum())) // kc_granule) * kc_granule
+
+    def bucket(k, granule):
+        # geometric rounding (16 mantissa steps per octave, >= granule):
+        # wire sizes land on a handful of values across a real corpus,
+        # so the jit graphs recompile a bounded number of times instead
+        # of once per random batch composition (<= ~6% padding)
+        k = max(int(k), granule)
+        step = max(granule, 1 << max(0, k.bit_length() - 4))
+        return -(-k // step) * step
+
+    k1 = bucket(np1.max(), k1_granule)
+    k2 = bucket(np2.max(), k2_granule)
+    kc = bucket(max(1, int(np3.sum())), kc_granule)
     prim = np.empty((nb, k1), np.uint8)
     sgaps = np.empty((nb, k2), np.uint8)
     svals = np.empty((nb, k2), np.int8)

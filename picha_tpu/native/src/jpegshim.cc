@@ -219,6 +219,7 @@ PICHA_API int picha_jpeg_encode_raw420(const uint8_t* y, const uint8_t* cb,
   cinfo.comp_info[1].v_samp_factor = 1;
   cinfo.comp_info[2].h_samp_factor = 1;
   cinfo.comp_info[2].v_samp_factor = 1;
+  if (restart_mcus > 0) cinfo.restart_interval = (unsigned)restart_mcus;
   jpeg_start_compress(&cinfo, TRUE);
 
   JSAMPROW yrows[16], cbrows[8], crrows[8];
@@ -335,7 +336,8 @@ PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
                                     const int* v_samp, const int* blocks_w,
                                     const int* blocks_h,
                                     const uint16_t** qtables,
-                                    int optimize_huffman, uint8_t** out,
+                                    int optimize_huffman, int restart_mcus,
+                                    uint8_t** out,
                                     size_t* outlen, char** err) {
   jpeg_compress_struct cinfo;
   ErrorTrap trap;
@@ -364,6 +366,7 @@ PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
   cinfo.in_color_space = ncomp == 1 ? JCS_GRAYSCALE : JCS_YCbCr;
   jpeg_set_defaults(&cinfo);
   cinfo.optimize_coding = optimize_huffman ? TRUE : FALSE;
+  if (restart_mcus > 0) cinfo.restart_interval = (unsigned)restart_mcus;
 
   // one quant slot per component (sharing a slot would let a later
   // component's table overwrite an earlier one's)

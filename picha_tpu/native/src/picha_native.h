@@ -74,7 +74,7 @@ PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
                                     const int* h_samp, const int* v_samp,
                                     const int* blocks_w, const int* blocks_h,
                                     const uint16_t** qtables,
-                                    int optimize_huffman,
+                                    int optimize_huffman, int restart_mcus,
                                     uint8_t** out, size_t* outlen, char** err);
 
 // ---- TIFF compression primitives -----------------------------------------

@@ -40,6 +40,31 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
     size_t k1 = 0, k2 = 0;
     picha_gap4_pack(coefs.data(), n, prim.data(), &k1, sg.data(), sv.data(),
                     &k2, ci.data(), cv.data(), &nc);
+
+    // batch wire assembly (handle-based, internal scratch) — several
+    // images packed concurrently per thread
+    const int16_t* planes[3] = {coefs.data(), coefs.data(), coefs.data()};
+    int64_t np3[3], ns3[3], nc3[3];
+    void* handle = nullptr;
+    if (picha_gap4_batch_begin(planes, 3, n, &handle, np3, ns3, nc3) == 0) {
+      size_t bk1 = 0, bk2 = 0, bkc = 1;
+      for (int j = 0; j < 3; ++j) {
+        if ((size_t)np3[j] > bk1) bk1 = (size_t)np3[j];
+        if ((size_t)ns3[j] > bk2) bk2 = (size_t)ns3[j];
+        bkc += (size_t)nc3[j];
+      }
+      std::vector<uint8_t> bprim(3 * bk1);
+      std::vector<uint8_t> bsg(3 * bk2);
+      std::vector<int8_t> bsv(3 * bk2);
+      std::vector<int32_t> bci(bkc);
+      std::vector<int16_t> bcv(bkc);
+      if (picha_gap4_batch_finish(handle, bprim.data(), bk1, bsg.data(),
+                                  bsv.data(), bk2, bci.data(), bcv.data(),
+                                  bkc) != 0)
+        failures.fetch_add(1);
+    } else {
+      failures.fetch_add(1);
+    }
   }
 
   // CCITT fax decode of arbitrary bits (shared static tables, read-only
@@ -93,8 +118,8 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
     } else {
       uint8_t* jout = nullptr;
       size_t jlen = 0;
-      if (picha_jpeg_encode(out.data(), w, h, w * 3, 3, 80, &jout, &jlen,
-                            &err) != 0) {
+      if (picha_jpeg_encode(out.data(), w, h, w * 3, 3, 80, 4, &jout,
+                            &jlen, &err) != 0) {
         ++failures;
         picha_free(err);
       } else {

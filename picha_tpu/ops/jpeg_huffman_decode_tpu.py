@@ -215,20 +215,20 @@ class ScanBatch:
             for ci in range(info0.ncomp)]
 
         # DC segmented-scan reset mask: True at each component's first
-        # block of every restart segment (per image — DRI varies)
+        # block of every restart segment. The first-occurrence offsets
+        # within an MCU are segment-invariant, so this is one numpy
+        # scatter per image (a python segment x slot loop measured
+        # ~780k iterations per DRI=1 1080p batch)
+        ncomp = int(self.comp_of.max()) + 1
+        first_off = np.array(
+            [int(np.nonzero(self.comp_of == ci)[0][0])
+             for ci in range(ncomp)], np.int64)
         reset = np.zeros((n_img, self.nblk_img), bool)
         for img, info in enumerate(infos):
             ri = info.restart_interval or mcus
-            for si in range(len(info.segments)):
-                s = si * ri * B
-                if s >= self.nblk_img:
-                    break
-                seen = set()
-                for j in range(s, min(s + B, self.nblk_img)):
-                    ci = int(self.comp_of[j - s])
-                    if ci not in seen:
-                        reset[img, j] = True
-                        seen.add(ci)
+            starts = np.arange(0, self.nblk_img, ri * B, dtype=np.int64)
+            pos = (starts[:, None] + first_off[None, :]).reshape(-1)
+            reset[img, pos[pos < self.nblk_img]] = True
         self.reset = reset
 
         # worst-case symbols per chunk under these tables
@@ -237,7 +237,7 @@ class ScanBatch:
 
     def args(self):
         return [self.words, self.lane_word_base,
-                self.lane_pinned, self.lane_img, self.lane_seg_first,
+                self.lane_pinned, self.lane_seg_first,
                 self.lane_blk_base, self.lane_blk_limit,
                 self.limit, self.delta, self.hv, self.lane_uid6,
                 self.reset]
@@ -259,7 +259,6 @@ class ScanBatch:
         sections = [
             words.view(np.uint8),
             self.lane_word_base.view(np.uint8),
-            self.lane_img.view(np.uint8),
             self.lane_seg_first.view(np.uint8),
             self.lane_blk_base.view(np.uint8),
             self.lane_blk_limit.view(np.uint8),
@@ -301,7 +300,6 @@ def build_wire_unpack(scan_ks, ncomp: int):
 
         words = take(nw, jnp.uint32)
         lane_word_base = take(n_lanes, jnp.int32)
-        lane_img = take(n_lanes, jnp.int32)
         lane_seg_first = take(n_lanes, jnp.int32)
         lane_blk_base = take(n_lanes, jnp.int32)
         lane_blk_limit = take(n_lanes, jnp.int32)
@@ -315,7 +313,7 @@ def build_wire_unpack(scan_ks, ncomp: int):
         lane_uid6 = take(n_lanes * 6, jnp.uint8).reshape(n_lanes, 6)
         reset = take(n_img * nblk_img, jnp.uint8).reshape(
             n_img, nblk_img) != 0
-        return (words, lane_word_base, lane_pinned, lane_img,
+        return (words, lane_word_base, lane_pinned,
                 lane_seg_first, lane_blk_base, lane_blk_limit,
                 limit, delta, hv, lane_uid6, reset), qtabs
 
@@ -489,7 +487,7 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
         overflow = pos < word_base * 32 + C   # didn't finish in budget
         return (pos - (word_base * 32 + C), slot, z), nblk, overflow
 
-    def fn(words, lane_word_base, lane_pinned, lane_img, lane_seg_first,
+    def fn(words, lane_word_base, lane_pinned, lane_seg_first,
            lane_blk_base, lane_blk_limit, limit, delta, hv, lane_uid6,
            reset):
         L = n_lanes

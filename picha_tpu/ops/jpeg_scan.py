@@ -181,6 +181,7 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
             mvals = arr[marks + 1] if marks.size else marks
             seg_bounds: List[Tuple[int, int]] = []
             seg_start = j = data_start
+            terminated = False
             for p, m in zip(marks.tolist(), mvals.tolist()):
                 if p < seg_start:
                     continue  # inside a previous marker pair
@@ -191,9 +192,15 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
                     seg_start = p + 2
                 else:
                     j = p
+                    terminated = True
                     break
-            else:
-                j = len(buf)
+            if not terminated:
+                # scan ran off the end of the buffer without a
+                # terminating marker (truncated file): the chunked
+                # decoder would converge on its 1-bit padding and
+                # emit a silently-garbage tail — route to the host
+                # path, which pads with a warning like libjpeg
+                return None
             seg_bounds.append((seg_start, min(j, len(buf))))
             segments = [_unstuff(buf[a:b]) for a, b in seg_bounds]
             try:

@@ -88,6 +88,92 @@ def pad_group(group, multiple: int = 8):
     return list(group) + [group[-1]] * (target - n), n
 
 
+def gap4_restore_flat(prim, sg, sv, ci, cv, bh, bw):
+    """Device side of the gap4 nibble wire for one component: primary
+    (gap<<4 | value-code) bytes (7 adds zero, 15 escapes to the gap8
+    side stream) + int16 corrections; all three scatters are single
+    global image-major sorted ops (vmap lowers scatters poorly on this
+    backend)."""
+    import jax.numpy as jnp
+
+    m = bh * bw * 64
+    n_img = prim.shape[0]
+    base = jnp.arange(n_img, dtype=jnp.int32)[:, None] * m
+    g = (prim >> 4).astype(jnp.int32)
+    idx = jnp.cumsum(g, axis=1) - 1
+    nib = (prim & 15).astype(jnp.int32)
+    v = jnp.where(nib == 15, 0, nib - 7)
+    gi = (jnp.maximum(idx, 0) + base).reshape(-1)
+    flat = jnp.zeros((n_img * m,), jnp.int32).at[gi].add(
+        v.reshape(-1), indices_are_sorted=True)
+    idx2 = jnp.cumsum(sg.astype(jnp.int32), axis=1) - 1
+    gi2 = (jnp.maximum(idx2, 0) + base).reshape(-1)
+    flat = flat.at[gi2].add(sv.astype(jnp.int32).reshape(-1),
+                            indices_are_sorted=True)
+    flat = flat.at[ci].add(cv.astype(jnp.int32), indices_are_sorted=True)
+    return flat.reshape((-1, bh, bw, 64))
+
+
+def unpack_gap4_wire(buf, gap4_ks, comp_sig):
+    """Coalesced gap4 wire buffer -> (per-component dense coefficient
+    tensors, qtables) on device (single upload; this link pays a large
+    fixed latency per transfer)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    nb, ks = gap4_ks
+    n = len(comp_sig)
+    off = 0
+
+    def take(count, dtype):
+        nonlocal off
+        width = jnp.dtype(dtype).itemsize
+        raw = buf[off:off + count * width]
+        off += count * width
+        if width == 1:
+            return lax.bitcast_convert_type(raw, dtype)
+        return lax.bitcast_convert_type(raw.reshape(count, width), dtype)
+
+    parts = []
+    for i in range(n):
+        k1, k2, kc = ks[i]
+        prim = take(nb * k1, jnp.uint8).reshape(nb, k1)
+        sg = take(nb * k2, jnp.uint8).reshape(nb, k2)
+        sv = take(nb * k2, jnp.int8).reshape(nb, k2)
+        ci = take(kc, jnp.int32)
+        cv = take(kc, jnp.int16)
+        parts.append((prim, sg, sv, ci, cv))
+    qtabs = tuple(
+        take(nb * 64, jnp.uint16).reshape(nb, 1, 1, 64) for _ in range(n))
+    coefs = tuple(
+        gap4_restore_flat(p_, sg, sv, ci, cv,
+                          comp_sig[i][0], comp_sig[i][1])
+        for i, (p_, sg, sv, ci, cv) in enumerate(parts))
+    return coefs, qtabs
+
+
+def stack_gap4_wire(cos):
+    """Host side: same-signature coefficient sets -> (gap4_ks, wire
+    uint8 buffer) via the single-scan native batch packer."""
+    sig = signature(cos[0])
+    n = len(cos[0].comps)
+    nb = len(cos)
+    ks, sections = [], []
+    for i in range(n):
+        k1, k2, kc, prim, sgaps, svals, ci, cv = native.gap4_pack_batch(
+            [co.comps[i]["coefs"] for co in cos])
+        sections += [prim.reshape(-1), sgaps.reshape(-1),
+                     svals.view(np.uint8).reshape(-1),
+                     ci.view(np.uint8).reshape(-1),
+                     cv.view(np.uint8).reshape(-1)]
+        ks.append((k1, k2, kc))
+    for i in range(n):
+        q = np.stack([co.comps[i]["qtable"] for co in cos])
+        sections.append(np.ascontiguousarray(
+            q.astype(np.uint16)).view(np.uint8).reshape(-1))
+    return sig, (nb, tuple(ks)), np.concatenate(sections)
+
+
 @functools.lru_cache(maxsize=256)
 def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                      filter_name: str, filter_scale: float,
@@ -155,57 +241,6 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                                 indices_are_sorted=True)
         return flat.reshape(shape)
 
-    def gap4_restore(prim, sg, sv, ci, cv, bh, bw):
-        # nibble wire: primary (gap<<4 | value-code) bytes, value-code
-        # 7 adds zero (dummies/tail), 15 escapes to the gap8 side
-        # stream; all three scatters are single global image-major
-        # sorted ops (no vmap — it lowers scatters poorly here)
-        m = bh * bw * 64
-        n_img = prim.shape[0]
-        base = jnp.arange(n_img, dtype=jnp.int32)[:, None] * m
-        g = (prim >> 4).astype(jnp.int32)
-        idx = jnp.cumsum(g, axis=1) - 1
-        nib = (prim & 15).astype(jnp.int32)
-        v = jnp.where(nib == 15, 0, nib - 7)
-        gi = (jnp.maximum(idx, 0) + base).reshape(-1)
-        flat = jnp.zeros((n_img * m,), jnp.int32).at[gi].add(
-            v.reshape(-1), indices_are_sorted=True)
-        idx2 = jnp.cumsum(sg.astype(jnp.int32), axis=1) - 1
-        gi2 = (jnp.maximum(idx2, 0) + base).reshape(-1)
-        flat = flat.at[gi2].add(sv.astype(jnp.int32).reshape(-1),
-                                indices_are_sorted=True)
-        flat = flat.at[ci].add(cv.astype(jnp.int32), indices_are_sorted=True)
-        return flat.reshape((-1, bh, bw, 64))
-
-    def unpack_gap4(buf):
-        from jax import lax
-
-        nb, n = gap4_ks[0], len(comp_sig)
-        off = 0
-        parts = []
-
-        def take(count, dtype):
-            nonlocal off
-            width = jnp.dtype(dtype).itemsize
-            raw = buf[off:off + count * width]
-            off += count * width
-            if width == 1:
-                return lax.bitcast_convert_type(raw, dtype)
-            return lax.bitcast_convert_type(raw.reshape(count, width), dtype)
-
-        for i in range(n):
-            k1, k2, kc = gap4_ks[1][i]
-            prim = take(nb * k1, jnp.uint8).reshape(nb, k1)
-            sg = take(nb * k2, jnp.uint8).reshape(nb, k2)
-            sv = take(nb * k2, jnp.int8).reshape(nb, k2)
-            ci = take(kc, jnp.int32)
-            cv = take(kc, jnp.int16)
-            parts.append((prim, sg, sv, ci, cv))
-        qtabs = tuple(
-            take(nb * 64, jnp.uint16).reshape(nb, 1, 1, 64)
-            for _ in range(n))
-        return parts, qtabs
-
     def unpack_gap8(buf):
         # single coalesced uint8 upload buffer -> per-component arrays.
         # One transfer instead of ~15: this link pays a large fixed
@@ -256,11 +291,7 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
             scan_out, ok_flag = core(*dec_args)
             coefs = split_planes(scan_out, comp_sig)
         elif gap4_ks is not None:
-            parts, qtabs = unpack_gap4(args[0])
-            coefs = tuple(
-                gap4_restore(p_, sg, sv, ci, cv,
-                             comp_sig[i][0], comp_sig[i][1])
-                for i, (p_, sg, sv, ci, cv) in enumerate(parts))
+            coefs, qtabs = unpack_gap4_wire(args[0], gap4_ks, comp_sig)
         elif gap8_ks is not None:
             parts, qtabs = unpack_gap8(args[0])
             coefs = tuple(
@@ -499,29 +530,11 @@ class JpegBatchPipeline:
                 args.append(q[:, None, None, :])
             return sig, tuple(ks), args
         if self._upload == "gap4":
-            # nibble wire buffer: [per comp: prim | sgaps | svals |
-            # corr_idx | corr_val] then the uint16 qtables. The whole
-            # assembly (pack + pad + flat corrections) happens in C++
-            # (native gap4_pack_batch): per-image Python reassembly
-            # measured ~8 ms/image on one core, the batch call ~1.5 ms.
-            nb = len(cos)
-            ks = []
-            sections = []
-            for i in range(n):
-                k1, k2, kc, prim, sgaps, svals, ci, cv = \
-                    native.gap4_pack_batch(
-                        [co.comps[i]["coefs"] for co in cos])
-                sections += [prim.reshape(-1), sgaps.reshape(-1),
-                             svals.view(np.uint8).reshape(-1),
-                             ci.view(np.uint8).reshape(-1),
-                             cv.view(np.uint8).reshape(-1)]
-                ks.append((k1, k2, kc))
-            for i in range(n):
-                q = np.stack([co.comps[i]["qtable"] for co in cos])
-                sections.append(np.ascontiguousarray(
-                    q.astype(np.uint16)).view(np.uint8).reshape(-1))
-            wire = np.concatenate(sections)
-            return sig, (nb, tuple(ks)), [wire]
+            # nibble wire assembled in C++ (native gap4 batch packer);
+            # one coalesced upload buffer (shared helper, also used by
+            # the training-input graph)
+            sig, ks, wire = stack_gap4_wire(cos)
+            return sig, ks, [wire]
         if self._upload == "gap8":
             # one coalesced uint8 wire buffer (unpack_gap8 is the device
             # side): [per comp: gaps | vals | corr_idx | corr_val] then

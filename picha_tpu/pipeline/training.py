@@ -16,6 +16,7 @@ counter-derived key, so the pixel pipeline stays a pure function of
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -28,9 +29,11 @@ from .jpeg_batch import bucket_by_signature, pad_group, signature
 
 @functools.lru_cache(maxsize=128)
 def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
-                               fscale: float):
+                               fscale: float, gap4_ks=None):
     import jax
     import jax.numpy as jnp
+
+    from .jpeg_batch import unpack_gap4_wire
 
     width, height = sig[0], sig[1]
     if crop > min(width, height):
@@ -38,6 +41,9 @@ def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
     base = _decode_graph(sig)
 
     def fn(coef_args, key):
+        if gap4_ks is not None:
+            coefs, qtabs = unpack_gap4_wire(coef_args[0], gap4_ks, sig[3])
+            coef_args = coefs + qtabs
         rgb = base(*coef_args)  # (N,H,W,C) int32
         n = rgb.shape[0]
         kx, ky, kf = jax.random.split(key, 3)
@@ -130,7 +136,10 @@ class TrainingInput:
         self.pos += self.batch
 
         bufs = [self.items[i] for i in idx]
-        cos = list(self._pool.map(native.JpegCoefficients, bufs))
+        if (os.cpu_count() or 1) <= 1:  # pool threads convoy on 1 core
+            cos = [native.JpegCoefficients(b) for b in bufs]
+        else:
+            cos = list(self._pool.map(native.JpegCoefficients, bufs))
         groups = bucket_by_signature(cos)
         if len(groups) == 1:
             return self._run_group(groups[0][2], step_key)
@@ -151,12 +160,13 @@ class TrainingInput:
         return jnp.concatenate(parts, axis=0)[inv]
 
     def _run_group(self, cos, key):
-        args = []
-        for i in range(len(cos[0].comps)):
-            args.append(np.stack([co.comps[i]["coefs"] for co in cos]))
-        for i in range(len(cos[0].comps)):
-            args.append(np.stack([co.comps[i]["qtable"]
-                                  for co in cos])[:, None, None, :])
-        fn = _jit_crop_resize_normalize(signature(cos[0]), self.crop,
-                                        self.size, self.filter, self.fscale)
-        return fn(tuple(args), key)
+        # gap4 nibble wire: ~4x fewer upload bytes than dense int16
+        # coefficients, bit-exact — transfers steal host CPU on narrow
+        # links, so wire bytes are host cost (docs/PERFORMANCE.md)
+        from .jpeg_batch import stack_gap4_wire
+
+        sig, ks, wire = stack_gap4_wire(cos)
+        fn = _jit_crop_resize_normalize(sig, self.crop, self.size,
+                                        self.filter, self.fscale,
+                                        gap4_ks=ks)
+        return fn((wire,), key)
