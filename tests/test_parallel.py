@@ -152,3 +152,50 @@ def test_resize_sharded_non_divisible(src_h, dst_h):
     got = np.asarray(resize_sharded(jnp.asarray(img), 30, dst_h, mesh))
     want = resize_array(img, 30, dst_h)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_parallel_matches_sequential():
+    """GPipe pipeline over a 'pp' mesh: identical to running the stage
+    stack sequentially (bit-exact), activations hop via ppermute."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from picha_tpu.parallel.mesh import make_mesh
+    from picha_tpu.parallel.pipeline_stages import pipeline_apply
+
+    S = 4
+    mesh = make_mesh((("pp", S),), devices=jax.devices()[:S])
+    rng = np.random.default_rng(0)
+    d = 16
+    w = rng.normal(0, 0.3, (S, d, d)).astype(np.float32)
+    b = rng.normal(0, 0.1, (S, d)).astype(np.float32)
+
+    def stage(p, x):
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    x = rng.normal(0, 1, (8, d)).astype(np.float32)
+    got = np.asarray(pipeline_apply(
+        stage, {"w": w, "b": b}, jnp.asarray(x), mesh, n_micro=4))
+    want = x
+    for s in range(S):
+        want = np.tanh(want @ w[s] + b[s])
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_parallel_micro_batch_1():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from picha_tpu.parallel.mesh import make_mesh
+    from picha_tpu.parallel.pipeline_stages import pipeline_apply
+
+    mesh = make_mesh((("pp", 2),), devices=jax.devices()[:2])
+    w = np.eye(4, dtype=np.float32)[None].repeat(2, 0) * 2.0
+
+    def stage(p, x):
+        return x @ p["w"]
+
+    x = np.ones((3, 4), np.float32)
+    got = np.asarray(pipeline_apply(stage, {"w": w}, jnp.asarray(x),
+                                    mesh, n_micro=1))
+    assert np.allclose(got, x * 4.0)
