@@ -503,32 +503,68 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
         hv_flat = hv.reshape(-1)           # (U*256,)
         zero = jnp.zeros(L, jnp.int32)
 
-        def pass_body(carry):
-            entries, _, _, it, _ = carry
-            ex, nblk, overflow = run_chunk(
-                entries, win_pair, lane_word_base, limdelta_u, hv_flat,
-                hv, lane_uid6, lane_blk_base, lane_blk_limit)
+        def propagate(ex):
             # chunk i+1's entry <- chunk i's exit (segment-start lanes
             # keep the pinned (0,0,0) entry)
-            prop = tuple(
+            return tuple(
                 jnp.where(lane_pinned, 0,
                           jnp.concatenate([jnp.zeros(1, jnp.int32),
                                            e[:-1]]))
                 for e in ex)
+
+        # Jacobi with FRONTIER COMPACTION: after the first couple of
+        # passes only the unsynced frontier of lanes has a new entry
+        # state (self-synchronisation resolves the rest in place), so
+        # re-decoding every lane every pass wastes ~3/4 of the work.
+        # Each pass decodes only lanes whose entry differs from the one
+        # their stored exit was computed from; when that frontier fits
+        # in a CAP-lane compact buffer, the decode runs gathered at
+        # CAP width (dead-lane fill), exits scattered back.
+        CAP = max(LANE_GRANULE // 2, L // 4)
+
+        def decode_full(entries, ex, nblk, ov):
+            ex2, nblk2, ov2 = run_chunk(
+                entries, win_pair, lane_word_base, limdelta_u, hv_flat,
+                hv, lane_uid6, lane_blk_base, lane_blk_limit)
+            return ex2, nblk2, ov2
+
+        def decode_compact(need, entries, ex, nblk, ov):
+            ids = jnp.nonzero(need, size=CAP, fill_value=L - 1)[0]
+            ex_c, nblk_c, ov_c = run_chunk(
+                tuple(e[ids] for e in entries), win_pair[ids],
+                lane_word_base[ids], limdelta_u, hv_flat, hv,
+                lane_uid6[ids], lane_blk_base[ids], lane_blk_limit[ids])
+            ex2 = tuple(e.at[ids].set(c) for e, c in zip(ex, ex_c))
+            return ex2, nblk.at[ids].set(nblk_c), ov.at[ids].set(ov_c)
+
+        def pass_body(carry):
+            entries, decoded, ex, nblk, ov, it, _ = carry
+            need = jnp.zeros(L, bool)
+            for e, d in zip(entries, decoded):
+                need = need | (e != d)
+            count = jnp.sum(need.astype(jnp.int32))
+            ex, nblk, ov = jax.lax.cond(
+                count > CAP,
+                lambda a: decode_full(entries, *a),
+                lambda a: decode_compact(need, entries, *a),
+                (ex, nblk, ov))
+            prop = propagate(ex)
             changed = jnp.any(jnp.stack(
                 [jnp.any(p != e) for p, e in zip(prop, entries)]))
-            return (prop, nblk, overflow, it + 1, changed)
+            return (prop, entries, ex, nblk, ov, it + 1, changed)
 
         def pass_cond(carry):
-            _, _, _, it, changed = carry
+            _, _, _, _, _, it, changed = carry
             if ablate:  # fixed pass count for comparable timings
                 return it < 8
             return changed & (it < max_passes)
 
-        init = ((zero, zero, zero), zero, jnp.zeros(L, bool),
+        sentinel = (jnp.full(L, -1, jnp.int32),) * 3  # force pass-1 decode
+        init = ((zero, zero, zero), sentinel,
+                (zero, zero, zero), zero, jnp.zeros(L, bool),
                 jnp.int32(0), jnp.bool_(True))
-        entries, nblk, overflow, it, changed = jax.lax.while_loop(
-            pass_cond, pass_body, init)
+        entries, _, ex_fin, nblk, overflow, it, changed = \
+            jax.lax.while_loop(pass_cond, pass_body, init)
         ok = (~changed) & ~jnp.any(overflow)
 
         # converged per-lane block starts: segmented prefix of nblk
