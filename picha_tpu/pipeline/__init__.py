@@ -16,6 +16,6 @@ from .image_batch import ImageBatchPipeline  # noqa: F401
 from .jpeg_batch import JpegBatchPipeline, entropy_decode, signature  # noqa: F401
 from .prefetch import map_prefetch, prefetch  # noqa: F401
 from .training import TrainingInput  # noqa: F401
-from .serving import DynamicBatcher  # noqa: F401
+from .serving import DynamicBatcher, stream_best  # noqa: F401
 from .png_batch import PngBatchPipeline  # noqa: F401
 from .tiff_batch import TiffBatchPipeline  # noqa: F401

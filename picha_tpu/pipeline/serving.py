@@ -154,3 +154,65 @@ def _safe_set_exception(fut: Future, exc: BaseException) -> None:
             fut.set_exception(exc)
     except Exception:  # noqa: BLE001
         pass
+
+
+def stream_best(batches, *, width, height, quality=85,
+                configs=("host", "gap4+device", "scan+device"),
+                probe_batches=2, depth=2):
+    """Self-tuning transcode stream: probe each deployable
+    configuration on live traffic, then run the rest of the stream
+    through the fastest.
+
+    The right split between the host path (libjpeg + AVX2 resize) and
+    the device chains depends on the deployment — host cores, link
+    bandwidth, and even how much CPU the transfers themselves steal
+    (docs/PERFORMANCE.md "Round 2b") — so it is measured, not assumed:
+    exactly the race bench.py runs, packaged for production. Probe
+    batches are timed AFTER each config's first (compile-warming)
+    batch; their results are yielded in order, nothing is wasted.
+
+    configs: subset of "host", "<upload>+<backend>" (e.g.
+    "gap4+device", "scan+device", "gap4+raw420")."""
+    import time
+
+    def make(config):
+        if config == "host":
+            p = JpegBatchPipeline(width=width, height=height,
+                                  encode_quality=quality,
+                                  encode_backend="host")
+            return p, p.stream_host
+        upload, backend = config.split("+")
+        p = JpegBatchPipeline(width=width, height=height,
+                              encode_quality=quality,
+                              encode_backend=backend, fused=True,
+                              upload=upload)
+        return p, (lambda bs: p.stream_hybrid(bs, depth=depth))
+
+    from itertools import islice
+
+    it = iter(batches)
+    pipes = {c: make(c) for c in configs}
+    rates = {}
+    for config, (_p, runner) in pipes.items():
+        # probe on a fixed slice the runner consumes COMPLETELY (the
+        # hybrid reads ahead; abandoning its generator mid-stream
+        # would drop the prefetched batches)
+        chunk = list(islice(it, probe_batches + 1))
+        if not chunk:
+            break
+        t0 = None
+        took = []
+        for out in runner(iter(chunk)):
+            yield out
+            now = time.perf_counter()
+            if t0 is not None:
+                took.append(now - t0)
+            t0 = now
+        if took:
+            rates[config] = len(took) / sum(took)
+    if not rates:
+        return
+    best = max(rates, key=rates.get)
+    _, runner = pipes[best]
+    for out in runner(iter(lambda: next(it, None), None)):
+        yield out

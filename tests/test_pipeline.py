@@ -561,3 +561,29 @@ def test_stream_hybrid_propagates_errors(jpeg_bufs):
                           encode_backend="raw420", upload="gap4")
     with pytest.raises(Exception):
         list(p.stream_hybrid(iter([jpeg_bufs, [b"bogus"] * 2]), depth=2))
+
+
+def test_stream_best_probes_and_finishes(jpeg_bufs):
+    """stream_best yields every batch exactly once, in order, across
+    the probe phase and the winning-config phase."""
+    from picha_tpu.pipeline import stream_best
+    from picha_tpu.native import lib as native
+
+    batches = [jpeg_bufs for _ in range(9)]
+    outs = list(stream_best(iter(batches), width=32, height=24,
+                            quality=85, configs=("host", "gap4+raw420"),
+                            probe_batches=1))
+    assert len(outs) == 9
+    for o in outs:
+        assert len(o) == len(jpeg_bufs)
+        for b in o:
+            st = native.jpeg_stat(bytes(b))
+            assert st == (32, 24, 3)
+
+
+def test_stream_best_single_config(jpeg_bufs):
+    from picha_tpu.pipeline import stream_best
+
+    outs = list(stream_best(iter([jpeg_bufs] * 2), width=16, height=16,
+                            configs=("host",), probe_batches=1))
+    assert len(outs) == 2
