@@ -42,7 +42,10 @@ class ViTConfig:
     dtype: Any = None  # computed lazily (jnp.bfloat16)
 
     def is_moe_block(self, i: int) -> bool:
-        return self.moe_experts > 0 and i % self.moe_every == 1
+        # every moe_every-th block, counting from the moe_every-th
+        # (moe_every=1 means EVERY block is MoE)
+        return (self.moe_experts > 0
+                and i % self.moe_every == self.moe_every - 1)
 
     @property
     def seq_len(self) -> int:

@@ -35,8 +35,13 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh,
     """
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        shard_map = functools.partial(jax.shard_map, check_vma=False)
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = functools.partial(_sm, check_rep=False)
 
     S = mesh.shape[axis]
     batch = x.shape[0]
@@ -49,8 +54,7 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(pspec, P()), out_specs=P(),
-        check_rep=False)
+        in_specs=(pspec, P()), out_specs=P())
     def run(params, micro_in):
         # params leaves arrive as (1, ...) local slices
         local = jax.tree.map(lambda a: a[0], params)

@@ -466,6 +466,12 @@ class JpegBatchPipeline:
         self._pool = ThreadPoolExecutor(max_workers=num_threads or 8,
                                         thread_name_prefix="picha-entropy")
 
+    def close(self):
+        """Release the entropy thread pool (losing configs in
+        stream_best, shutdown paths). Idempotent; the pipeline must not
+        be used afterwards."""
+        self._pool.shutdown(wait=False)
+
     # -- host stage --------------------------------------------------------
 
     def _map(self, fn, seq):

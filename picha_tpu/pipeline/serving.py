@@ -167,13 +167,21 @@ def stream_best(batches, *, width, height, quality=85,
     the device chains depends on the deployment — host cores, link
     bandwidth, and even how much CPU the transfers themselves steal
     (docs/PERFORMANCE.md "Round 2b") — so it is measured, not assumed:
-    exactly the race bench.py runs, packaged for production. Probe
-    batches are timed AFTER each config's first (compile-warming)
-    batch; their results are yielded in order, nothing is wasted.
+    exactly the race bench.py runs, packaged for production.
+
+    Probing: each config first consumes one untimed warm batch (jit
+    compiles, caches), then a probe chunk timed from dispatch to full
+    drain with results buffered so consumer time never pollutes the
+    race. A config whose probe raises (this platform throws occasional
+    ABORTED) scores as losing and its chunk is replayed through the
+    host path — nothing is ever dropped.
 
     configs: subset of "host", "<upload>+<backend>" (e.g.
     "gap4+device", "scan+device", "gap4+raw420")."""
     import time
+    from itertools import islice
+
+    probe_batches = max(1, probe_batches)
 
     def make(config):
         if config == "host":
@@ -188,31 +196,42 @@ def stream_best(batches, *, width, height, quality=85,
                               upload=upload)
         return p, (lambda bs: p.stream_hybrid(bs, depth=depth))
 
-    from itertools import islice
-
+    host_pipe, host_runner = make("host")
     it = iter(batches)
-    pipes = {c: make(c) for c in configs}
     rates = {}
-    for config, (_p, runner) in pipes.items():
-        # probe on a fixed slice the runner consumes COMPLETELY (the
-        # hybrid reads ahead; abandoning its generator mid-stream
-        # would drop the prefetched batches)
-        chunk = list(islice(it, probe_batches + 1))
+    winners = {"host": (host_pipe, host_runner)}
+    for config in configs:
+        if config == "host":
+            pipe, runner = host_pipe, host_runner
+        else:
+            pipe, runner = make(config)
+            winners[config] = (pipe, runner)
+        warm = list(islice(it, 1))
+        if not warm:
+            break
+        chunk = list(islice(it, probe_batches))
+        try:
+            warm_outs = list(runner(iter(warm)))
+            t0 = time.perf_counter()
+            outs = list(runner(iter(chunk)))  # timed to full drain
+            if chunk:
+                rates[config] = len(outs) / max(
+                    time.perf_counter() - t0, 1e-9)
+        except Exception:  # noqa: BLE001 — config loses; replay on host
+            if config == "host":
+                raise
+            warm_outs = []
+            outs = list(host_runner(iter(warm + chunk)))
+        for out in warm_outs:
+            yield out
+        for out in outs:
+            yield out
         if not chunk:
             break
-        t0 = None
-        took = []
-        for out in runner(iter(chunk)):
-            yield out
-            now = time.perf_counter()
-            if t0 is not None:
-                took.append(now - t0)
-            t0 = now
-        if took:
-            rates[config] = len(took) / sum(took)
-    if not rates:
-        return
-    best = max(rates, key=rates.get)
-    _, runner = pipes[best]
-    for out in runner(iter(lambda: next(it, None), None)):
+    best = max(rates, key=rates.get) if rates else "host"
+    for config, (pipe, _r) in winners.items():
+        if config != best and config != "host":
+            pipe.close()
+    _, runner = winners[best]
+    for out in runner(it):
         yield out
