@@ -265,6 +265,26 @@ def bench_entropy(bufs, batch, iters=4):
     return batch * iters / dt
 
 
+def bench_png_e2e(bufs, out_w, out_h, n=12):
+    """BASELINE config 1 throughput: PNG decode -> resize -> PNG encode
+    through the single-image API (host zlib + native unfilter + AVX2
+    resize + adaptive filter encode)."""
+    import picha_tpu as picha
+
+    pngs = []
+    for b in bufs[: max(2, n // 4)]:
+        img = picha.decodeJpegSync(b)
+        pngs.append(picha.encodePngSync(img))
+    picha.encodePngSync(picha.resizeSync(
+        picha.decodePngSync(pngs[0]), {"width": out_w, "height": out_h}))
+    t0 = time.perf_counter()
+    for i in range(n):
+        img = picha.decodePngSync(pngs[i % len(pngs)])
+        small = picha.resizeSync(img, {"width": out_w, "height": out_h})
+        picha.encodePngSync(small)
+    return n / (time.perf_counter() - t0)
+
+
 def bench_single_latency(buf, out_w, out_h, reps=9):
     import picha_tpu as picha
 
@@ -386,6 +406,12 @@ def main():
             log(f"roofline: up {up_ips:.1f} img/s, down {down_ips:.1f} img/s, "
                 f"host {host_ips:.1f} img/s -> min {roof:.1f} img/s; "
                 f"achieved {e2e_ips / roof:.0%}")
+
+    png_ips = stage("png e2e", bench_png_e2e, bufs, out_w, out_h)
+    if png_ips:
+        detail["png_e2e_mpix_s"] = round(png_ips * mpix, 1)
+        log(f"PNG decode->resize->encode (config 1): {png_ips:.1f} img/s "
+            f"({png_ips * mpix:.0f} Mpix/s)")
 
     p50 = stage("latency", bench_single_latency, bufs[0], out_w, out_h)
     if p50:

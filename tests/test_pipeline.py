@@ -587,3 +587,12 @@ def test_stream_best_single_config(jpeg_bufs):
     outs = list(stream_best(iter([jpeg_bufs] * 2), width=16, height=16,
                             configs=("host",), probe_batches=1))
     assert len(outs) == 2
+
+
+def test_stream_best_empty_and_short_streams(jpeg_bufs):
+    from picha_tpu.pipeline import stream_best
+
+    assert list(stream_best(iter([]), width=16, height=16)) == []
+    outs = list(stream_best(iter([jpeg_bufs]), width=16, height=16,
+                            configs=("host",)))
+    assert len(outs) == 1 and len(outs[0]) == len(jpeg_bufs)
