@@ -247,3 +247,37 @@ def test_decode_fuzz_flagged_or_conforms():
         if planes is not None:
             for ci, (bh, bw, _, _) in enumerate(info.comp_sig):
                 assert planes[ci].shape == (1, bh, bw, 64)
+
+
+@pytest.mark.parametrize("subsampling", [0, 1, 2])
+def test_device_kernel_chroma_samplings(subsampling):
+    """4:4:4 (B=3), 4:2:2 (B=4) and 4:2:0 (B=6) MCU structures all
+    decode exactly (slot/table cycling differs per sampling)."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(20 + subsampling)
+    img = rng.integers(0, 256, (120, 200, 3), np.uint8)
+    b = io.BytesIO()
+    PILImage.fromarray(img).save(b, "JPEG", quality=85,
+                                 subsampling=subsampling)
+    _exact([b.getvalue()], chunk_bits=512)
+
+
+def test_device_kernel_2k_image():
+    """Larger geometry (2560x1440, ~14k blocks): exercises multi-MCU-row
+    block indexing and int32 bit-position arithmetic at scale."""
+    rng = np.random.default_rng(30)
+    base = np.clip(
+        np.linspace(0, 255, 2560)[None, :, None]
+        + rng.normal(0, 12, (1440, 2560, 3)), 0, 255).astype(np.uint8)
+    _exact([native.jpeg_encode(base, 85)])
+
+
+def test_device_kernel_dri_exceeds_mcus():
+    """A restart interval larger than the MCU count = one segment."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    buf = native.jpeg_encode(img, 85, restart=10_000)
+    info = jpeg_scan.parse_baseline(bytes(buf))
+    assert info is not None
+    _exact([bytes(buf)], chunk_bits=512)
