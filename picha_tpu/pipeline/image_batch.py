@@ -125,11 +125,52 @@ class ImageBatchPipeline:
 
     def __call__(self, bufs: Sequence[bytes], decode_opts: Optional[dict] = None,
                  mimetype: Optional[str] = None):
-        batch = self.decode_batch(bufs, decode_opts, mimetype)
+        try:
+            batch = self.decode_batch(bufs, decode_opts, mimetype)
+        except ValueError:
+            # heterogeneous inputs (e.g. a PNG that decodes rgb next to
+            # a TIFF that always decodes rgba, or mixed dimensions):
+            # bucket by (shape, pixel), run per-bucket, reassemble in
+            # input order — the any-input decode contract
+            # (index.js:210-221) lifted to batches, same as
+            # JpegBatchPipeline._call_mixed
+            return self._call_mixed(bufs, decode_opts, mimetype)
         out = self.transform(batch)
         if self.encode is None:
             return out
         return self.encode_batch(np.asarray(out))
+
+    def _call_mixed(self, bufs, decode_opts, mimetype):
+        if mimetype is not None:
+            codec = _codec_catalog[mimetype]
+            decode = lambda b: codec.decode_sync(b, decode_opts or {})  # noqa: E731
+        else:
+            from .. import decode_sync
+
+            decode = lambda b: decode_sync(b, decode_opts or {})  # noqa: E731
+        imgs = list(self._pool.map(decode, bufs))
+        buckets: dict = {}
+        for i, img in enumerate(imgs):
+            buckets.setdefault((img.width, img.height, img.pixel),
+                               []).append(i)
+        results: list = [None] * len(imgs)
+        for _key, idxs in buckets.items():
+            batch = np.stack([imgs[i].to_array() for i in idxs])
+            out = self.transform(batch)
+            if self.encode is not None:
+                encoded = self.encode_batch(np.asarray(out))
+                for j, i in enumerate(idxs):
+                    results[i] = encoded[j]
+            else:
+                arr = np.asarray(out)
+                for j, i in enumerate(idxs):
+                    results[i] = arr[j]
+        if self.encode is not None:
+            return results
+        shapes = {r.shape for r in results}
+        if len(shapes) == 1:
+            return np.stack(results)
+        return results  # ragged outputs stay a list
 
 
 def _infer(batch: np.ndarray) -> str:

@@ -596,3 +596,33 @@ def test_stream_best_empty_and_short_streams(jpeg_bufs):
     outs = list(stream_best(iter([jpeg_bufs]), width=16, height=16,
                             configs=("host",)))
     assert len(outs) == 1 and len(outs[0]) == len(jpeg_bufs)
+
+
+def test_image_batch_pipeline_mixed_formats():
+    """PNG (rgb) and TIFF (always rgba) in one batch: bucketed per
+    (shape, pixel), processed per bucket, reassembled in input order —
+    the any-input contract lifted to batches."""
+    import picha_tpu as picha
+    from picha_tpu.pipeline import ImageBatchPipeline
+
+    rng = np.random.default_rng(40)
+    imgs = [picha.Image.from_array(
+        rng.integers(0, 256, (24, 32, 3), np.uint8), "rgb")
+        for _ in range(4)]
+    pngs = [picha.encodePngSync(im) for im in imgs]
+    tiffs = [picha.encodeTiffSync(im, {"compression": "lzw"})
+             for im in imgs]
+    mixed = [pngs[0], tiffs[1], pngs[2], tiffs[3]]
+
+    ib = ImageBatchPipeline(resize=(16, 12),
+                            encode=("image/webp", {"quality": 80}))
+    out = ib(mixed)
+    assert len(out) == 4
+    for o in out:
+        st = picha.stat(bytes(o))
+        assert (st["width"], st["height"]) == (16, 12)
+
+    # decode-only with a common channel-normalizing convert
+    ib2 = ImageBatchPipeline(resize=(16, 12), convert="rgba")
+    arr = ib2(mixed)
+    assert np.asarray(arr).shape == (4, 12, 16, 4)
