@@ -626,3 +626,22 @@ def test_image_batch_pipeline_mixed_formats():
     ib2 = ImageBatchPipeline(resize=(16, 12), convert="rgba")
     arr = ib2(mixed)
     assert np.asarray(arr).shape == (4, 12, 16, 4)
+
+
+def test_stream_best_config_failure_replays_on_host(jpeg_bufs, monkeypatch):
+    """A device config whose probe raises (this platform throws
+    occasional ABORTED) scores as losing; its consumed batches replay
+    through the host path — every batch is yielded exactly once."""
+    from picha_tpu.pipeline import jpeg_batch, stream_best
+
+    def boom(self, batches, depth=2):
+        raise RuntimeError("ABORTED: injected")
+        yield  # pragma: no cover
+
+    monkeypatch.setattr(jpeg_batch.JpegBatchPipeline, "stream_hybrid",
+                        boom)
+    outs = list(stream_best(iter([jpeg_bufs] * 6), width=16, height=16,
+                            configs=("host", "gap4+raw420"),
+                            probe_batches=1))
+    assert len(outs) == 6
+    assert all(len(o) == len(jpeg_bufs) for o in outs)
