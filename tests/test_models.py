@@ -178,3 +178,31 @@ def test_vit_moe_forward_matches_capacity_semantics():
     a = np.asarray(vit.forward(params, x, cfg))
     b = np.asarray(vit.forward(params, x, cfg))
     assert np.array_equal(a, b) and a.shape == (2, cfg.classes)
+
+
+def test_checkpoint_roundtrip_moe(tmp_path):
+    """MoE params have heterogeneous per-block structures (router /
+    stacked expert weights on MoE blocks, plain mlp on the rest) — the
+    flattened-npz checkpoint must round-trip them exactly along with
+    the optimizer state."""
+    import jax
+    import numpy as np
+
+    from picha_tpu.models import vit
+    from picha_tpu.models.checkpoint import (load_checkpoint,
+                                             save_checkpoint)
+
+    cfg = vit.TINY_MOE
+    params = vit.init_params(jax.random.PRNGKey(3), cfg)
+    init_opt, step = vit.make_train_step(cfg)
+    opt = init_opt(params)
+    path = str(tmp_path / "moe.npz")
+    save_checkpoint(path, params, opt_state=opt,
+                    input_state={"seed": 1, "epoch": 0, "pos": 8})
+    p2, o2, ist, _step = load_checkpoint(path, params,
+                                         opt_state_template=opt)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(opt), jax.tree.leaves(o2)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert ist == {"seed": 1, "epoch": 0, "pos": 8}
