@@ -119,9 +119,10 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host"):
     the probes cheap after round one)."""
     from picha_tpu.pipeline import JpegBatchPipeline
 
-    if config == "host":
+    if config in ("host", "host-fast"):
         p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
-                              encode_backend="host", upload="gap4")
+                              encode_backend="host", upload="gap4",
+                              host_fast_scale=(config == "host-fast"))
         runner = p.stream_host
         up_b = down_b = 0.0
     else:
@@ -163,9 +164,35 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     import subprocess
     import sys
 
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import JpegBatchPipeline
+
     probes = {}
-    ips, _ = bench_e2e(bufs, batch, out_w, out_h, rounds=6, config="host")
-    probes["host"] = round(ips, 1)
+    for hc in ("host", "host-fast"):
+        ips, _ = bench_e2e(bufs, batch, out_w, out_h, rounds=6, config=hc)
+        probes[hc] = round(ips, 1)
+    # host-fast resamples in the DCT domain (reduced IDCT) instead of
+    # the cubic filter; it may only win the race if its output stays
+    # within the REFERENCE'S OWN resize acceptance (avgChannelDiff < 2
+    # vs the golden, test/resize.js:22-30) measured against the cubic
+    # path here and now
+    fast_diff = None
+    try:
+        pf = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                               encode_backend="host", host_fast_scale=True)
+        pn = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                               encode_backend="host")
+        a = native.jpeg_decode(bytes(pf.host_encode_batch(bufs[:1])[0]),
+                               3, out_w, out_h)
+        b = native.jpeg_decode(bytes(pn.host_encode_batch(bufs[:1])[0]),
+                               3, out_w, out_h)
+        fast_diff = float(np.abs(a.astype(int) - b.astype(int)).mean())
+        log(f"host-fast vs cubic avg diff: {fast_diff:.2f} LSB "
+            f"(reference golden tolerance < 2)")
+    except Exception as e:  # noqa: BLE001
+        log(f"host-fast quality check failed: {e}")
+    if fast_diff is None or fast_diff >= 2.0:
+        probes.pop("host-fast", None)
     if os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") != "0":
         for config in ("gap4+device", "scan+device"):
             code = (
@@ -193,6 +220,8 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     winner = max(probes, key=probes.get)
     ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=20, config=winner)
     d["config_probes_img_s"] = probes
+    if fast_diff is not None:
+        d["host_fast_vs_cubic_avg_lsb"] = round(fast_diff, 2)
     return ips, d
 
 

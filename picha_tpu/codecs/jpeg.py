@@ -19,8 +19,11 @@ its negotiation bug); we reject instead, and the API layer's
 negotiation converts first (SURVEY.md appendix).
 
 Options: quality 0-100, default 85, clamped (jpegcodec.cc:434-441);
-``restartInterval`` (extension, default 0) writes DRI + restart
-markers every N MCUs — segments become independently decodable, which
+decode ``scaleDenom`` in {1,2,4,8} (extension): DCT-scaled decode at
+1/N size via the reduced IDCT — the draft-mode fast path (~2-3x faster
+at 1/2; output differs from full-decode+resize, it is a different
+resampling); ``restartInterval`` (extension, default 0) writes DRI +
+restart markers every N MCUs — segments become independently decodable, which
 the TPU entropy decoder exploits for exact parallel entry states.
 """
 from __future__ import annotations
@@ -48,6 +51,9 @@ def decode(buf: bytes, opts: dict) -> Image:
     if st is None:
         raise CodecError("not a JPEG file")
     w, h, ch = st
+    denom = int(opts.get("scaleDenom", opts.get("scale_denom", 1)))
+    if denom not in (1, 2, 4, 8):
+        raise InvalidOptionsError("scaleDenom must be 1, 2, 4 or 8")
     req = opts.get("pixel")
     if req is not None:
         # extension over the reference (which always used the source's
@@ -67,7 +73,9 @@ def decode(buf: bytes, opts: dict) -> Image:
 
             img = color_convert_image(img, {"pixel": req})
         return img
-    arr = native.jpeg_decode(buf, ch, w, h)
+    if denom > 1:
+        w, h = -(-w // denom), -(-h // denom)
+    arr = native.jpeg_decode(buf, ch, w, h, scale_denom=denom)
     return Image.from_array(arr, "grey" if ch == 1 else "rgb")
 
 

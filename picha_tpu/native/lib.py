@@ -47,7 +47,7 @@ def get_lib():
                 C.POINTER(C.c_int), C.POINTER(C.c_int), C.POINTER(C.c_int)]
             lib.picha_jpeg_stat.restype = C.c_int
             lib.picha_jpeg_decode.argtypes = [
-                C.POINTER(C.c_uint8), C.c_size_t, C.c_int,
+                C.POINTER(C.c_uint8), C.c_size_t, C.c_int, C.c_int,
                 C.POINTER(C.c_uint8), C.c_int, C.POINTER(C.c_char_p)]
             lib.picha_jpeg_decode.restype = C.c_int
             lib.picha_jpeg_encode.argtypes = [
@@ -211,13 +211,18 @@ def jpeg_stat(buf: bytes):
     return w.value, h.value, ch.value
 
 
-def jpeg_decode(buf: bytes, want_channels: int, width: int, height: int) -> np.ndarray:
+def jpeg_decode(buf: bytes, want_channels: int, width: int, height: int,
+                scale_denom: int = 1) -> np.ndarray:
+    """scale_denom 2/4/8 decodes at 1/N scale via the reduced-size IDCT
+    (libjpeg draft mode); width/height are the SCALED dims
+    (ceil(full/N))."""
     lib = get_lib()
     src = np.frombuffer(buf, dtype=np.uint8)
     ch = want_channels
     out = np.empty((height, width, ch), dtype=np.uint8)
     err = C.c_char_p()
-    rc = lib.picha_jpeg_decode(_u8ptr(src), src.size, ch, _u8ptr(out),
+    rc = lib.picha_jpeg_decode(_u8ptr(src), src.size, ch, scale_denom,
+                               _u8ptr(out),
                                width * ch, C.byref(err))
     if rc != 0:
         raise CodecError(take_error(lib, err))

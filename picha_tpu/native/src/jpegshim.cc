@@ -86,8 +86,9 @@ PICHA_API int picha_jpeg_stat(const uint8_t* src, size_t len, int* width,
 }
 
 PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
-                                int want_channels, uint8_t* out,
-                                int out_stride, char** err) {
+                                int want_channels, int scale_denom,
+                                uint8_t* out, int out_stride,
+                                char** err) {
   jpeg_decompress_struct cinfo;
   ErrorTrap trap;
   cinfo.err = &trap.mgr;
@@ -113,6 +114,12 @@ PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
   }
   // cmyk sources keep JCS_CMYK output; folded per row below
 
+  // DCT-scaled decode (1/2, 1/4, 1/8): the IDCT runs at reduced block
+  // size — the draft-mode fast path every thumbnailer uses
+  if (scale_denom == 2 || scale_denom == 4 || scale_denom == 8) {
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = (unsigned)scale_denom;
+  }
   jpeg_start_decompress(&cinfo);
   int w = (int)cinfo.output_width;
   if (cmyk) cmyk_row = (uint8_t*)malloc((size_t)w * 4);

@@ -37,9 +37,11 @@ PICHA_API int picha_png_filter(const uint8_t* in, uint8_t* out,
 // rgb = c*k/255 rule (src/jpegcodec.cc:36-42) when rgb is requested.
 PICHA_API int picha_jpeg_stat(const uint8_t* src, size_t len,
                               int* width, int* height, int* channels);
+// scale_denom 1 (default) or 2/4/8: DCT-scaled decode (output dims =
+// ceil(dim/scale_denom); the IDCT runs at reduced block size).
 PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
-                                int want_channels, uint8_t* out,
-                                int out_stride, char** err);
+                                int want_channels, int scale_denom,
+                                uint8_t* out, int out_stride, char** err);
 // quality clamped 0..100 (default handling is the caller's), baseline
 // Huffman tables; channels 1 -> grayscale, 3 -> YCbCr 4:2:0 (libjpeg
 // defaults, matching the reference's encoder src/jpegcodec.cc:334-370).

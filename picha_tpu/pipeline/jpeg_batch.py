@@ -425,7 +425,8 @@ class JpegBatchPipeline:
                  upload: str = "dense",
                  fused: bool = False,
                  num_threads: Optional[int] = None,
-                 scan_byte_cap: Optional[int] = None):
+                 scan_byte_cap: Optional[int] = None,
+                 host_fast_scale: bool = False):
         """encode_backend: 'device' runs the ENTIRE encode on the chip —
         fDCT, quantisation and baseline Huffman coding incl. byte
         stuffing (ops/jpeg_huffman_tpu.py; scan bytes are byte-identical
@@ -463,6 +464,13 @@ class JpegBatchPipeline:
         self._upload = upload
         self._fused = fused
         self._scan_byte_cap = scan_byte_cap
+        # draft-mode host decode: when the resize target is EXACTLY the
+        # source/2 (or /4, /8), decode at 1/N via the reduced IDCT and
+        # skip the resize — a different resampling than the cubic path
+        # (measured ~1.3 LSB avg apart at 1/2, inside the reference's
+        # own <2 golden tolerance), opt-in like every thumbnailer's
+        # draft path
+        self._host_fast_scale = host_fast_scale
         self._pool = ThreadPoolExecutor(max_workers=num_threads or 8,
                                         thread_name_prefix="picha-entropy")
 
@@ -785,6 +793,16 @@ class JpegBatchPipeline:
         stats = [native.jpeg_stat(b) for b in bufs]
         if any(st is None for st in stats):
             raise CodecError("invalid JPEG in batch")
+        if self._host_fast_scale and self._width is not None:
+            for denom in (2, 4, 8):
+                if all(-(-st[0] // denom) == self._width
+                       and -(-st[1] // denom) == self._height
+                       for st in stats):
+                    return [native.jpeg_encode(
+                        np.ascontiguousarray(native.jpeg_decode(
+                            b, 3 if st[2] >= 3 else 1, self._width,
+                            self._height, scale_denom=denom)), q)
+                        for b, st in zip(bufs, stats)]
         arrs = [native.jpeg_decode(b, 3 if st[2] >= 3 else 1, st[0], st[1])
                 for b, st in zip(bufs, stats)]
         try:

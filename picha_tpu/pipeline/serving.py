@@ -184,10 +184,11 @@ def stream_best(batches, *, width, height, quality=85,
     probe_batches = max(1, probe_batches)
 
     def make(config):
-        if config == "host":
+        if config in ("host", "host-fast"):
             p = JpegBatchPipeline(width=width, height=height,
                                   encode_quality=quality,
-                                  encode_backend="host")
+                                  encode_backend="host",
+                                  host_fast_scale=(config == "host-fast"))
             return p, p.stream_host
         upload, backend = config.split("+")
         p = JpegBatchPipeline(width=width, height=height,

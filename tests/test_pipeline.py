@@ -645,3 +645,46 @@ def test_stream_best_config_failure_replays_on_host(jpeg_bufs, monkeypatch):
                             probe_batches=1))
     assert len(outs) == 6
     assert all(len(o) == len(jpeg_bufs) for o in outs)
+
+
+def test_host_fast_scale_path():
+    """Draft-mode host path: exact 1/2 target decodes via the reduced
+    IDCT (skipping the resize). On natural-statistics content it stays
+    within the reference's golden tolerance of the cubic path; on pure
+    noise it does NOT — which is why bench.py gates the config on a
+    per-corpus quality measurement. Non-matching targets silently use
+    the normal path."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    rng = np.random.default_rng(50)
+    yy, xx = np.mgrid[0:256, 0:384].astype(np.float32)
+    base = 127 + 80 * np.sin(xx / 40) + 40 * np.cos(yy / 25)
+    smooth = np.clip(base[..., None] + rng.normal(0, 4, (256, 384, 3)),
+                     0, 255).astype(np.uint8)
+    noisy = rng.integers(0, 256, (256, 384, 3), np.uint8)
+    sm_buf = native.jpeg_encode(smooth, 90)
+    nz_buf = native.jpeg_encode(noisy, 90)
+    w2, h2 = 192, 128
+
+    def diff(buf):
+        pf = JpegBatchPipeline(width=w2, height=h2, encode_quality=90,
+                               encode_backend="host", host_fast_scale=True)
+        pn = JpegBatchPipeline(width=w2, height=h2, encode_quality=90,
+                               encode_backend="host")
+        a = native.jpeg_decode(bytes(pf.host_encode_batch([buf])[0]),
+                               3, w2, h2)
+        b = native.jpeg_decode(bytes(pn.host_encode_batch([buf])[0]),
+                               3, w2, h2)
+        return np.abs(a.astype(int) - b.astype(int)).mean()
+
+    assert diff(sm_buf) < 2.0       # natural content: inside tolerance
+    assert diff(nz_buf) > 2.0       # noise: outside -> bench gate trips
+
+    # odd target -> normal path (byte-identical to fast_scale=False)
+    po = JpegBatchPipeline(width=w2 - 1, height=h2, encode_quality=90,
+                           encode_backend="host", host_fast_scale=True)
+    pr = JpegBatchPipeline(width=w2 - 1, height=h2, encode_quality=90,
+                           encode_backend="host")
+    assert [bytes(x) for x in po.host_encode_batch([sm_buf])] == \
+        [bytes(x) for x in pr.host_encode_batch([sm_buf])]
