@@ -176,8 +176,12 @@ def stream_best(batches, *, width, height, quality=85,
     ABORTED) scores as losing and its chunk is replayed through the
     host path — nothing is ever dropped.
 
-    configs: subset of "host", "<upload>+<backend>" (e.g.
-    "gap4+device", "scan+device", "gap4+raw420")."""
+    configs: subset of "host", "host-fast", "<upload>+<backend>"
+    (e.g. "gap4+device", "scan+device", "gap4+raw420"). "host-fast"
+    uses the draft-mode DCT-scaled decode when the target is exactly
+    source/2^k — a different resampling than the cubic filter (close
+    on natural content, not on noise), so it is opt-in here; bench.py
+    shows how to gate it on a measured quality check."""
     import time
     from itertools import islice
 
