@@ -112,7 +112,8 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
   if (picha_jpeg_stat(shared_jpeg, jpeg_len, &w, &h, &ch) == 0) {
     std::vector<uint8_t> out((size_t)w * h * 3);
     char* err = nullptr;
-    if (picha_jpeg_decode(shared_jpeg, jpeg_len, 3, out.data(), w * 3, &err) != 0) {
+    if (picha_jpeg_decode(shared_jpeg, jpeg_len, 3, 1, out.data(), w * 3,
+                          &err) != 0) {
       ++failures;
       picha_free(err);
     } else {
