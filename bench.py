@@ -119,17 +119,20 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host"):
     the probes cheap after round one)."""
     from picha_tpu.pipeline import JpegBatchPipeline
 
-    if config in ("host", "host-fast"):
+    if config in ("host", "host-fast", "host-raw"):
         p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
                               encode_backend="host", upload="gap4",
-                              host_fast_scale=(config == "host-fast"))
+                              host_fast_scale=(config == "host-fast"),
+                              host_raw=(config == "host-raw"))
         runner = p.stream_host
         up_b = down_b = 0.0
     else:
         upload, backend = config.split("+")
+        # the hybrid's host worker runs the raw-domain strict path too —
+        # strictly faster than the RGB path at the same ≤1 LSB parity
         p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
                               encode_backend=backend, fused=True,
-                              upload=upload)
+                              upload=upload, host_raw=True)
         warm = p(bufs[:batch])
         cos = p.entropy_decode(bufs[:batch])
         _, _, args = p.stack_bucket(cos)
@@ -152,13 +155,36 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host"):
                     "e2e_config": config}
 
 
+def config_parity(bufs, out_w, out_h, config, refs):
+    """Average LSB diff of a host config's decoded outputs vs the
+    strict cubic path, measured over the WHOLE corpus (the north-star
+    gate is ≤1 LSB, BASELINE.json — a one-image gate on friendly
+    content is not a gate)."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                          encode_backend="host",
+                          host_fast_scale=(config == "host-fast"),
+                          host_raw=(config == "host-raw"))
+    diffs = []
+    for b, ref in zip(p.host_encode_batch(bufs), refs):
+        got = native.jpeg_decode(bytes(b), 3, out_w, out_h)
+        diffs.append(np.abs(got.astype(int) - ref.astype(int)).mean())
+    return float(np.mean(diffs))
+
+
 def bench_e2e_best(bufs, batch, out_w, out_h):
     """Probe each deployable configuration briefly, then measure the
-    winner properly — what an operator would run. Device configs probe
-    inside a watchdogged subprocess: their first compile through this
-    environment's remote compile service has taken anywhere from 15 s
-    to 30+ min (one-time; the persistent cache keeps it warm for every
-    later run)."""
+    winner properly — what an operator would run. The HEADLINE winner
+    is drawn only from configs whose full-corpus output parity is
+    ≤1 LSB vs the strict cubic path (the north-star clause); faster
+    non-strict configs (host-fast's DCT-domain draft decode) are
+    reported in detail but cannot carry the headline. Device configs
+    probe inside a watchdogged subprocess: their first compile through
+    this environment's remote compile service has taken anywhere from
+    15 s to 30+ min (one-time; the persistent cache keeps it warm for
+    every later run). Returns (ips, detail, violations)."""
     import json as _json
     import os
     import subprocess
@@ -167,32 +193,35 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     from picha_tpu.native import lib as native
     from picha_tpu.pipeline import JpegBatchPipeline
 
+    violations = []
     probes = {}
-    for hc in ("host", "host-fast"):
+    for hc in ("host", "host-raw", "host-fast"):
         ips, _ = bench_e2e(bufs, batch, out_w, out_h, rounds=6, config=hc)
         probes[hc] = round(ips, 1)
-    # host-fast resamples in the DCT domain (reduced IDCT) instead of
-    # the cubic filter; it may only win the race if its output stays
-    # within the REFERENCE'S OWN resize acceptance (avgChannelDiff < 2
-    # vs the golden, test/resize.js:22-30) measured against the cubic
-    # path here and now
-    fast_diff = None
-    try:
-        pf = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
-                               encode_backend="host", host_fast_scale=True)
-        pn = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
-                               encode_backend="host")
-        a = native.jpeg_decode(bytes(pf.host_encode_batch(bufs[:1])[0]),
-                               3, out_w, out_h)
-        b = native.jpeg_decode(bytes(pn.host_encode_batch(bufs[:1])[0]),
-                               3, out_w, out_h)
-        fast_diff = float(np.abs(a.astype(int) - b.astype(int)).mean())
-        log(f"host-fast vs cubic avg diff: {fast_diff:.2f} LSB "
-            f"(reference golden tolerance < 2)")
-    except Exception as e:  # noqa: BLE001
-        log(f"host-fast quality check failed: {e}")
-    if fast_diff is None or fast_diff >= 2.0:
-        probes.pop("host-fast", None)
+
+    # full-corpus parity gates vs the strict cubic path
+    pn = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                           encode_backend="host")
+    refs = [native.jpeg_decode(bytes(b), 3, out_w, out_h)
+            for b in pn.host_encode_batch(bufs)]
+    diffs = {"host": 0.0}
+    for hc in ("host-raw", "host-fast"):
+        try:
+            diffs[hc] = config_parity(bufs, out_w, out_h, hc, refs)
+            log(f"{hc} vs cubic avg diff (full corpus, n={len(bufs)}): "
+                f"{diffs[hc]:.3f} LSB ({'strict' if diffs[hc] <= 1.0 else 'NOT strict'}"
+                f" of the <=1 LSB north-star clause)")
+        except Exception as e:  # noqa: BLE001
+            log(f"{hc} parity check failed: {e}")
+            probes.pop(hc, None)
+    # host-raw is SUPPOSED to be strict — if it ever isn't, that's a
+    # correctness regression, not a race outcome
+    if "host-raw" in diffs and diffs["host-raw"] > 1.0:
+        violations.append(
+            f"host-raw parity {diffs['host-raw']:.3f} LSB > 1.0")
+    if diffs.get("host-fast", 99.0) >= 2.0:
+        probes.pop("host-fast", None)  # outside even the golden tolerance
+
     if os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") != "0":
         for config in ("gap4+device", "scan+device"):
             code = (
@@ -217,12 +246,22 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
             except Exception as e:  # noqa: BLE001
                 log(f"{config} probe failed: {type(e).__name__}: {e}")
     log(f"e2e config probes (img/s): {probes}")
-    winner = max(probes, key=probes.get)
+
+    # strict pool: everything except configs that measured >1 LSB
+    # (device chains run the fused composed operator + byte-exact
+    # entropy coding — held ≤1 LSB by bench_tpu_parity and tests)
+    strict = {c: v for c, v in probes.items() if diffs.get(c, 0.0) <= 1.0}
+    if not strict:
+        violations.append("no strict-parity config available")
+        return 0.0, {"config_probes_img_s": probes}, violations
+    winner = max(strict, key=strict.get)
     ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=20, config=winner)
     d["config_probes_img_s"] = probes
-    if fast_diff is not None:
-        d["host_fast_vs_cubic_avg_lsb"] = round(fast_diff, 2)
-    return ips, d
+    d["config_parity_lsb"] = {k: round(v, 3) for k, v in diffs.items()}
+    fastest_any = max(probes, key=probes.get)
+    d["fastest_any_config"] = fastest_any
+    d["fastest_any_img_s"] = probes[fastest_any]
+    return ips, d, violations
 
 
 def bench_train_ingest(bufs, batch, rounds=10):
@@ -413,16 +452,21 @@ def main():
         log(f"host stage (entropy + gap8 pack + raw420 encode): "
             f"{host_ips:.1f} img/s ({host_ips * mpix:.0f} Mpix/s)")
 
+    violations = []
     parity = stage("tpu parity", bench_tpu_parity, bufs)
     if parity is not None:
         detail["tpu_host_avg_diff_lsb"] = round(float(parity), 3)
         log(f"TPU fused decode vs host libjpeg: avg diff {parity:.3f} LSB "
             f"({'OK' if parity <= 1.0 else 'VIOLATION'} of <=1 LSB invariant)")
+        if parity > 1.0:
+            violations.append(
+                f"TPU fused decode parity {parity:.3f} LSB > 1.0")
 
     e2e_ips = None
     e2e = stage("e2e", bench_e2e_best, bufs, batch, out_w, out_h)
     if e2e:
-        e2e_ips, ebytes = e2e
+        e2e_ips, ebytes, e2e_violations = e2e
+        violations.extend(e2e_violations)
         detail.update(ebytes)
         log(f"e2e decode->resize->encode (pipelined): {e2e_ips:.1f} img/s "
             f"({e2e_ips * mpix:.0f} Mpix/s)")
@@ -454,14 +498,25 @@ def main():
             f"({cpu_ips * mpix:.0f} Mpix/s)")
 
     e2e_ips = e2e_ips or 0.0
+    detail["strict_parity_mpix_s"] = round(e2e_ips * mpix, 1)
+    if violations:
+        # a green bench over a broken decoder would be worse than a red
+        # one: poison the artifact and exit nonzero so the driver
+        # records the failure (VERDICT r2 directive 3)
+        detail["violations"] = violations
+        log(f"PARITY VIOLATIONS — poisoning result: {violations}")
+        e2e_ips = 0.0
     result = {
-        "metric": "batched 1080p JPEG decode->resize(960x544 cubic)->encode q85, end-to-end per chip",
+        "metric": "batched 1080p JPEG decode->resize(960x544 cubic)->encode "
+                  "q85, end-to-end per chip, strict <=1 LSB parity",
         "value": round(e2e_ips * mpix, 1),
         "unit": "Mpix/s",
         "vs_baseline": round(e2e_ips / cpu_ips, 2) if cpu_ips else 0.0,
         "detail": detail,
     }
     print(json.dumps(result), flush=True)
+    if violations:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,13 @@ def decode(buf: bytes, opts: dict) -> Image:
             raise InvalidOptionsError("jpeg decode supports pixel rgb/grey")
         ch = 1 if req == "grey" else 3
     if opts.get("backend") == "tpu":
+        if denom > 1:
+            # the TPU coefficient path decodes at full size; silently
+            # returning different geometry for the same opts dict
+            # depending on backend would be a trap
+            raise InvalidOptionsError(
+                "scaleDenom > 1 is not supported with backend='tpu' "
+                "(use the host path, or resize after decode)")
         from ..ops import jpeg_tpu
 
         co = native.JpegCoefficients(buf)

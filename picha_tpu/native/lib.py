@@ -56,6 +56,12 @@ def get_lib():
                 C.POINTER(C.c_size_t), C.POINTER(C.c_char_p)]
             lib.picha_jpeg_encode.restype = C.c_int
 
+            lib.picha_jpeg_decode_raw420.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t, C.POINTER(C.c_uint8),
+                C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+                C.POINTER(C.c_char_p)]
+            lib.picha_jpeg_decode_raw420.restype = C.c_int
+
             lib.picha_jpeg_encode_raw420.argtypes = [
                 C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
                 C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int, C.c_int,
@@ -245,6 +251,29 @@ def jpeg_encode(arr: np.ndarray, quality: int, restart: int = 0) -> bytes:
     if rc != 0:
         raise CodecError(take_error(lib, err))
     return take_buffer(lib, out, outlen.value)
+
+
+def jpeg_decode_raw420(buf: bytes, width: int, height: int):
+    """Huffman + IDCT only: decode a 4:2:0 YCbCr JPEG to padded planes
+    (y (ceil16(h), ceil16(w)) u8, cb/cr half that) without the upsample
+    and colour-convert stages. Returns None for layouts the raw path
+    doesn't take (grayscale, CMYK, 4:4:4/4:2:2) — callers fall back to
+    jpeg_decode."""
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    wpad, hpad = (width + 15) & ~15, (height + 15) & ~15
+    y = np.empty((hpad, wpad), np.uint8)
+    cb = np.empty((hpad // 2, wpad // 2), np.uint8)
+    cr = np.empty((hpad // 2, wpad // 2), np.uint8)
+    err = C.c_char_p()
+    rc = lib.picha_jpeg_decode_raw420(
+        _u8ptr(src), src.size, _u8ptr(y.reshape(-1)), _u8ptr(cb.reshape(-1)),
+        _u8ptr(cr.reshape(-1)), C.byref(err))
+    if rc == 1:
+        return None
+    if rc != 0:
+        raise CodecError(take_error(lib, err))
+    return y, cb, cr
 
 
 def jpeg_encode_raw420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,

@@ -184,6 +184,69 @@ PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
   return 0;
 }
 
+// Decode to raw 4:2:0 planes (jpeg_read_raw_data): Huffman + IDCT only,
+// skipping libjpeg's chroma upsample and YCbCr->RGB stages. The caller
+// resizes the planes directly (Y with the exact cubic weights, chroma
+// with the composed downsample.resize.upsample operator — the same
+// linear composition the TPU fused path uses) and re-encodes via
+// picha_jpeg_encode_raw420, so the whole host pipeline stays in the
+// source's native colour space. Returns 1 (no error string) when the
+// source is not 3-component YCbCr 2x2/1x1/1x1 so callers can fall back
+// to the standard RGB path. Planes must be padded like the encoder's:
+// Y (ceil16(h), ceil16(w)), Cb/Cr half that (libjpeg writes
+// width_in_blocks*8 <= those widths per row).
+PICHA_API int picha_jpeg_decode_raw420(const uint8_t* src, size_t len,
+                                       uint8_t* y, uint8_t* cb, uint8_t* cr,
+                                       char** err) {
+  jpeg_decompress_struct cinfo;
+  ErrorTrap trap;
+  cinfo.err = &trap.mgr;
+  setup_trap(&trap.mgr, &trap);
+  if (setjmp(trap.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    if (err) *err = dup_error(trap);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, src, (unsigned long)len);
+  jpeg_read_header(&cinfo, TRUE);
+
+  if (cinfo.jpeg_color_space != JCS_YCbCr || cinfo.num_components != 3 ||
+      cinfo.comp_info[0].h_samp_factor != 2 ||
+      cinfo.comp_info[0].v_samp_factor != 2 ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 ||
+      cinfo.comp_info[2].v_samp_factor != 1) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;  // unsupported layout: caller falls back, not an error
+  }
+  cinfo.raw_data_out = TRUE;
+  jpeg_start_decompress(&cinfo);
+
+  int w = (int)cinfo.output_width;
+  int h = (int)cinfo.output_height;
+  int wpad = (w + 15) & ~15;
+  int hpad = (h + 15) & ~15;
+
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    int base = (int)cinfo.output_scanline;
+    for (int i = 0; i < 16; ++i)
+      yrows[i] = (JSAMPROW)(y + (size_t)(base + i) * wpad);
+    for (int i = 0; i < 8; ++i) {
+      cbrows[i] = (JSAMPROW)(cb + (size_t)(base / 2 + i) * (wpad / 2));
+      crrows[i] = (JSAMPROW)(cr + (size_t)(base / 2 + i) * (wpad / 2));
+    }
+    jpeg_read_raw_data(&cinfo, planes, 16);
+  }
+  (void)hpad;
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 // Encode from pre-computed 4:2:0 planes (jpeg_write_raw_data): the TPU
 // already did RGB->YCbCr and chroma downsampling; the host does only
 // fDCT + quantisation + Huffman. Planes must be padded: Y to

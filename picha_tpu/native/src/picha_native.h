@@ -88,9 +88,20 @@ PICHA_API int picha_packbits_decode(const uint8_t* src, size_t srclen,
                                     uint8_t* out, size_t outcap,
                                     size_t* outlen);
 
+// Raw 4:2:0 plane decode (Huffman+IDCT only; see jpegshim.cc). Returns
+// 0 ok, 1 unsupported-layout (fall back), -1 error (err set).
+PICHA_API int picha_jpeg_decode_raw420(const uint8_t* src, size_t len,
+                                       uint8_t* y, uint8_t* cb, uint8_t* cr,
+                                       char** err);
+
 // ---- host separable resize (native single-image fast path) ----------------
 // Uniform tap windows per output index (start + k zero-padded float32
 // taps, the reference resize.cc weight numerics built in Python).
+// NOTE: the AVX2 build accumulates in raw 0-255 space, vertical pass
+// first; the scalar (non-x86) fallback keeps the reference's
+// 1/255-scaled horizontal-then-vertical order. Both are inside the <2
+// golden tolerance but may differ by up to 1 LSB from each other, so
+// host-path bytes are reproducible per-architecture, not across.
 PICHA_API int picha_resize_u8(const uint8_t* src, int sh, int sw, int ch,
                               uint8_t* dst, int dh, int dw,
                               const int32_t* xstart, const float* xw,

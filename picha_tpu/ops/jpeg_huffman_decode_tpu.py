@@ -51,7 +51,17 @@ from .jpeg_scan import (ScanInfo, ZIGZAG, derive_tables, mcu_slot_tables,
 
 CHUNK_BITS = 1024            # C: per-lane chunk size
 LANE_GRANULE = 2048          # lane-count bucket (bounds recompiles)
-WORD_GRANULE = 16384         # words-section bucket (64 KiB)
+WORD_GRANULE = 16384         # words-section floor granule (64 KiB)
+STEP_GRANULE = 64            # steps bucket (bounds recompiles)
+
+
+def _bucket_geometric(k: int, granule: int) -> int:
+    """Geometric rounding (16 mantissa steps per octave, >= granule):
+    content-dependent sizes land on a handful of values across a real
+    corpus, bounding jit recompiles (same scheme as lib.py bucket())."""
+    k = max(int(k), granule)
+    step = max(granule, 1 << max(0, k.bit_length() - 4))
+    return -(-k // step) * step
 MAX_PASSES = 48              # Jacobi budget (measured need: ~13)
 
 
@@ -231,9 +241,14 @@ class ScanBatch:
             reset[img, pos[pos < self.nblk_img]] = True
         self.reset = reset
 
-        # worst-case symbols per chunk under these tables
+        # worst-case symbols per chunk under these tables. steps feeds
+        # the jit static key: mb depends on the batch's Huffman table
+        # contents, so per-image optimized tables (PIL optimize=True)
+        # would otherwise mint a fresh steps per batch and trigger a
+        # full recompile (minutes through the remote compile service).
+        # Round up to a coarse granule like LANE_GRANULE/WORD_GRANULE.
         mb = min(min_bits_per_symbol(i) for i in infos)
-        self.steps = int(C / mb) + 8
+        self.steps = -(-(int(C / mb) + 8) // STEP_GRANULE) * STEP_GRANULE
 
     def args(self):
         return [self.words, self.lane_word_base,
@@ -253,7 +268,7 @@ class ScanBatch:
         words (u32, padded to WORD_GRANULE) | 4 x lane i32 tables |
         limit | delta | hv (i32) | qtables (u16 per comp) |
         lane_pinned (u8) | reset (u8)."""
-        nw = -(-self.words.size // WORD_GRANULE) * WORD_GRANULE
+        nw = _bucket_geometric(self.words.size, WORD_GRANULE)
         words = np.full(nw, 0xFFFFFFFF, np.uint32)
         words[: self.words.size] = self.words
         sections = [

@@ -129,6 +129,18 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
                 tc_th = seg[pos]
                 bits = list(seg[pos + 1 : pos + 17])
                 nv = sum(bits)
+                # reject structurally illegal tables (value count over
+                # 256, or more codes of length L than a prefix code can
+                # hold) so malformed-but-parseable files route to the
+                # host/libjpeg fallback instead of crashing
+                # derive_tables later
+                if nv > 256 or (tc_th >> 4) > 1 or (tc_th & 15) > 3:
+                    return None
+                cap = 2
+                for n in bits:
+                    if n > cap:
+                        return None
+                    cap = (cap - n) * 2
                 if pos + 17 + nv > len(seg):
                     return None
                 vals = list(seg[pos + 17 : pos + 17 + nv])

@@ -1,0 +1,157 @@
+"""Raw-domain (4:2:0 YCbCr) host resize — the strict-parity fast path.
+
+The reference pipeline for a JPEG->resize->JPEG transcode is a chain of
+LINEAR stages between the two entropy codecs:
+
+    IDCT -> fancy chroma upsample -> YCbCr->RGB -> cubic resize
+         -> RGB->YCbCr -> 2x2 chroma downsample -> fDCT
+
+In float, the colour transforms are mutually inverse pointwise maps, so
+they commute with the (linear) resize and cancel; what remains per
+component is
+
+    Y:      resize
+    Cb/Cr:  downsample . resize . upsample      (one banded operator)
+
+This module builds those composed per-axis operators with the
+reference's exact float32 resize weights (ops/resize.py, reproducing
+src/resize.cc:19-50) and libjpeg's fancy-upsample (jdsample.c
+h2v2_fancy_upsample: 3/4,1/4 triangle, edge-pinned) and h2v2 box
+downsample (jcsample.c: 1/2,1/2) in float, then applies them to the raw
+planes from jpeg_read_raw_data with the AVX2 native resizer
+(native/src/hostresize.cc). It is the same linear composition the TPU
+fused path uses (ops/jpeg_fused.py) executed on the host: measured
+≤~0.5 LSB avg of the staged libjpeg-RGB path, at roughly half its cost
+(no upsample, no two colour conversions, chroma resized at quarter
+area, raw-mode re-encode skips the encoder's downsample).
+
+Used by JpegBatchPipeline.host_encode_batch (host_raw mode) and raced
+by bench.py as the strict-parity configuration.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .resize import resize_weights, resize_windows
+
+
+def _ceil16(v: int) -> int:
+    return (v + 15) & ~15
+
+
+def fancy_upsample_matrix(full: int, half: int) -> np.ndarray:
+    """(full, half) float32: libjpeg h2v2_fancy_upsample per axis —
+    out[2j] = 3/4 in[j] + 1/4 in[j-1], out[2j+1] = 3/4 in[j] +
+    1/4 in[j+1], edges pinned to the row (jdsample.c)."""
+    U = np.zeros((2 * half, half), np.float32)
+    j = np.arange(half)
+    U[2 * j, j] += 0.75
+    U[2 * j, np.maximum(j - 1, 0)] += 0.25
+    U[2 * j + 1, j] += 0.75
+    U[2 * j + 1, np.minimum(j + 1, half - 1)] += 0.25
+    return U[:full]  # odd full sizes: libjpeg crops the last sample
+
+
+def box_downsample_matrix(half: int, full: int) -> np.ndarray:
+    """(half, full) float32: the encoder's h2v2_downsample per axis —
+    mean of each sample pair, right edge duplicated for odd sizes
+    (jcsample.c expand_right_edge)."""
+    D = np.zeros((half, full), np.float32)
+    j = np.arange(half)
+    D[j, np.minimum(2 * j, full - 1)] += 0.5
+    D[j, np.minimum(2 * j + 1, full - 1)] += 0.5
+    return D
+
+
+def _uniform_windows(M: np.ndarray):
+    """Banded matrix -> (starts int32 (rows,), taps float32 (rows, k)):
+    the uniform zero-padded window layout picha_resize_u8 takes."""
+    rows, cols = M.shape
+    nz = M != 0.0
+    first = np.where(nz.any(1), nz.argmax(1), 0)
+    last = np.where(nz.any(1), cols - 1 - nz[:, ::-1].argmax(1), 0)
+    k = int((last - first + 1).max())
+    starts = np.minimum(first, cols - k).astype(np.int32)
+    taps = np.zeros((rows, k), np.float32)
+    for i in range(rows):
+        taps[i] = M[i, starts[i]:starts[i] + k]
+    return starts, taps
+
+
+def _pad_windows(starts: np.ndarray, taps: np.ndarray, out_pad: int):
+    """Extend windows to a padded output size by repeating the last
+    window — padding samples become edge replicas, which is what the
+    raw-mode encoder wants under its blocks."""
+    extra = out_pad - starts.shape[0]
+    if extra <= 0:
+        return starts, taps
+    starts = np.concatenate([starts, np.repeat(starts[-1:], extra)])
+    taps = np.concatenate([taps, np.repeat(taps[-1:], extra, axis=0)])
+    return np.ascontiguousarray(starts), np.ascontiguousarray(taps)
+
+
+@functools.lru_cache(maxsize=256)
+def luma_windows(dst: int, dst_pad: int, src: int, filter_name: str,
+                 fscale: float):
+    """Y-plane windows: the reference resize weights, padded outputs."""
+    starts, taps = resize_windows(dst, src, filter_name, fscale)
+    return _pad_windows(starts, taps, dst_pad)
+
+
+@functools.lru_cache(maxsize=256)
+def chroma_windows(dst_full: int, dst_pad: int, src_full: int,
+                   filter_name: str, fscale: float):
+    """Composed chroma operator windows for one axis:
+    box_down(dst) @ resize(dst_full <- src_full) @ fancy_up(src_full).
+    Output length ceil(dst_pad/2), input length ceil(src_full/2)."""
+    src_half = -(-src_full // 2)
+    dst_half = -(-dst_full // 2)
+    U = fancy_upsample_matrix(src_full, src_half)
+    R = resize_weights(dst_full, src_full, filter_name, fscale)
+    D = box_downsample_matrix(dst_half, dst_full)
+    M = D @ R @ U
+    starts, taps = _uniform_windows(M)
+    return _pad_windows(starts, taps, dst_pad // 2)
+
+
+def resize_raw420(planes, src_w: int, src_h: int, dst_w: int, dst_h: int,
+                  filter_name: str, fscale: float):
+    """(y, cb, cr) padded source planes -> (y, cb, cr) padded dest
+    planes via three native banded-resize calls."""
+    from ..native import lib as native
+
+    y, cb, cr = planes
+    wpad_o, hpad_o = _ceil16(dst_w), _ceil16(dst_h)
+    yxs, yxw = luma_windows(dst_w, wpad_o, src_w, filter_name, fscale)
+    yys, yyw = luma_windows(dst_h, hpad_o, src_h, filter_name, fscale)
+    cxs, cxw = chroma_windows(dst_w, wpad_o, src_w, filter_name, fscale)
+    cys, cyw = chroma_windows(dst_h, hpad_o, src_h, filter_name, fscale)
+    yo = native.resize_u8(y[..., None], wpad_o, hpad_o, yxs, yxw, yys, yyw)
+    cbo = native.resize_u8(cb[..., None], wpad_o // 2, hpad_o // 2,
+                           cxs, cxw, cys, cyw)
+    cro = native.resize_u8(cr[..., None], wpad_o // 2, hpad_o // 2,
+                           cxs, cxw, cys, cyw)
+    return yo[..., 0], cbo[..., 0], cro[..., 0]
+
+
+def transcode_raw420(buf: bytes, dst_w: int, dst_h: int, filter_name: str,
+                     fscale: float, quality: int, restart: int = 0):
+    """One-shot raw-domain transcode: JPEG bytes -> resized JPEG bytes.
+    Returns None when the source isn't plain 4:2:0 YCbCr (progressive
+    sources are fine — libjpeg's raw mode handles them) so callers fall
+    back to the RGB path."""
+    from ..native import lib as native
+
+    st = native.jpeg_stat(buf)
+    if st is None:
+        return None
+    src_w, src_h, _ = st
+    planes = native.jpeg_decode_raw420(buf, src_w, src_h)
+    if planes is None:
+        return None
+    yo, cbo, cro = resize_raw420(planes, src_w, src_h, dst_w, dst_h,
+                                 filter_name, fscale)
+    return native.jpeg_encode_raw420(yo, cbo, cro, dst_w, dst_h, quality,
+                                     restart=restart)

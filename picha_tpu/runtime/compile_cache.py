@@ -37,9 +37,16 @@ def enable(path: os.PathLike | str | None = None) -> bool:
         return True
     import jax
 
-    target = pathlib.Path(
-        path or os.environ.get("PICHA_COMPILE_CACHE_DIR", _DEFAULT_DIR))
     try:
+        if path is None and (jax.config.jax_compilation_cache_dir
+                             or os.environ.get("JAX_COMPILATION_CACHE_DIR")):
+            # the application already configured its own JAX cache —
+            # don't clobber it (this runs as an import side effect of
+            # picha_tpu.pipeline); keep its thresholds too
+            _enabled = True
+            return True
+        target = pathlib.Path(
+            path or os.environ.get("PICHA_COMPILE_CACHE_DIR", _DEFAULT_DIR))
         target.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(target))
         # default thresholds skip sub-second compiles; tiny graphs are

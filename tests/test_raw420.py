@@ -1,0 +1,86 @@
+"""Raw-domain (4:2:0) host transcode: ops/raw420.py.
+
+The composed downsample.resize.upsample operator must stay within the
+north-star parity bound (≤1 LSB avg) of the staged libjpeg-RGB cubic
+path on every geometry, and fall back cleanly on non-420 layouts.
+Reference behaviours composed: jdsample.c fancy upsample + the
+reference resize weights (src/resize.cc:19-50) + jcsample.c h2v2
+downsample.
+"""
+import numpy as np
+import pytest
+
+from picha_tpu.ops.raw420 import (box_downsample_matrix,
+                                  chroma_windows, fancy_upsample_matrix,
+                                  transcode_raw420)
+from picha_tpu.ops.resize import _resize_native, parse_resize_options
+
+native = pytest.importorskip("picha_tpu.native.lib")
+
+FNAME, FSCALE = parse_resize_options({})
+
+
+def synth(w, h, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    base = 127 + 60 * np.sin(xx / 17) + 50 * np.cos(yy / 23)
+    return np.clip(np.stack([base, base * 0.8 + 20, 255 - base], -1)
+                   + rng.normal(0, 5, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def staged_reference(buf, w, h, ow, oh):
+    arr = native.jpeg_decode(buf, 3, w, h)
+    r = _resize_native(arr, ow, oh, FNAME, FSCALE)
+    return native.jpeg_encode(np.ascontiguousarray(r), 85)
+
+
+@pytest.mark.parametrize("dims", [
+    (322, 242, 161, 121),       # exact 2x
+    (321, 241, 161, 121),       # odd source
+    (322, 242, 155, 117),       # non-integral ratio
+    (160, 120, 275, 201),       # upscale
+])
+def test_parity_vs_staged_path(dims):
+    w, h, ow, oh = dims
+    buf = native.jpeg_encode(synth(w, h), 85)
+    out = transcode_raw420(buf, ow, oh, FNAME, FSCALE, 85)
+    assert out is not None
+    got = native.jpeg_decode(out, 3, ow, oh)
+    want = native.jpeg_decode(staged_reference(buf, w, h, ow, oh), 3, ow, oh)
+    diff = np.abs(got.astype(int) - want.astype(int)).mean()
+    assert diff <= 1.0, f"raw420 parity {diff:.3f} LSB > 1.0"
+
+
+def test_operator_rows_sum_to_one():
+    # every factor is affine (rows sum to 1), so the composition must be
+    U = fancy_upsample_matrix(161, 81)
+    assert np.allclose(U.sum(1), 1.0, atol=1e-6)
+    D = box_downsample_matrix(81, 161)
+    assert np.allclose(D.sum(1), 1.0, atol=1e-6)
+    starts, taps = chroma_windows(155, 160, 322, FNAME, FSCALE)
+    assert starts.shape[0] == 80 and np.allclose(taps.sum(1), 1.0, atol=1e-5)
+    # windows stay in range
+    assert (starts >= 0).all()
+    assert (starts + taps.shape[1] <= -(-322 // 2)).all()
+
+
+def test_grey_and_non420_fall_back():
+    g = native.jpeg_encode(np.ascontiguousarray(synth(64, 64)[..., :1]), 85)
+    assert transcode_raw420(g, 32, 32, FNAME, FSCALE, 85) is None
+
+
+def test_pipeline_host_raw_mixed_batch():
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    rgb = native.jpeg_encode(synth(128, 96), 85)
+    grey = native.jpeg_encode(np.ascontiguousarray(synth(128, 96)[..., :1]),
+                              85)
+    p = JpegBatchPipeline(width=64, height=48, encode_quality=85,
+                          encode_backend="host", host_raw=True)
+    outs = p.host_encode_batch([rgb, grey, rgb])
+    assert len(outs) == 3
+    for o in outs:
+        st = native.jpeg_stat(o)
+        assert (st[0], st[1]) == (64, 48)
+    # grey image went through the fallback path and stays grey
+    assert native.jpeg_stat(outs[1])[2] == 1
