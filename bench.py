@@ -264,6 +264,79 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     return ips, d, violations
 
 
+def bench_device_roofline(bufs, batch, out_w, out_h, mpix, iters=6,
+                          restart=8):
+    """Chip-bound roofline (the number production hosts would see):
+    the ENTIRE decode->resize->encode loop on device — scan bytes
+    resident -> TPU Huffman decode (ops/jpeg_huffman_decode_tpu.py,
+    restart corpora take the Jacobi-free single-pass kernel) -> fused
+    dequant+IDCT+upsample+resize -> TPU Huffman encode -> scan bytes
+    resident. No tunnel, no host, inside the measured window; timing
+    forced by a dependent readback of the last output. Parity of the
+    produced JPEGs vs the strict host path is enforced (<=1 LSB).
+
+    Returns (mpix_per_s, parity_lsb, used_single_pass)."""
+    import jax
+
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    # corpus prep: restart markers make entropy decode exactly
+    # parallel-decodable (the standard prep for accelerator decoding;
+    # ~1-2% file size). restart=0 measures the speculative decoder.
+    if restart:
+        corpus = [native.jpeg_encode(
+            native.jpeg_decode(b, 3, 1920, 1088), 85, restart=restart)
+            for b in bufs[:batch]]
+    else:
+        corpus = [bytes(b) for b in bufs[:batch]]
+    p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                          encode_backend="device", fused=True,
+                          upload="scan")
+    # distinct device-resident wires (rotations share the static key),
+    # so every timed dispatch presents fresh bytes — this platform may
+    # memoize identical dispatches
+    wires = []
+    ks0 = sig0 = None
+    single = False
+    for r in range(3):
+        rot = corpus[r:] + corpus[:r]
+        cos = p.entropy_decode(rot)
+        from picha_tpu.ops.jpeg_scan import ScanInfo
+
+        if not isinstance(cos[0], ScanInfo):
+            raise RuntimeError("scan path unavailable for corpus")
+        sig, ks, args = p.stack_bucket(cos)
+        if ks0 is None:
+            sig0, ks0 = sig, ks
+        elif ks != ks0:
+            continue  # rotation changed the bucketed key; skip it
+        wires.append([jax.device_put(a) for a in args])
+    single = bool(ks0[-2])  # ScanBatch.static_key()'s single_pass flag
+    # warm + parity: run once, assemble JPEGs, compare vs strict host
+    res, okf = p.run_bucket(sig0, wires[0], scan_ks=ks0)
+    if not bool(np.asarray(okf)):
+        raise RuntimeError("device decoder did not converge")
+    jpegs = p.scan_finish(res, sig0)
+    pn = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                           encode_backend="host")
+    diffs = []
+    for got_b, ref_b in zip(jpegs, pn.host_encode_batch(corpus)):
+        got = native.jpeg_decode(bytes(got_b), 3, out_w, out_h)
+        ref = native.jpeg_decode(bytes(ref_b), 3, out_w, out_h)
+        diffs.append(np.abs(got.astype(int) - ref.astype(int)).mean())
+    parity = float(np.mean(diffs))
+
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(iters):
+        r, _ok = p.run_bucket(sig0, wires[i % len(wires)], scan_ks=ks0)
+        outs.append(r)
+    np.asarray(outs[-1][1])  # dependent readback: byte counts
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt * mpix, parity, single
+
+
 def bench_train_ingest(bufs, batch, rounds=10):
     """Training-input ingest (BASELINE config 5): JPEG bytes ->
     normalized 224x224 float batches resident on device — no readback."""
@@ -333,24 +406,176 @@ def bench_entropy(bufs, batch, iters=4):
     return batch * iters / dt
 
 
-def bench_png_e2e(bufs, out_w, out_h, n=12):
-    """BASELINE config 1 throughput: PNG decode -> resize -> PNG encode
-    through the single-image API (host zlib + native unfilter + AVX2
-    resize + adaptive filter encode)."""
+def bench_png_e2e(bufs, out_w, out_h, n=10):
+    """BASELINE config 1: PNG decode -> resize -> PNG encode.
+
+    Lossless both ways, so unlike JPEG's host-fast there is no quality
+    axis — every deflate level / filter strategy produces a bit-exact
+    round-trip PNG. The bench races the libpng-default settings
+    (level 6, adaptive 5-filter search — what the reference's
+    pngcodec.cc:361-399 did) against a throughput config (level 1,
+    fixed Paeth filter, both surfaced as encode options) and reports
+    the winner, plus a stage decomposition and the size cost.
+
+    Returns (img/s winner, detail dict)."""
+    import zlib
+
     import picha_tpu as picha
+    from picha_tpu.codecs import png as png_codec
+    from picha_tpu.native import lib as native
+    from picha_tpu.ops.resize import _resize_native, parse_resize_options
 
     pngs = []
-    for b in bufs[: max(2, n // 4)]:
+    for b in bufs[: max(2, n // 3)]:
         img = picha.decodeJpegSync(b)
         pngs.append(picha.encodePngSync(img))
-    picha.encodePngSync(picha.resizeSync(
-        picha.decodePngSync(pngs[0]), {"width": out_w, "height": out_h}))
+
+    # ---- stage decomposition (one representative image) -------------
+    buf = pngs[0]
+    h = png_codec._parse_header(buf)
+    idat = b"".join(d for t, d in png_codec._parse_chunks(buf)
+                    if t == b"IDAT")
+    fname, fscale = parse_resize_options({})
+    stages = {}
     t0 = time.perf_counter()
-    for i in range(n):
-        img = picha.decodePngSync(pngs[i % len(pngs)])
-        small = picha.resizeSync(img, {"width": out_w, "height": out_h})
-        picha.encodePngSync(small)
-    return n / (time.perf_counter() - t0)
+    raw = zlib.decompress(idat)
+    stages["inflate_ms"] = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    plane = png_codec._unfilter_to_plane(raw, h.width, h.height, 3,
+                                         h.bit_depth)
+    stages["unfilter_ms"] = (time.perf_counter() - t0) * 1e3
+    arr = plane.reshape(h.height, h.width, 3)
+    _resize_native(arr, out_w, out_h, fname, fscale)  # warm weight cache
+    t0 = time.perf_counter()
+    small = _resize_native(arr, out_w, out_h, fname, fscale)
+    stages["resize_ms"] = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    filt_adapt = native.png_filter(np.ascontiguousarray(small), out_h,
+                                   out_w * 3, 3, -1)
+    stages["filter_adaptive_ms"] = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    filt_fixed = native.png_filter(np.ascontiguousarray(small), out_h,
+                                   out_w * 3, 3, 4)
+    stages["filter_paeth_ms"] = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    z6 = zlib.compress(filt_adapt.tobytes(), 6)
+    stages["deflate_l6_ms"] = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    z1 = zlib.compress(filt_fixed.tobytes(), 1)
+    stages["deflate_l1_ms"] = (time.perf_counter() - t0) * 1e3
+    stages = {k: round(v, 2) for k, v in stages.items()}
+    size_cost = len(z1) / max(1, len(z6))
+
+    # ---- config race ------------------------------------------------
+    configs = {
+        "default": {},
+        "fast": {"compressionLevel": 1, "filter_strategy": 4},
+    }
+    rates = {}
+    for name, opts in configs.items():
+        picha.encodePngSync(picha.resizeSync(
+            picha.decodePngSync(pngs[0]),
+            {"width": out_w, "height": out_h}), opts)
+        t0 = time.perf_counter()
+        for i in range(n):
+            img = picha.decodePngSync(pngs[i % len(pngs)])
+            sm = picha.resizeSync(img, {"width": out_w, "height": out_h})
+            picha.encodePngSync(sm, opts)
+        rates[name] = round(n / (time.perf_counter() - t0), 2)
+
+    # PIL stand-in doing the same work (decode->resize->save level 6)
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    t0 = time.perf_counter()
+    for i in range(max(2, n // 2)):
+        im = PILImage.open(_io.BytesIO(pngs[i % len(pngs)]))
+        im = im.resize((out_w, out_h), PILImage.BICUBIC)
+        o = _io.BytesIO()
+        im.save(o, format="PNG")
+    pil_ips = max(2, n // 2) / (time.perf_counter() - t0)
+
+    win = max(rates, key=rates.get)
+    detail = {"png_configs_img_s": rates, "png_e2e_config": win,
+              "png_stage_ms": stages,
+              "png_fast_size_ratio": round(size_cost, 3),
+              "png_pil_standin_img_s": round(pil_ips, 2)}
+    return rates[win], detail
+
+
+def bench_config4(n=256):
+    """BASELINE config 4: 256-image batched decode -> subView crop ->
+    resize -> encodeWebP (alpha, preset) / encodeTiff lzw, through
+    ImageBatchPipeline. The transform graph runs on the CPU backend
+    here — a 256-image RGBA batch through this environment's tunnel
+    costs more than the whole pipeline (PERFORMANCE.md) — and on the
+    chip on production hosts. PIL stand-ins do the same work.
+
+    Returns dict of {webp,tiff}_e2e_mpix_s + stand-ins."""
+    import io as _io
+
+    import jax
+    from PIL import Image as PILImage
+
+    import picha_tpu as picha
+    from picha_tpu.pipeline import ImageBatchPipeline
+
+    W, H = 384, 256
+    rng = np.random.default_rng(9)
+    srcs = []
+    for i in range(8):
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        base = 127 + 70 * np.sin(xx / (11 + i)) + 40 * np.cos(yy / (7 + i))
+        a = np.clip(np.stack(
+            [base, 255 - base, base * 0.5 + 60,
+             np.full_like(base, 255) - (xx + yy) % 17], -1)
+            + rng.normal(0, 4, (H, W, 4)), 0, 255).astype(np.uint8)
+        srcs.append(picha.Image.from_array(a, "rgba"))
+    webps = [picha.encodeWebPSync(im, {"preset": "picture", "quality": 90})
+             for im in srcs]
+    tiffs = [picha.encodeTiffSync(im, {"compression": "lzw"})
+             for im in srcs]
+    mpix_total = n * W * H / 1e6
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:  # noqa: BLE001
+        cpu = None
+    import contextlib
+
+    ctx = jax.default_device(cpu) if cpu is not None \
+        else contextlib.nullcontext()
+    out = {}
+    for name, corpus, enc in (
+            ("webp", webps, ("image/webp",
+                             {"preset": "photo", "quality": 85})),
+            ("tiff", tiffs, ("image/tiff", {"compression": "lzw"}))):
+        p = ImageBatchPipeline(crop=(16, 16, W - 32, H - 32),
+                               resize=(176, 112), encode=enc)
+        bufs = [corpus[i % len(corpus)] for i in range(n)]
+        mt = "image/webp" if name == "webp" else "image/tiff"
+        with ctx:
+            p(bufs[:8], mimetype=mt)  # warm the jit
+            t0 = time.perf_counter()
+            outs = p(bufs, mimetype=mt)
+        dt = time.perf_counter() - t0
+        assert len(outs) == n
+        out[f"{name}_e2e_mpix_s"] = round(mpix_total / dt, 1)
+        # PIL stand-in: same decode->crop->resize->encode, same formats
+        t0 = time.perf_counter()
+        for i in range(n // 4):
+            im = PILImage.open(_io.BytesIO(bufs[i]))
+            im = im.crop((16, 16, W - 16, H - 16)).resize(
+                (176, 112), PILImage.BICUBIC)
+            o = _io.BytesIO()
+            if name == "webp":
+                im.save(o, format="WEBP", quality=85)
+            else:
+                im.save(o, format="TIFF", compression="tiff_lzw")
+        pil_dt = (time.perf_counter() - t0) * 4
+        out[f"{name}_pil_standin_mpix_s"] = round(mpix_total / pil_dt, 1)
+    return out
 
 
 def bench_single_latency(buf, out_w, out_h, reps=9):
@@ -396,6 +621,7 @@ def main():
 
     out_w, out_h = 960, 544
     detail = {"host_cores": 1}
+    violations = []
 
     def stage(name, fn, *a):
         try:
@@ -440,6 +666,21 @@ def main():
         log(f"TPU staged stage: {staged_ips:.1f} img/s "
             f"({staged_ips * mpix:.0f} Mpix/s)")
 
+    roof = stage("device-only roofline", bench_device_roofline, bufs,
+                 batch, out_w, out_h, mpix)
+    if roof:
+        roof_mpix, roof_parity, roof_single = roof
+        detail["device_only_mpix_s"] = round(roof_mpix, 1)
+        detail["device_only_parity_lsb"] = round(roof_parity, 3)
+        detail["device_only_single_pass"] = roof_single
+        log(f"device-only roofline (scan->TPU huffdec->fused->TPU "
+            f"huffenc->scan, restart corpus, "
+            f"{'single-pass' if roof_single else 'chunked'}): "
+            f"{roof_mpix:.0f} Mpix/s, parity {roof_parity:.3f} LSB")
+        if roof_parity > 1.0:
+            violations.append(
+                f"device-only roofline parity {roof_parity:.3f} LSB > 1.0")
+
     train_ips = stage("train ingest", bench_train_ingest, bufs, batch)
     if train_ips:
         detail["train_ingest_mpix_s"] = round(train_ips * mpix, 1)
@@ -452,7 +693,6 @@ def main():
         log(f"host stage (entropy + gap8 pack + raw420 encode): "
             f"{host_ips:.1f} img/s ({host_ips * mpix:.0f} Mpix/s)")
 
-    violations = []
     parity = stage("tpu parity", bench_tpu_parity, bufs)
     if parity is not None:
         detail["tpu_host_avg_diff_lsb"] = round(float(parity), 3)
@@ -480,11 +720,25 @@ def main():
                 f"host {host_ips:.1f} img/s -> min {roof:.1f} img/s; "
                 f"achieved {e2e_ips / roof:.0%}")
 
-    png_ips = stage("png e2e", bench_png_e2e, bufs, out_w, out_h)
-    if png_ips:
+    png = stage("png e2e", bench_png_e2e, bufs, out_w, out_h)
+    if png:
+        png_ips, png_detail = png
         detail["png_e2e_mpix_s"] = round(png_ips * mpix, 1)
+        detail.update(png_detail)
         log(f"PNG decode->resize->encode (config 1): {png_ips:.1f} img/s "
-            f"({png_ips * mpix:.0f} Mpix/s)")
+            f"({png_ips * mpix:.0f} Mpix/s) "
+            f"[winner {png_detail['png_e2e_config']}, "
+            f"configs {png_detail['png_configs_img_s']}, "
+            f"stages {png_detail['png_stage_ms']}]")
+
+    c4 = stage("config4 webp/tiff", bench_config4)
+    if c4:
+        detail.update(c4)
+        log(f"config 4 (256-img batched decode->crop->resize->encode): "
+            f"webp {c4.get('webp_e2e_mpix_s')} Mpix/s "
+            f"(PIL {c4.get('webp_pil_standin_mpix_s')}), "
+            f"tiff {c4.get('tiff_e2e_mpix_s')} Mpix/s "
+            f"(PIL {c4.get('tiff_pil_standin_mpix_s')})")
 
     p50 = stage("latency", bench_single_latency, bufs[0], out_w, out_h)
     if p50:

@@ -144,6 +144,12 @@ def get_lib():
                 C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int,
                 C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int]
             lib.picha_resize_u8.restype = C.c_int
+            lib.picha_resize_u16.argtypes = [
+                C.POINTER(C.c_uint16), C.c_int, C.c_int, C.c_int,
+                C.POINTER(C.c_uint16), C.c_int, C.c_int,
+                C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int,
+                C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int]
+            lib.picha_resize_u16.restype = C.c_int
 
             lib.picha_webp_stat.argtypes = [
                 C.POINTER(C.c_uint8), C.c_size_t,
@@ -601,9 +607,25 @@ def gap4_pack_batch(planes, k1_granule: int = 8192, k2_granule: int = 4096,
 def resize_u8(arr: np.ndarray, dw: int, dh: int,
               xstart: np.ndarray, xw: np.ndarray,
               ystart: np.ndarray, yw: np.ndarray) -> np.ndarray:
-    """(H, W, C) uint8 -> (dh, dw, C) uint8 with precomputed uniform tap
-    windows (ops/resize.py resize_windows — reference float32 weights)."""
+    """(H, W, C) uint8|uint16 -> (dh, dw, C) same dtype with precomputed
+    uniform tap windows (ops/resize.py resize_windows — reference
+    float32 weights). 16-bit arrays route to picha_resize_u16 (the deep
+    r16* leg of resize.cc:136-149)."""
     lib = get_lib()
+    if arr.dtype == np.uint16:
+        arr = np.ascontiguousarray(arr)
+        sh, sw, ch = arr.shape
+        out = np.empty((dh, dw, ch), np.uint16)
+        u16p = lambda a: a.ctypes.data_as(C.POINTER(C.c_uint16))  # noqa: E731
+        rc = lib.picha_resize_u16(
+            u16p(arr), sh, sw, ch, u16p(out), dh, dw,
+            xstart.ctypes.data_as(C.POINTER(C.c_int32)),
+            xw.ctypes.data_as(C.POINTER(C.c_float)), xw.shape[1],
+            ystart.ctypes.data_as(C.POINTER(C.c_int32)),
+            yw.ctypes.data_as(C.POINTER(C.c_float)), yw.shape[1])
+        if rc != 0:
+            raise CodecError("native resize failed")
+        return out
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     sh, sw, ch = arr.shape
     out = np.empty((dh, dw, ch), np.uint8)

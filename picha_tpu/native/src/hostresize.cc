@@ -64,7 +64,41 @@ inline void transpose8x8(__m256 r[8]) {
   r[7] = _mm256_permute2f128_ps(s3, s7, 0x31);
 }
 
-int resize_avx2(const uint8_t* src, int sh, int sw, int ch, uint8_t* dst,
+// sample-type traits: u8 and u16 (deep r16* formats) share the kernel;
+// only the load-convert and the pack clamp differ
+template <typename T>
+struct SampleOps;
+
+template <>
+struct SampleOps<uint8_t> {
+  static constexpr float kMax = 255.0f;
+  static inline __m256 load8(const uint8_t* p) {
+    return _mm256_cvtepi32_ps(
+        _mm256_cvtepu8_epi32(_mm_loadl_epi64((const __m128i*)p)));
+  }
+  static inline void store8(uint8_t* p, __m256i xi) {
+    __m128i p16 = _mm_packus_epi32(_mm256_castsi256_si128(xi),
+                                   _mm256_extracti128_si256(xi, 1));
+    _mm_storel_epi64((__m128i*)p, _mm_packus_epi16(p16, p16));
+  }
+};
+
+template <>
+struct SampleOps<uint16_t> {
+  static constexpr float kMax = 65535.0f;
+  static inline __m256 load8(const uint16_t* p) {
+    return _mm256_cvtepi32_ps(
+        _mm256_cvtepu16_epi32(_mm_loadu_si128((const __m128i*)p)));
+  }
+  static inline void store8(uint16_t* p, __m256i xi) {
+    _mm_storeu_si128((__m128i*)p,
+                     _mm_packus_epi32(_mm256_castsi256_si128(xi),
+                                      _mm256_extracti128_si256(xi, 1)));
+  }
+};
+
+template <typename T>
+int resize_avx2(const T* src, int sh, int sw, int ch, T* dst,
                 int dh, int dw, const int32_t* xstart, const float* xw,
                 int xk, const int32_t* ystart, const float* yw, int yk) {
   (void)sh;
@@ -79,11 +113,9 @@ int resize_avx2(const uint8_t* src, int sh, int sw, int ch, uint8_t* dst,
     for (; j + 8 <= rowlen; j += 8) {
       __m256 acc = _mm256_setzero_ps();
       for (int k = 0; k < yk; ++k) {
-        const uint8_t* p = src + (size_t)(ystart[oy] + k) * rowlen + j;
-        __m256i u =
-            _mm256_cvtepu8_epi32(_mm_loadl_epi64((const __m128i*)p));
+        const T* p = src + (size_t)(ystart[oy] + k) * rowlen + j;
         acc = _mm256_fmadd_ps(_mm256_set1_ps(w[k]),
-                              _mm256_cvtepi32_ps(u), acc);
+                              SampleOps<T>::load8(p), acc);
       }
       _mm256_storeu_ps(out + j, acc);
     }
@@ -100,7 +132,7 @@ int resize_avx2(const uint8_t* src, int sh, int sw, int ch, uint8_t* dst,
   std::vector<float> fb(rowlen * 8 + 8);
   std::vector<float> ob(orow * 8 + 8);
   const __m256 half = _mm256_set1_ps(0.5f);
-  const __m256 maxv = _mm256_set1_ps(255.0f);
+  const __m256 maxv = _mm256_set1_ps(SampleOps<T>::kMax);
   for (int y0 = 0; y0 < dh; y0 += 8) {
     const float* rows[8];
     for (int r = 0; r < 8; ++r)
@@ -128,7 +160,7 @@ int resize_avx2(const uint8_t* src, int sh, int sw, int ch, uint8_t* dst,
         _mm256_storeu_ps(ob.data() + ((size_t)ox * ch + c) * 8, acc);
       }
     }
-    // transpose back and pack: floor(clip(acc + 0.5, 0, 255))
+    // transpose back and pack: floor(clip(acc + 0.5, 0, max))
     int rmax = std::min(8, dh - y0);
     size_t jj = 0;
     for (; jj + 8 <= orow; jj += 8) {
@@ -140,19 +172,16 @@ int resize_avx2(const uint8_t* src, int sh, int sw, int ch, uint8_t* dst,
         __m256 x = _mm256_add_ps(v[r], half);
         x = _mm256_min_ps(_mm256_max_ps(x, _mm256_setzero_ps()), maxv);
         x = _mm256_floor_ps(x);
-        __m256i xi = _mm256_cvtps_epi32(x);
-        __m128i p16 = _mm_packus_epi32(_mm256_castsi256_si128(xi),
-                                       _mm256_extracti128_si256(xi, 1));
-        __m128i p8 = _mm_packus_epi16(p16, p16);
-        _mm_storel_epi64(
-            (__m128i*)(dst + (size_t)(y0 + r) * orow + jj), p8);
+        SampleOps<T>::store8(dst + (size_t)(y0 + r) * orow + jj,
+                             _mm256_cvtps_epi32(x));
       }
     }
     for (; jj < orow; ++jj) {
       for (int r = 0; r < rmax; ++r) {
         float x = ob[jj * 8 + r] + 0.5f;
-        x = x < 0.0f ? 0.0f : (x > 255.0f ? 255.0f : x);
-        dst[(size_t)(y0 + r) * orow + jj] = (uint8_t)(int)std::floor(x);
+        x = x < 0.0f ? 0.0f : (x > SampleOps<T>::kMax ? SampleOps<T>::kMax
+                                                      : x);
+        dst[(size_t)(y0 + r) * orow + jj] = (T)(int)std::floor(x);
       }
     }
   }
@@ -163,26 +192,26 @@ int resize_avx2(const uint8_t* src, int sh, int sw, int ch, uint8_t* dst,
 
 }  // namespace
 
-PICHA_API int picha_resize_u8(const uint8_t* src, int sh, int sw, int ch,
-                              uint8_t* dst, int dh, int dw,
-                              const int32_t* xstart, const float* xw,
-                              int xk, const int32_t* ystart,
-                              const float* yw, int yk) {
-  if (sh <= 0 || sw <= 0 || ch <= 0 || dh <= 0 || dw <= 0) return 1;
-#ifdef __AVX2__
-  return resize_avx2(src, sh, sw, ch, dst, dh, dw, xstart, xw, xk, ystart,
-                     yw, yk);
-#else
-  // scalar reference: horizontal pass (sh, sw, ch) u8 -> (sh, dw, ch)
-  // f32, then vertical accumulate + pack (reference resize.cc order)
+namespace {
+
+#ifndef __AVX2__
+// scalar reference: horizontal pass (sh, sw, ch) T -> (sh, dw, ch)
+// f32 in 1/max-scaled space, then vertical accumulate + pack
+// (reference resize.cc order; see the cross-arch note in
+// picha_native.h)
+template <typename T>
+int resize_scalar(const T* src, int sh, int sw, int ch, T* dst, int dh,
+                  int dw, const int32_t* xstart, const float* xw, int xk,
+                  const int32_t* ystart, const float* yw, int yk) {
+  const float maxv = (float)(T)~(T)0;
   std::vector<float> tmp((size_t)sh * dw * ch);
-  const float inv = 1.0f / 255.0f;
+  const float inv = 1.0f / maxv;
   for (int y = 0; y < sh; ++y) {
-    const uint8_t* row = src + (size_t)y * sw * ch;
+    const T* row = src + (size_t)y * sw * ch;
     float* out = tmp.data() + (size_t)y * dw * ch;
     for (int ox = 0; ox < dw; ++ox) {
       const float* w = xw + (size_t)ox * xk;
-      const uint8_t* p = row + (size_t)xstart[ox] * ch;
+      const T* p = row + (size_t)xstart[ox] * ch;
       for (int c = 0; c < ch; ++c) {
         float acc = 0.0f;
         for (int k = 0; k < xk; ++k)
@@ -194,16 +223,53 @@ PICHA_API int picha_resize_u8(const uint8_t* src, int sh, int sw, int ch,
   for (int oy = 0; oy < dh; ++oy) {
     const float* w = yw + (size_t)oy * yk;
     const float* base = tmp.data() + (size_t)ystart[oy] * dw * ch;
-    uint8_t* out = dst + (size_t)oy * dw * ch;
+    T* out = dst + (size_t)oy * dw * ch;
     for (int i = 0; i < dw * ch; ++i) {
       float acc = 0.0f;
       for (int k = 0; k < yk; ++k)
         acc += w[k] * base[(size_t)k * dw * ch + i];
-      float v = acc * 255.0f + 0.5f;
-      v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
-      out[i] = (uint8_t)(int)std::floor(v);
+      float v = acc * maxv + 0.5f;
+      v = v < 0.0f ? 0.0f : (v > maxv ? maxv : v);
+      out[i] = (T)(int)std::floor(v);
     }
   }
   return 0;
+}
 #endif
+
+template <typename T>
+int resize_any(const T* src, int sh, int sw, int ch, T* dst, int dh,
+               int dw, const int32_t* xstart, const float* xw, int xk,
+               const int32_t* ystart, const float* yw, int yk) {
+  if (sh <= 0 || sw <= 0 || ch <= 0 || dh <= 0 || dw <= 0) return 1;
+#ifdef __AVX2__
+  return resize_avx2<T>(src, sh, sw, ch, dst, dh, dw, xstart, xw, xk,
+                        ystart, yw, yk);
+#else
+  return resize_scalar<T>(src, sh, sw, ch, dst, dh, dw, xstart, xw, xk,
+                          ystart, yw, yk);
+#endif
+}
+
+}  // namespace
+
+PICHA_API int picha_resize_u8(const uint8_t* src, int sh, int sw, int ch,
+                              uint8_t* dst, int dh, int dw,
+                              const int32_t* xstart, const float* xw,
+                              int xk, const int32_t* ystart,
+                              const float* yw, int yk) {
+  return resize_any<uint8_t>(src, sh, sw, ch, dst, dh, dw, xstart, xw, xk,
+                             ystart, yw, yk);
+}
+
+// deep (16-bit) formats: same kernel, 65535 pack clamp
+// (reference resize.cc:136-149 dispatches all 8 formats through one
+// template; this is the r16* leg)
+PICHA_API int picha_resize_u16(const uint16_t* src, int sh, int sw, int ch,
+                               uint16_t* dst, int dh, int dw,
+                               const int32_t* xstart, const float* xw,
+                               int xk, const int32_t* ystart,
+                               const float* yw, int yk) {
+  return resize_any<uint16_t>(src, sh, sw, ch, dst, dh, dw, xstart, xw,
+                              xk, ystart, yw, yk);
 }

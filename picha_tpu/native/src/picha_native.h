@@ -107,6 +107,11 @@ PICHA_API int picha_resize_u8(const uint8_t* src, int sh, int sw, int ch,
                               const int32_t* xstart, const float* xw,
                               int xk, const int32_t* ystart,
                               const float* yw, int yk);
+PICHA_API int picha_resize_u16(const uint16_t* src, int sh, int sw, int ch,
+                               uint16_t* dst, int dh, int dw,
+                               const int32_t* xstart, const float* xw,
+                               int xk, const int32_t* ystart,
+                               const float* yw, int yk);
 
 // ---- CCITT fax (TIFF compressions 2, 3, 4) --------------------------------
 // Decodes a T.4/T.6 bitstream (MSB-first; caller pre-reverses

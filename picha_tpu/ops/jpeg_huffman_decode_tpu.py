@@ -53,6 +53,7 @@ CHUNK_BITS = 1024            # C: per-lane chunk size
 LANE_GRANULE = 2048          # lane-count bucket (bounds recompiles)
 WORD_GRANULE = 16384         # words-section floor granule (64 KiB)
 STEP_GRANULE = 64            # steps bucket (bounds recompiles)
+SEG_LANE_CAP = 24576         # single-pass mode: max segment bits/lane
 
 
 def _bucket_geometric(k: int, granule: int) -> int:
@@ -132,7 +133,7 @@ class ScanBatch:
         # streams have thousands of tiny segments; per-lane python
         # lists measured ~150 ms/batch)
         seg_bytes: List[bytes] = []
-        seg_nch, seg_img, seg_blk0, seg_nblk = [], [], [], []
+        seg_img, seg_blk0, seg_nblk = [], [], []
         for img, info in enumerate(infos):
             ri = info.restart_interval or mcus
             blk_base_img = img * self.nblk_img
@@ -141,11 +142,27 @@ class ScanBatch:
                 if n_mcu <= 0:
                     continue
                 seg_bytes.append(seg)
-                seg_nch.append(max(1, -(-(len(seg) * 8) // C)))
                 seg_img.append(img)
                 seg_blk0.append(blk_base_img + si * ri * B)
                 seg_nblk.append(n_mcu * B)
-        seg_nch = np.array(seg_nch, np.int64)
+        seg_bits = np.array([len(s) * 8 for s in seg_bytes], np.int64)
+        # restart-pinned SINGLE-PASS mode: when every image carries
+        # restart markers and segments are chunk-sized, give each
+        # segment its own (wider) lane. Every entry state is then exact
+        # by construction (DRI byte-aligns and resets the MCU), so the
+        # whole Jacobi speculation loop disappears — one emission pass
+        # decodes everything, ~3-4x less device work than converging
+        # speculative chunks (the standard corpus-prep story for
+        # parallel entropy decode, PAPERS.md).
+        self.single_pass = bool(
+            len(seg_bytes) >= 2 * n_img
+            and all(i.restart_interval for i in infos)
+            and int(seg_bits.max()) <= SEG_LANE_CAP)
+        if self.single_pass:
+            self.C = C = int(_bucket_geometric(int(seg_bits.max()), 512))
+            seg_nch = np.ones(len(seg_bytes), np.int64)
+        else:
+            seg_nch = np.maximum(1, -(-seg_bits // C))
         seg_img = np.array(seg_img, np.int32)
         seg_blk0 = np.array(seg_blk0, np.int32)
         seg_nblk = np.array(seg_nblk, np.int32)
@@ -169,6 +186,11 @@ class ScanBatch:
                         - lane_starts[lane_seg])
         lane_word_base = (word_starts[lane_seg]
                           + chunk_in_seg * (C // 32)).astype(np.int32)
+        # per-lane bit budget: C for interior chunks, the tail for a
+        # segment's last chunk (stops the step loop at the real data
+        # instead of grinding through 0xFF padding)
+        lane_bits = np.minimum(
+            C, seg_bits[lane_seg] - chunk_in_seg * C).astype(np.int32)
         lane_pinned = chunk_in_seg == 0
         lane_img = seg_img[lane_seg]
         lane_seg_first = lane_starts[lane_seg].astype(np.int32)
@@ -190,6 +212,7 @@ class ScanBatch:
             return out
 
         self.lane_word_base = padded(lane_word_base, dead_base, np.int32)
+        self.lane_bits = padded(lane_bits, 0, np.int32)  # dead: inactive
         self.lane_pinned = padded(lane_pinned, True, bool)
         self.lane_img = padded(lane_img, n_img - 1, np.int32)
         self.lane_seg_first = padded(lane_seg_first, n_lanes, np.int32)
@@ -251,7 +274,7 @@ class ScanBatch:
         self.steps = -(-(int(C / mb) + 8) // STEP_GRANULE) * STEP_GRANULE
 
     def args(self):
-        return [self.words, self.lane_word_base,
+        return [self.words, self.lane_word_base, self.lane_bits,
                 self.lane_pinned, self.lane_seg_first,
                 self.lane_blk_base, self.lane_blk_limit,
                 self.limit, self.delta, self.hv, self.lane_uid6,
@@ -260,7 +283,7 @@ class ScanBatch:
     def static_key(self):
         return (self.C, self.n_lanes, self.steps, self.B,
                 tuple(int(x) for x in self.comp_of), self.mcus,
-                len(self.infos), self.n_uniq)
+                len(self.infos), self.n_uniq, self.single_pass)
 
     def wire(self):
         """One coalesced uint8 upload buffer (this link pays a large
@@ -274,6 +297,7 @@ class ScanBatch:
         sections = [
             words.view(np.uint8),
             self.lane_word_base.view(np.uint8),
+            self.lane_bits.view(np.uint8),
             self.lane_seg_first.view(np.uint8),
             self.lane_blk_base.view(np.uint8),
             self.lane_blk_limit.view(np.uint8),
@@ -297,7 +321,8 @@ def build_wire_unpack(scan_ks, ncomp: int):
     import jax.numpy as jnp
     from jax import lax
 
-    C, n_lanes, steps, B, comp_of, mcus, n_img, n_uniq, nw = scan_ks
+    (C, n_lanes, steps, B, comp_of, mcus, n_img, n_uniq, _single,
+     nw) = scan_ks
     nblk_img = mcus * B
 
     def unpack(buf):
@@ -315,6 +340,7 @@ def build_wire_unpack(scan_ks, ncomp: int):
 
         words = take(nw, jnp.uint32)
         lane_word_base = take(n_lanes, jnp.int32)
+        lane_bits = take(n_lanes, jnp.int32)
         lane_seg_first = take(n_lanes, jnp.int32)
         lane_blk_base = take(n_lanes, jnp.int32)
         lane_blk_limit = take(n_lanes, jnp.int32)
@@ -328,7 +354,7 @@ def build_wire_unpack(scan_ks, ncomp: int):
         lane_uid6 = take(n_lanes * 6, jnp.uint8).reshape(n_lanes, 6)
         reset = take(n_img * nblk_img, jnp.uint8).reshape(
             n_img, nblk_img) != 0
-        return (words, lane_word_base, lane_pinned,
+        return (words, lane_word_base, lane_bits, lane_pinned,
                 lane_seg_first, lane_blk_base, lane_blk_limit,
                 limit, delta, hv, lane_uid6, reset), qtabs
 
@@ -341,10 +367,16 @@ def build_wire_unpack(scan_ks, ncomp: int):
 
 def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                        comp_of: tuple, mcus: int, n_img: int,
-                       n_uniq: int = 8, max_passes: int = MAX_PASSES,
+                       n_uniq: int = 8, single_pass: bool = False,
+                       max_passes: int = MAX_PASSES,
                        ablate: str = ""):
     """Traceable fn(*ScanBatch.args()) -> (coefs (N, mcus*B, 64) i32
     natural order scan-ordered blocks with absolute DC, ok (bool)).
+
+    single_pass: restart-pinned mode (ScanBatch.single_pass) — one lane
+    per restart segment, every entry state exact, so the Jacobi
+    convergence loop is skipped entirely and the emission pass IS the
+    decode (~3-4x less device work on restart corpora).
 
     Splitting per component happens in the caller (split_planes /
     decode_planes) so this graph stays shape-generic. Embeddable in a
@@ -361,13 +393,13 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
     U = n_uniq
 
     def make_step(emit: bool):
-        def step(state, win_pair, word_base, limdelta_u, hv_flat,
+        def step(state, win_pair, word_base, bit_end, limdelta_u, hv_flat,
                  hv2d, lane_uid6, blk_base, blk_limit):
             if emit:
                 pos, slot, z, nblk, over, last = state
             else:
                 pos, slot, z, nblk, over = state
-            active = pos < word_base * 32 + C
+            active = pos < bit_end
             # one paired one-hot select fetches BOTH words covering the
             # 32-bit window at `pos`; code bits (<=16) + value bits
             # (<=11) fit in it, so this is the only bit fetch per symbol
@@ -474,8 +506,8 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
     step_fn = make_step(False)
     emit_fn = make_step(True)
 
-    def run_chunk(entries, win_pair, word_base, limdelta_u, hv_flat,
-                  hv2d, lane_uid6, blk_base, blk_limit):
+    def run_chunk(entries, win_pair, word_base, bit_end, limdelta_u,
+                  hv_flat, hv2d, lane_uid6, blk_base, blk_limit):
         off, slot, z = entries
         pos0 = word_base * 32 + off
         state = (pos0, slot, z, jnp.zeros_like(off),
@@ -488,21 +520,21 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             i, st = c
             if ablate:  # fixed trip count: comparable ablation timings
                 return i < steps
-            return (i < steps) & jnp.any(st[0] < word_base * 32 + C)
+            return (i < steps) & jnp.any(st[0] < bit_end)
 
         def body(c):
             i, st = c
-            st, _o = step_fn(st, win_pair, word_base, limdelta_u,
-                             hv_flat, hv2d, lane_uid6, blk_base,
-                             blk_limit)
+            st, _o = step_fn(st, win_pair, word_base, bit_end,
+                             limdelta_u, hv_flat, hv2d, lane_uid6,
+                             blk_base, blk_limit)
             return (i + 1, st)
 
         _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         pos, slot, z, nblk, _ = st
-        overflow = pos < word_base * 32 + C   # didn't finish in budget
+        overflow = pos < bit_end              # didn't finish in budget
         return (pos - (word_base * 32 + C), slot, z), nblk, overflow
 
-    def fn(words, lane_word_base, lane_pinned, lane_seg_first,
+    def fn(words, lane_word_base, lane_bits, lane_pinned, lane_seg_first,
            lane_blk_base, lane_blk_limit, limit, delta, hv, lane_uid6,
            reset):
         L = n_lanes
@@ -517,6 +549,7 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
         limdelta_u = jnp.concatenate([limit, delta], axis=1)  # (U, 33)
         hv_flat = hv.reshape(-1)           # (U*256,)
         zero = jnp.zeros(L, jnp.int32)
+        bit_end = lane_word_base * 32 + lane_bits
 
         def propagate(ex):
             # chunk i+1's entry <- chunk i's exit (segment-start lanes
@@ -539,16 +572,17 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
         def decode_full(entries, ex, nblk, ov):
             ex2, nblk2, ov2 = run_chunk(
-                entries, win_pair, lane_word_base, limdelta_u, hv_flat,
-                hv, lane_uid6, lane_blk_base, lane_blk_limit)
+                entries, win_pair, lane_word_base, bit_end, limdelta_u,
+                hv_flat, hv, lane_uid6, lane_blk_base, lane_blk_limit)
             return ex2, nblk2, ov2
 
         def decode_compact(need, entries, ex, nblk, ov):
             ids = jnp.nonzero(need, size=CAP, fill_value=L - 1)[0]
             ex_c, nblk_c, ov_c = run_chunk(
                 tuple(e[ids] for e in entries), win_pair[ids],
-                lane_word_base[ids], limdelta_u, hv_flat, hv,
-                lane_uid6[ids], lane_blk_base[ids], lane_blk_limit[ids])
+                lane_word_base[ids], bit_end[ids], limdelta_u, hv_flat,
+                hv, lane_uid6[ids], lane_blk_base[ids],
+                lane_blk_limit[ids])
             ex2 = tuple(e.at[ids].set(c) for e, c in zip(ex, ex_c))
             return ex2, nblk.at[ids].set(nblk_c), ov.at[ids].set(ov_c)
 
@@ -574,19 +608,27 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                 return it < 8
             return changed & (it < max_passes)
 
-        sentinel = (jnp.full(L, -1, jnp.int32),) * 3  # force pass-1 decode
-        init = ((zero, zero, zero), sentinel,
-                (zero, zero, zero), zero, jnp.zeros(L, bool),
-                jnp.int32(0), jnp.bool_(True))
-        entries, _, ex_fin, nblk, overflow, it, changed = \
-            jax.lax.while_loop(pass_cond, pass_body, init)
-        ok = (~changed) & ~jnp.any(overflow)
+        if single_pass:
+            # restart-pinned: every lane IS a segment start, entries are
+            # exact (0, 0, 0) and block starts are the wire's segment
+            # geometry — no convergence loop, the emission pass decodes
+            entries = (zero, zero, zero)
+            blk_start = lane_blk_base
+            ok = jnp.bool_(True)   # refined from the emission exit below
+        else:
+            sentinel = (jnp.full(L, -1, jnp.int32),) * 3  # force pass 1
+            init = ((zero, zero, zero), sentinel,
+                    (zero, zero, zero), zero, jnp.zeros(L, bool),
+                    jnp.int32(0), jnp.bool_(True))
+            entries, _, ex_fin, nblk, overflow, it, changed = \
+                jax.lax.while_loop(pass_cond, pass_body, init)
+            ok = (~changed) & ~jnp.any(overflow)
 
-        # converged per-lane block starts: segmented prefix of nblk
-        csum = jnp.cumsum(nblk)
-        prev = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
-        seg_base = prev[lane_seg_first]    # cumsum before segment start
-        blk_start = lane_blk_base + (prev - seg_base)
+            # converged per-lane block starts: segmented prefix of nblk
+            csum = jnp.cumsum(nblk)
+            prev = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
+            seg_base = prev[lane_seg_first]  # cumsum before segment start
+            blk_start = lane_blk_base + (prev - seg_base)
 
         # final emission pass (early-exit like the convergence passes;
         # rows past the last active step are back-filled with each
@@ -596,13 +638,12 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             i, st, _bi, _bv = c
             if ablate:
                 return i < steps
-            return (i < steps) & jnp.any(
-                st[0] < lane_word_base * 32 + C)
+            return (i < steps) & jnp.any(st[0] < bit_end)
 
         def emit_body(c):
             i, st, buf_i, buf_v = c
             st, (eidx, ev) = emit_fn(st, win_pair, lane_word_base,
-                                     limdelta_u, hv_flat, hv,
+                                     bit_end, limdelta_u, hv_flat, hv,
                                      lane_uid6, blk_start,
                                      lane_blk_limit)
             return (i + 1, st, buf_i.at[i].set(eidx), buf_v.at[i].set(ev))
@@ -615,6 +656,11 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
         buf_v = jnp.zeros((steps, L), jnp.int32)
         i_end, st_end, buf_i, buf_v = jax.lax.while_loop(
             emit_cond, emit_body, (jnp.int32(0), st0, buf_i, buf_v))
+        if single_pass:
+            # the emission pass is the only decode: a lane that ran out
+            # of step budget before consuming its segment means a
+            # malformed stream -> host fallback
+            ok = ok & ~jnp.any(st_end[0] < bit_end)
         tail = jnp.arange(steps, dtype=jnp.int32)[:, None] >= i_end
         buf_i = jnp.where(tail, st_end[5][None, :], buf_i)
         buf_v = jnp.where(tail, 0, buf_v)
@@ -651,12 +697,13 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 @functools.lru_cache(maxsize=32)
 def build_decoder(C: int, n_lanes: int, steps: int, B: int,
                   comp_of: tuple, mcus: int, n_img: int, n_uniq: int = 8,
-                  max_passes: int = MAX_PASSES, ablate: str = ""):
+                  single_pass: bool = False, max_passes: int = MAX_PASSES,
+                  ablate: str = ""):
     import jax
 
     return jax.jit(build_decoder_core(C, n_lanes, steps, B, comp_of,
-                                      mcus, n_img, n_uniq, max_passes,
-                                      ablate))
+                                      mcus, n_img, n_uniq, single_pass,
+                                      max_passes, ablate))
 
 
 @functools.lru_cache(maxsize=64)

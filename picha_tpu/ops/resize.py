@@ -424,9 +424,10 @@ def _resize_native(arr: np.ndarray, width: int, height: int, name: str,
                    fscale: float):
     """C++ separable resize (native/src/hostresize.cc) — the reference's
     own architecture (resize.cc:66-134): sequential-f32 tap
-    accumulation, pinned pack numerics. uint8 only; returns None when
-    not applicable so callers fall through."""
-    if arr.dtype != np.uint8 or arr.ndim != 3:
+    accumulation, pinned pack numerics. uint8 + uint16 (deep r16*
+    formats, resize.cc:136-149); returns None when not applicable so
+    callers fall through."""
+    if arr.dtype not in (np.uint8, np.uint16) or arr.ndim != 3:
         return None
     try:
         from ..native import lib as native

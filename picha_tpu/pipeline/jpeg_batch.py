@@ -287,7 +287,7 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
 
             unpack = build_wire_unpack(scan_ks, n)
             dec_args, qtabs = unpack(args[0])
-            core = build_decoder_core(*scan_ks[:8])
+            core = build_decoder_core(*scan_ks[:-1])
             scan_out, ok_flag = core(*dec_args)
             coefs = split_planes(scan_out, comp_sig)
         elif gap4_ks is not None:

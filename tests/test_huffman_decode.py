@@ -129,6 +129,41 @@ def test_device_kernel_fixture():
     _exact([(FIXTURES / "test2.jpg").read_bytes()])
 
 
+def test_restart_single_pass_mode():
+    """Restart-interval corpora take the single-pass (Jacobi-free)
+    decoder: one lane per segment, entries exact by construction."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (120, 160, 3), np.uint8)
+    bufs = [bytes(native.jpeg_encode(
+        np.ascontiguousarray((img.astype(np.int32) + i) % 256,
+                             ).astype(np.uint8), 85, restart=8))
+            for i in range(3)]
+    infos = [jpeg_scan.parse_baseline(b) for b in bufs]
+    sb = ScanBatch(infos)
+    assert sb.single_pass
+    assert bool(sb.lane_pinned.all())
+    _exact(bufs)  # exact vs libjpeg through the single-pass kernel
+    # without restarts the same content stays on the chunked path
+    plain = jpeg_scan.parse_baseline(
+        bytes(native.jpeg_encode(img, 85)))
+    assert not ScanBatch([plain]).single_pass
+
+
+def test_single_pass_truncated_flags_fallback():
+    """A restart stream with a chopped segment must flag, not crash."""
+    rng = np.random.default_rng(12)
+    buf = bytearray(native.jpeg_encode(
+        rng.integers(0, 256, (64, 64, 3), np.uint8), 85, restart=2))
+    cut = bytes(buf[: len(buf) * 2 // 3])
+    info = jpeg_scan.parse_baseline(cut)
+    if info is None:
+        return
+    sb = ScanBatch([info])
+    planes = decode_planes(sb)
+    assert planes is None or planes[0].shape[1:] == (
+        info.comp_sig[0][0], info.comp_sig[0][1], 64)
+
+
 def test_step_budget_bound():
     rng = np.random.default_rng(7)
     buf = native.jpeg_encode(rng.integers(0, 256, (32, 32, 3), np.uint8),

@@ -164,3 +164,22 @@ def test_native_resize_upscale_and_edges():
     got = _resize_native(img, 31, 17, "cubic", 0.70)
     want = _resize_numpy(img, 31, 17, "cubic", 0.70)
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_native_resize_deep_u16():
+    """16-bit (r16*) images take the native path too (the deep leg of
+    reference resize.cc:136-149), within 1 LSB of the numpy path."""
+    from picha_tpu.ops.resize import _resize_native, _resize_numpy
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 65536, (48, 60, ch), dtype=np.uint16)
+        got = _resize_native(img, 29, 21, "cubic", 0.70)
+        assert got is not None and got.dtype == np.uint16
+        want = _resize_numpy(img, 29, 21, "cubic", 0.70)
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    # up-scale + single-image API round trip stays uint16
+    import picha_tpu as picha
+    im = picha.Image.from_array(
+        rng.integers(0, 65536, (20, 30, 3), dtype=np.uint16), "r16g16b16")
+    out = picha.resizeSync(im, {"width": 45, "height": 31})
+    assert out.pixel == "r16g16b16" and (out.width, out.height) == (45, 31)
