@@ -156,9 +156,56 @@ def _safe_set_exception(fut: Future, exc: BaseException) -> None:
         pass
 
 
+def _race_cache_path():
+    """The winning-config cache lives next to the XLA compile cache —
+    the same "one-time cost per deployment" story."""
+    import os
+    import pathlib
+
+    from ..runtime import compile_cache
+
+    base = pathlib.Path(os.environ.get("PICHA_COMPILE_CACHE_DIR",
+                                       compile_cache._DEFAULT_DIR))
+    return base / "stream_best.json"
+
+
+def _race_cache_load(key: str):
+    import json
+
+    try:
+        with open(_race_cache_path()) as f:
+            return json.load(f).get(key)
+    except Exception:  # noqa: BLE001 — cache is an optimisation only
+        return None
+
+
+def _race_cache_store(key: str, entry) -> None:
+    import json
+    import os
+
+    path = _race_cache_path()
+    try:
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except Exception:  # noqa: BLE001
+            data = {}
+        if entry is None:
+            data.pop(key, None)
+        else:
+            data[key] = entry
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = str(path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, path)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def stream_best(batches, *, width, height, quality=85,
-                configs=("host", "gap4+device", "scan+device"),
-                probe_batches=2, depth=2):
+                configs=("host", "host-raw", "gap4+device", "scan+device"),
+                probe_batches=2, depth=2, use_cache=True):
     """Self-tuning transcode stream: probe each deployable
     configuration on live traffic, then run the rest of the stream
     through the fastest.
@@ -176,33 +223,64 @@ def stream_best(batches, *, width, height, quality=85,
     ABORTED) scores as losing and its chunk is replayed through the
     host path — nothing is ever dropped.
 
-    configs: subset of "host", "host-fast", "<upload>+<backend>"
-    (e.g. "gap4+device", "scan+device", "gap4+raw420"). "host-fast"
-    uses the draft-mode DCT-scaled decode when the target is exactly
-    source/2^k — a different resampling than the cubic filter (close
-    on natural content, not on noise), so it is opt-in here; bench.py
-    shows how to gate it on a measured quality check."""
+    configs: subset of "host", "host-raw", "host-fast",
+    "<upload>+<backend>" (e.g. "gap4+device", "scan+device",
+    "gap4+raw420"). "host-raw" transcodes in the 4:2:0 raw domain
+    (ops/raw420.py) — strict ≤1 LSB parity with the cubic path.
+    "host-fast" uses the draft-mode DCT-scaled decode when the target
+    is exactly source/2^k — a different resampling than the cubic
+    filter (close on natural content, not on noise), so it is opt-in
+    here; bench.py shows how to gate it on a measured quality check.
+
+    The probe's winner persists next to the XLA compile cache keyed by
+    the deployment signature (geometry, quality, configs, host cores),
+    so a process restart goes straight to the winning config instead of
+    re-paying the probe batches; the entry is invalidated if the cached
+    config later fails. Set use_cache=False (or delete
+    .jax_cache/stream_best.json) to force a fresh race."""
+    import os
     import time
     from itertools import islice
 
     probe_batches = max(1, probe_batches)
 
     def make(config):
-        if config in ("host", "host-fast"):
+        if config in ("host", "host-fast", "host-raw"):
             p = JpegBatchPipeline(width=width, height=height,
                                   encode_quality=quality,
                                   encode_backend="host",
-                                  host_fast_scale=(config == "host-fast"))
+                                  host_fast_scale=(config == "host-fast"),
+                                  host_raw=(config == "host-raw"))
             return p, p.stream_host
         upload, backend = config.split("+")
         p = JpegBatchPipeline(width=width, height=height,
                               encode_quality=quality,
                               encode_backend=backend, fused=True,
-                              upload=upload)
+                              upload=upload, host_raw=True)
         return p, (lambda bs: p.stream_hybrid(bs, depth=depth))
 
-    host_pipe, host_runner = make("host")
+    cache_key = "|".join(map(str, (width, height, quality,
+                                   ",".join(sorted(configs)),
+                                   os.cpu_count() or 1)))
+    cached = _race_cache_load(cache_key) if use_cache else None
     it = iter(batches)
+    if cached and cached.get("best") in set(configs) | {"host"}:
+        best = cached["best"]
+        pipe, runner = make(best)
+        try:
+            for out in runner(it):
+                yield out
+            return
+        except GeneratorExit:
+            raise
+        except Exception:
+            # the cached winner no longer works in this deployment —
+            # forget it so the next start re-races (batches already
+            # consumed by the failed runner cannot be replayed here)
+            _race_cache_store(cache_key, None)
+            raise
+
+    host_pipe, host_runner = make("host")
     rates = {}
     winners = {"host": (host_pipe, host_runner)}
     for config in configs:
@@ -234,6 +312,11 @@ def stream_best(batches, *, width, height, quality=85,
         if not chunk:
             break
     best = max(rates, key=rates.get) if rates else "host"
+    if use_cache and rates:
+        _race_cache_store(cache_key, {
+            "best": best,
+            "rates": {k: round(v, 3) for k, v in rates.items()},
+            "saved_at": time.time()})
     for config, (pipe, _r) in winners.items():
         if config != best and config != "host":
             pipe.close()

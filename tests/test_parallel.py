@@ -90,6 +90,95 @@ def test_multihost_helpers_single_process():
     multihost.initialize()  # no-op single process
 
 
+def test_multihost_two_process_distributed():
+    """REAL jax.distributed bootstrap: two CPU processes form a
+    2-device global mesh; each contributes its local_shard and the
+    cross-process global_batch reduces to the same total on both
+    (SURVEY.md §5.8 — DCN only for input dispatch)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    child = textwrap.dedent("""
+        import sys
+        import numpy as np
+        pid, coord, repo = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+        sys.path.insert(0, repo)
+        import jax
+        import jax.numpy as jnp
+        from picha_tpu.parallel import multihost
+        from picha_tpu.parallel.mesh import make_mesh
+        multihost.initialize(coordinator=coord, num_processes=2,
+                             process_id=pid)
+        assert jax.process_count() == 2
+        assert len(jax.devices()) == 2
+        mesh = make_mesh((("dp", 2),))
+        items = [np.full((3, 4), i, np.float32) for i in range(8)]
+        local = multihost.local_shard(items)
+        g = multihost.global_batch(np.stack(local), mesh)
+        assert g.shape == (8, 3, 4)
+        print("RESULT", pid, float(jax.jit(jnp.sum)(g)), flush=True)
+    """)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # don't register the TPU
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", child, str(i), f"127.0.0.1:{port}", repo],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    results = {}
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"proc {i} failed: {err[-800:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, total = line.split()
+                results[int(pid)] = float(total)
+    # sum(i for i in 0..7) * 3 * 4 = 28 * 12, identical on both hosts
+    assert results == {0: 336.0, 1: 336.0}, results
+
+
+def test_stream_best_persists_winner(tmp_path, monkeypatch):
+    """The config race's winner is cached next to the XLA cache and a
+    restart (same deployment key) skips re-probing."""
+    import json
+
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import serving
+
+    monkeypatch.setenv("PICHA_COMPILE_CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+    bufs = [bytes(native.jpeg_encode(img, 85)) for _ in range(4)]
+    batches = [bufs, bufs, bufs, bufs]
+    outs = list(serving.stream_best(
+        iter(batches), width=40, height=32, quality=85,
+        configs=("host", "host-raw"), probe_batches=1))
+    assert len(outs) == len(batches)
+    cache = json.loads((tmp_path / "stream_best.json").read_text())
+    (key, entry), = cache.items()
+    assert entry["best"] in ("host", "host-raw")
+    assert entry["rates"]
+    # second run: cached winner, probe skipped -> all batches through
+    # one runner (rates untouched)
+    outs2 = list(serving.stream_best(
+        iter(batches), width=40, height=32, quality=85,
+        configs=("host", "host-raw"), probe_batches=1))
+    assert len(outs2) == len(batches)
+    cache2 = json.loads((tmp_path / "stream_best.json").read_text())
+    assert cache2[key]["saved_at"] == entry["saved_at"]  # not re-raced
+
+
 def test_dp_sharded_jpeg_batch_graph():
     """The fused decode+resize bucket graph under a dp-sharded
     coefficient batch equals the unsharded result."""
