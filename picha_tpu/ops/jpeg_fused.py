@@ -79,70 +79,19 @@ def component_weights(dst_size: int, full_size: int, comp_size: int,
     return T
 
 
-BAND_TILE_O = 128  # output columns per banded tile
-# Measured on v5e: the banded contraction loses to the dense fold
-# (4.95 ms vs 3.2 ms per 16x1080p batch) because the vmap-gather
-# materialises the per-tile windows in HBM (~170 MB/batch), costing
-# more bandwidth than the 7x FLOP saving recovers — the MXU runs the
-# dense K=1920 f32 matmul at ~80% peak anyway. Kept for a future
-# Pallas kernel that can slice windows from VMEM without
-# materialisation; effectively disabled by default.
-BAND_MIN_BLOCKS = 10 ** 9
-
-
-@functools.lru_cache(maxsize=512)
-def banded_T(dst_size: int, full_size: int, comp_size: int, factor: int,
-             filter_name: str, fscale: float):
-    """Block-banded version of component_weights: per output tile of
-    BAND_TILE_O, a contiguous block window [start, start+nb) and the
-    (T, tile_o, nb, 8) weight slice. Entries outside a tile's true
-    window are exact zeros, so results match the dense fold."""
-    T = component_weights(dst_size, full_size, comp_size, factor,
-                          filter_name, fscale)  # (dst, blocks, 8)
-    blocks = T.shape[1]
-    tiles = -(-dst_size // BAND_TILE_O)
-    dst_pad = tiles * BAND_TILE_O
-    if dst_pad != dst_size:
-        T = np.pad(T, ((0, dst_pad - dst_size), (0, 0), (0, 0)))
-    starts, spans = [], []
-    for t in range(tiles):
-        blk = T[t * BAND_TILE_O:(t + 1) * BAND_TILE_O]
-        nz = np.nonzero(np.abs(blk).sum(axis=(0, 2)))[0]
-        if nz.size == 0:
-            starts.append(0)
-            spans.append(1)
-        else:
-            starts.append(int(nz[0]))
-            spans.append(int(nz[-1]) + 1 - int(nz[0]))
-    nb = min(blocks, max(spans))
-    start_arr = np.array([min(s, blocks - nb) for s in starts], np.int32)
-    W = np.stack([T[t * BAND_TILE_O:(t + 1) * BAND_TILE_O,
-                    start_arr[t]:start_arr[t] + nb]
-                  for t in range(tiles)])  # (tiles, tile_o, nb, 8)
-    return start_arr, W.astype(np.float32), dst_pad
-
-
-def _banded_axis(x, dst_size, full_size, comp_size, factor, filter_name,
-                 fscale):
-    """Contract the block axis of x (..., blocks, 8) -> (..., dst_size)
-    with the banded folded weights."""
-    import jax
-    import jax.numpy as jnp
-
-    starts, W, dst_pad = banded_T(dst_size, full_size, comp_size, factor,
-                                  filter_name, fscale)
-    nb = W.shape[2]
-    block_axis = x.ndim - 2
-
-    def slice_one(s):
-        return jax.lax.dynamic_slice_in_dim(x, s, nb, axis=block_axis)
-
-    g = jax.vmap(slice_one)(jnp.asarray(starts))  # (T, ..., nb, 8)
-    out = jnp.einsum("t...wu,towu->t...o", g, jnp.asarray(W),
-                     preferred_element_type=jnp.float32)
-    out = jnp.moveaxis(out, 0, -2)  # (..., T, tile_o)
-    out = out.reshape(out.shape[:-2] + (dst_pad,))
-    return out[..., :dst_size]
+# Why the DENSE fold is the one fast path (two rounds of real-chip
+# A/Bs; full tables in docs/PERFORMANCE.md): the contribution matrices
+# are banded (~7x fewer FLOPs at 2x downscale), but every banded
+# formulation measured slower — the XLA vmap-gather form materialises
+# per-tile windows in HBM (4.95 ms vs 3.2 ms per 16x1080p batch), and
+# the windowed-VMEM Pallas kernel (row tiles resident in VMEM,
+# scalar-prefetched lane-aligned window starts — three variants:
+# 2-D grid, in-kernel loop, bf16 operands) lost 2.3-3.8x. The dense
+# K~1900 f32 matmul already runs the MXU at ~80% peak, so the FLOP
+# saving cannot pay for lower systolic-array utilisation on the small
+# banded tiles. The losing kernels were removed in round 3
+# (git history: ops/banded_pallas.py, resize_pallas.py,
+# jpeg_fused_pallas.py).
 
 
 def fused_component(coefs, qtable, comp_geom=None):
@@ -150,8 +99,7 @@ def fused_component(coefs, qtable, comp_geom=None):
     sample values (level-shifted, unclamped).
 
     comp_geom: (out_w, out_h, width, height, dw, dh, fw_factor,
-    fv_factor, filter_name, fscale). Chooses block-banded contraction
-    when the block axes are long enough to pay off."""
+    fv_factor, filter_name, fscale)."""
     import jax.numpy as jnp
 
     (out_w, out_h, width, height, dw, dh, fx, fy, filter_name,
@@ -160,24 +108,12 @@ def fused_component(coefs, qtable, comp_geom=None):
     n, bh, bw = cq.shape[0], cq.shape[1], cq.shape[2]
     cq = cq.reshape(n, bh, bw, 8, 8)  # [v, u]
 
-    if bw >= BAND_MIN_BLOCKS:
-        # (n, bh, v, bw, u) so the contracted block axis is at -2
-        xt = jnp.swapaxes(cq, 2, 3)
-        tmp = _banded_axis(xt, out_w, width, dw, fx, filter_name, fscale)
-        # tmp: (n, bh, v, out_w)
-    else:
-        th = component_weights(out_w, width, dw, fx, filter_name, fscale)
-        tmp = jnp.einsum("nhwvu,owu->nhvo", cq, jnp.asarray(th),
-                         preferred_element_type=jnp.float32)
-    if bh >= BAND_MIN_BLOCKS:
-        # contract (bh, v): put them at the end as (n, out_w, bh, v)
-        xt = jnp.moveaxis(tmp, (1, 2), (-2, -1))  # (n, out_w, bh, v)
-        out = _banded_axis(xt, out_h, height, dh, fy, filter_name, fscale)
-        out = jnp.swapaxes(out, -1, -2)  # (n, out_h, out_w)
-    else:
-        tv = component_weights(out_h, height, dh, fy, filter_name, fscale)
-        out = jnp.einsum("nhvo,yhv->nyo", tmp, jnp.asarray(tv),
-                         preferred_element_type=jnp.float32)
+    th = component_weights(out_w, width, dw, fx, filter_name, fscale)
+    tmp = jnp.einsum("nhwvu,owu->nhvo", cq, jnp.asarray(th),
+                     preferred_element_type=jnp.float32)
+    tv = component_weights(out_h, height, dh, fy, filter_name, fscale)
+    out = jnp.einsum("nhvo,yhv->nyo", tmp, jnp.asarray(tv),
+                     preferred_element_type=jnp.float32)
     return out + 128.0
 
 

@@ -219,9 +219,8 @@ def banded_plan_from_matrix(W: np.ndarray, tile: int, align: int = 1):
     """Tile any banded (dst, src) matrix into
     (starts (T,) int32, weights (T, tile, in_len) f32, dst_pad).
 
-    `align` forces every window start to a multiple of that value
-    (lane alignment for the Pallas kernel); the windows widen to
-    compensate, extra taps are exact zeros."""
+    `align` forces every window start to a multiple of that value;
+    the windows widen to compensate, extra taps are exact zeros."""
     dst_size, src_size = W.shape
     T = -(-dst_size // tile)
     dst_pad = T * tile
@@ -244,7 +243,7 @@ def banded_plan_from_matrix(W: np.ndarray, tile: int, align: int = 1):
         starts = np.array([min(l, max(0, src_size - in_len)) for l in los],
                           dtype=np.int32)
     else:
-        # Pallas path: starts stay aligned, the caller pads the source
+        # aligned mode: starts stay aligned, the caller pads the source
         # to starts.max() + in_len; out-of-range taps are exact zeros
         in_len = -(-in_len // align) * align
         starts = np.array(los, dtype=np.int32)
@@ -355,13 +354,6 @@ def resize_array(arr: np.ndarray, width: int, height: int,
             out = _jit_resize(np.dtype(arr.dtype).name, width, height,
                               name, fscale)(np.asarray(arr))
         return np.asarray(out)
-    if _use_pallas(arr):
-        from .resize_pallas import resize_batch_pallas
-
-        batched = arr if arr.ndim == 4 else arr[None]
-        out = resize_batch_pallas(batched, width, height, filter=name,
-                                  filter_scale=fscale)
-        return np.asarray(out if arr.ndim == 4 else out[0])
     out = _jit_resize(np.dtype(arr.dtype).name, width, height, name, fscale)(arr)
     return np.asarray(out)
 
@@ -449,20 +441,6 @@ def _resize_numpy(arr: np.ndarray, width: int, height: int, name: str,
     tmp = np.einsum("ow,...hwc->...hoc", wh, f)
     out = np.einsum("oh,...hwc->...owc", wv, tmp)
     return pack_f32(out, arr.dtype)
-
-
-def _use_pallas(arr) -> bool:
-    """PICHA_RESIZE_IMPL=pallas routes large images through the Pallas
-    kernel (TPU backends only — it has no CPU lowering)."""
-    import os
-
-    if os.environ.get("PICHA_RESIZE_IMPL") != "pallas":
-        return False
-    if max(arr.shape[-3], arr.shape[-2]) <= BANDED_THRESHOLD:
-        return False
-    import jax
-
-    return jax.default_backend() not in ("cpu",)
 
 
 def resize_image(img: Image, opts: dict) -> Image:

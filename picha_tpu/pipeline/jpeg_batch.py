@@ -313,8 +313,7 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
         def pixel_stages(coefs, qtabs):
             if fused:
                 # single-shot path: dequant+IDCT+upsample(+resize) folded
-                # into two matmuls per component (ops/jpeg_fused.py, or the
-                # Pallas banded kernel when fused == "pallas");
+                # into two matmuls per component (ops/jpeg_fused.py);
                 # decode-only uses identity resampling matrices
                 from ..ops.jpeg_fused import IDENTITY, fused_decode_resize
 
@@ -322,16 +321,9 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                     fw, fh, fname = out_w, out_h, filter_name
                 else:
                     fw, fh, fname = width, height, IDENTITY
-                if fused == "pallas":
-                    from ..ops.jpeg_fused_pallas import fused_decode_resize_pallas
-
-                    f255 = fused_decode_resize_pallas(
-                        comp_sig, color_space, width, height, fw, fh, fname,
-                        filter_scale, coefs, qtabs)
-                else:
-                    f255 = fused_decode_resize(comp_sig, color_space, width,
-                                               height, fw, fh, fname,
-                                               filter_scale, coefs, qtabs)
+                f255 = fused_decode_resize(comp_sig, color_space, width,
+                                           height, fw, fh, fname,
+                                           filter_scale, coefs, qtabs)
                 if normalize:
                     return jnp.clip(f255, 0.0, 255.0) * jnp.float32(1.0 / 255.0)
                 img = jnp.floor(jnp.clip(f255 + 0.5, 0.0, 255.0)).astype(jnp.int32)

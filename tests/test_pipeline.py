@@ -183,16 +183,6 @@ def test_sparse_upload_matches_dense(jpeg_bufs):
     np.testing.assert_array_equal(dense, sparse)
 
 
-def test_pallas_resize_matches_xla_interpret():
-    from picha_tpu.ops.resize_pallas import resize_batch_pallas
-    from picha_tpu.ops.resize import resize_array
-    rng = np.random.default_rng(21)
-    img = rng.integers(0, 256, (2, 40, 600, 3), dtype=np.uint8)
-    got = np.asarray(resize_batch_pallas(img, 300, 20, interpret=True))
-    want = resize_array(img, 300, 20)
-    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
-
-
 def test_raw420_encode_backend(jpeg_bufs):
     p = JpegBatchPipeline(width=32, height=32, encode_quality=92,
                           encode_backend="raw420")
@@ -300,14 +290,10 @@ def test_batcher_survives_cancelled_future(jpeg_bufs):
         b.close()
 
 
-def test_fused_banded_large_image(monkeypatch):
-    # force the block-banded fused contraction on (disabled by default
-    # on perf grounds; see ops/jpeg_fused.py) — must match staged
+def test_fused_large_image_matches_staged():
+    # large-geometry fused fold must match the staged path in both
+    # scale directions
     from picha_tpu.native import lib as native
-    from picha_tpu.ops import jpeg_fused
-    from picha_tpu.pipeline import jpeg_batch
-    monkeypatch.setattr(jpeg_fused, "BAND_MIN_BLOCKS", 48)
-    jpeg_batch._jit_batch_graph.cache_clear()
     rng = np.random.default_rng(0)
     w = h = 384
     yy, xx = np.mgrid[0:h, 0:w]
@@ -339,25 +325,6 @@ def test_fused_with_tpu_encode_backend(jpeg_bufs):
         JpegBatchPipeline(width=32, height=24, encode_quality=90,
                           encode_backend="host")(jpeg_bufs)[0])
     assert img.avg_channel_diff(ref) < 4
-
-
-def test_pallas_fused_matches_xla_fused_interpret(jpeg_bufs):
-    """Pallas banded fused decode (interpret mode) is bit-exact vs the
-    XLA fused fold (same T matrices; zero tails exact)."""
-    import jax.numpy as jnp
-    from picha_tpu.ops.jpeg_fused_pallas import fused_decode_resize_pallas
-
-    p = JpegBatchPipeline(width=32, height=24, fused=True)
-    cos = p.entropy_decode(jpeg_bufs[:2])
-    sig, args = p.stack_bucket(cos)
-    want = np.asarray(p.run_bucket(sig, args))
-    n = len(sig[3])
-    out255 = fused_decode_resize_pallas(
-        sig[3], sig[2], sig[0], sig[1], 32, 24, p._filter, p._fscale,
-        [jnp.asarray(c) for c in args[:n]],
-        [jnp.asarray(q) for q in args[n:]], interpret=True)
-    got = np.asarray(jnp.floor(jnp.clip(out255 + 0.5, 0, 255)).astype(jnp.uint8))
-    np.testing.assert_array_equal(got, want)
 
 
 def test_png_batch_pipeline_matches_single():
