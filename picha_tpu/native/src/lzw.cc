@@ -59,34 +59,22 @@ struct BitWriterMSB {
 
 PICHA_API int picha_lzw_decode(const uint8_t* src, size_t srclen, uint8_t* out,
                                size_t outcap, size_t* outlen) {
-  // string table: prefix link + suffix byte
-  std::vector<int> prefix(4096, -1);
-  std::vector<uint8_t> suffix(4096, 0);
-  std::vector<uint8_t> stack;
-  stack.reserve(4096);
+  // Every table entry's expansion already exists CONTIGUOUSLY in the
+  // decoded output (entry = previous emission + first byte of the one
+  // after it, and emissions are back to back), so the table stores
+  // (output position, length) and emission is one forward copy — no
+  // prefix-chain walk, no reversal stack (the usual 2-4x over the
+  // linked-table form).
+  std::vector<uint32_t> tpos(4096, 0);
+  std::vector<uint32_t> tlen(4096, 0);
 
   BitReaderMSB br(src, srclen);
   size_t written = 0;
   int width = 9;
   int next = kFirst;
   int old_code = -1;
-
-  auto emit = [&](int code) -> bool {
-    stack.clear();
-    while (code >= kFirst) {
-      if (code >= next) return false;
-      stack.push_back(suffix[code]);
-      code = prefix[code];
-    }
-    stack.push_back((uint8_t)code);
-    if (written + stack.size() > outcap) return false;
-    for (size_t i = stack.size(); i-- > 0;) out[written++] = stack[i];
-    return true;
-  };
-  auto first_byte = [&](int code) -> uint8_t {
-    while (code >= kFirst) code = prefix[code];
-    return (uint8_t)code;
-  };
+  size_t w_old = 0;   // where old_code's expansion was just written
+  size_t len_old = 0;
 
   for (;;) {
     int code = br.read(width);
@@ -100,27 +88,41 @@ PICHA_API int picha_lzw_decode(const uint8_t* src, size_t srclen, uint8_t* out,
     if (old_code < 0) {
       if (code >= kFirst) return -1;
       if (written >= outcap) return -2;
-      out[written++] = (uint8_t)code;
+      out[written] = (uint8_t)code;
+      w_old = written;
+      len_old = 1;
+      written += 1;
       old_code = code;
     } else {
-      if (code < next) {
-        if (!emit(code)) return -2;
-        if (next < 4096) {
-          prefix[next] = old_code;
-          suffix[next] = first_byte(code);
-          ++next;
-        }
-      } else if (code == next) {  // KwKwK
-        uint8_t fb = first_byte(old_code);
-        if (next < 4096) {
-          prefix[next] = old_code;
-          suffix[next] = fb;
-          ++next;
-        }
-        if (!emit(code)) return -2;
-      } else {
-        return -1;
+      if (code > next) return -1;           // undefined code
+      if (code == next && next >= 4096) return -1;
+      if (next < 4096) {
+        // new entry = expansion(old) + first(current emission); both
+        // sit adjacent in the output: [w_old, w_old + len_old + 1)
+        tpos[next] = (uint32_t)w_old;
+        tlen[next] = (uint32_t)(len_old + 1);
+        ++next;
       }
+      size_t n, sp;
+      if (code < 256) {
+        n = 1;
+        sp = 0;
+        if (written >= outcap) return -2;
+        out[written] = (uint8_t)code;
+      } else {
+        n = tlen[code];
+        sp = tpos[code];
+        if (n == 0) return -1;  // stale entry after a clear
+        if (written + n > outcap) return -2;
+        if (sp + n <= written) {
+          memcpy(out + written, out + sp, n);
+        } else {  // KwKwK: the entry's last byte IS its first output byte
+          for (size_t i = 0; i < n; ++i) out[written + i] = out[sp + i];
+        }
+      }
+      w_old = written;
+      len_old = n;
+      written += n;
       old_code = code;
       // TIFF early change (calibrated against libtiff): the decoder
       // widens when its table reaches (1<<w)-1; the encoder — whose

@@ -88,6 +88,14 @@ PICHA_API int picha_packbits_decode(const uint8_t* src, size_t srclen,
                                     uint8_t* out, size_t outcap,
                                     size_t* outlen);
 
+// Raw 4:2:0 plane encode (jpeg_write_raw_data: fDCT+quant+Huffman
+// only; planes padded to ceil16 / half that).
+PICHA_API int picha_jpeg_encode_raw420(const uint8_t* y, const uint8_t* cb,
+                                       const uint8_t* cr, int width,
+                                       int height, int quality,
+                                       int restart_mcus, uint8_t** out,
+                                       size_t* outlen, char** err);
+
 // Raw 4:2:0 plane decode (Huffman+IDCT only; see jpegshim.cc). Returns
 // 0 ok, 1 unsupported-layout (fall back), -1 error (err set).
 PICHA_API int picha_jpeg_decode_raw420(const uint8_t* src, size_t len,

@@ -127,8 +127,45 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
         picha_free(jout);
       }
     }
+    // raw 4:2:0 round trip of the SHARED buffer (Huffman+IDCT only)
+    int wp = (w + 15) & ~15, hp = (h + 15) & ~15;
+    std::vector<uint8_t> yp((size_t)hp * wp);
+    std::vector<uint8_t> cbp((size_t)(hp / 2) * (wp / 2));
+    std::vector<uint8_t> crp(cbp.size());
+    char* rerr = nullptr;
+    int rrc = picha_jpeg_decode_raw420(shared_jpeg, jpeg_len, yp.data(),
+                                       cbp.data(), crp.data(), &rerr);
+    if (rrc == 0) {
+      uint8_t* r420 = nullptr;
+      size_t rl = 0;
+      if (picha_jpeg_encode_raw420(yp.data(), cbp.data(), crp.data(), w, h,
+                                   80, 0, &r420, &rl, &rerr) == 0) {
+        picha_free(r420);
+      } else {
+        ++failures;
+        picha_free(rerr);
+      }
+    } else if (rrc < 0) {
+      ++failures;
+      picha_free(rerr);
+    }
   } else {
     ++failures;
+  }
+
+  // deep (u16) resize on private buffers: uniform 2-tap half/half taps
+  {
+    std::vector<uint16_t> s16((size_t)48 * 64 * 3);
+    for (size_t i = 0; i < s16.size(); ++i) s16[i] = (uint16_t)(i * 2654435761u);
+    std::vector<uint16_t> d16((size_t)24 * 32 * 3);
+    std::vector<int32_t> xs(32), ys(24);
+    std::vector<float> xw(32 * 2, 0.5f), yw(24 * 2, 0.5f);
+    for (int i = 0; i < 32; ++i) xs[i] = i * 2 < 63 ? i * 2 : 62;
+    for (int i = 0; i < 24; ++i) ys[i] = i * 2 < 47 ? i * 2 : 46;
+    if (picha_resize_u16(s16.data(), 48, 64, 3, d16.data(), 24, 32,
+                         xs.data(), xw.data(), 2, ys.data(), yw.data(), 2)
+        != 0)
+      ++failures;
   }
 }
 }  // namespace

@@ -70,7 +70,13 @@ class ImageBatchPipeline:
                  convert: Optional[str] = None,
                  normalize: bool = False,
                  encode: Optional[tuple] = None,
-                 num_threads: int = 8):
+                 num_threads: int = 8,
+                 backend: str = "auto"):
+        """backend: 'device' runs crop/resize/convert as one jit graph
+        (the TPU path); 'host' runs crop as a view + the native AVX2
+        resize per image (measured 13x faster than the XLA:CPU graph on
+        a 1-core host); 'auto' picks host when JAX's default backend is
+        cpu and the op chain qualifies (u8/u16, no normalize/convert)."""
         opts = {}
         if filter is not None:
             opts["filter"] = filter
@@ -82,8 +88,20 @@ class ImageBatchPipeline:
         self.convert = convert
         self.normalize = normalize
         self.encode = encode
+        if backend not in ("auto", "host", "device"):
+            raise ValueError("backend must be auto/host/device")
+        self.backend = backend
         self._pool = ThreadPoolExecutor(max_workers=num_threads,
                                         thread_name_prefix="picha-batch")
+
+    def _map(self, fn, seq):
+        """Pool map on multi-core hosts; serial on one core where pool
+        threads only convoy on the GIL (same rule as JpegBatchPipeline)."""
+        import os
+
+        if (os.cpu_count() or 1) <= 1:
+            return [fn(x) for x in seq]
+        return list(self._pool.map(fn, seq))
 
     def decode_batch(self, bufs: Sequence[bytes], opts: Optional[dict] = None,
                      mimetype: Optional[str] = None) -> np.ndarray:
@@ -100,18 +118,55 @@ class ImageBatchPipeline:
             from .. import decode_sync
 
             decode = lambda b: decode_sync(b, opts or {})  # noqa: E731
-        imgs = list(self._pool.map(decode, bufs))
+        imgs = self._map(decode, bufs)
         shapes = {(i.width, i.height, i.pixel) for i in imgs}
         if len(shapes) != 1:
             raise ValueError("mixed shapes/formats; bucket inputs first")
         return np.stack([i.to_array() for i in imgs])
 
+    def _host_eligible(self, batch: np.ndarray) -> bool:
+        if self.backend == "device":
+            return False
+        if self.normalize or self.convert is not None:
+            return False
+        if batch.dtype not in (np.uint8, np.uint16):
+            return False
+        if self.backend == "host":
+            return True
+        import jax
+
+        return jax.default_backend() == "cpu"
+
     def transform(self, batch: np.ndarray):
-        """(N, H, W, C) -> device output of the fused op chain."""
+        """(N, H, W, C) -> output of the fused op chain (device jit, or
+        the native host path — see `backend`)."""
+        if self._host_eligible(batch):
+            return self._transform_host(batch)
         fn = _jit_transform(batch.shape[1:], batch.dtype.name, self.crop,
                             self.resize, self._filter, self._fscale,
                             self.convert, batch.shape[-1], self.normalize)
         return fn(batch)
+
+    def _transform_host(self, batch: np.ndarray) -> np.ndarray:
+        from ..ops.resize import _resize_native, resize_array
+
+        x = batch
+        if self.crop is not None:
+            cx, cy, cw, ch = self.crop
+            x = x[:, cy:cy + ch, cx:cx + cw]
+        if self.resize is None:
+            return np.ascontiguousarray(x)
+        w, h = self.resize
+        outs = []
+        for im in x:
+            r = _resize_native(np.ascontiguousarray(im), w, h,
+                               self._filter, self._fscale)
+            if r is None:  # native lib unavailable: numpy/XLA fallback
+                r = resize_array(np.ascontiguousarray(im), w, h,
+                                 filter=self._filter,
+                                 filter_scale=self._fscale)
+            outs.append(r)
+        return np.stack(outs)
 
     def encode_batch(self, batch: np.ndarray) -> list:
         mimetype, opts = self.encode
@@ -121,7 +176,7 @@ class ImageBatchPipeline:
         def enc(arr):
             return codec.encode_sync(Image.from_array(arr, pixel), opts or {})
 
-        return list(self._pool.map(enc, batch))
+        return self._map(enc, batch)
 
     def __call__(self, bufs: Sequence[bytes], decode_opts: Optional[dict] = None,
                  mimetype: Optional[str] = None):
@@ -148,7 +203,7 @@ class ImageBatchPipeline:
             from .. import decode_sync
 
             decode = lambda b: decode_sync(b, decode_opts or {})  # noqa: E731
-        imgs = list(self._pool.map(decode, bufs))
+        imgs = self._map(decode, bufs)
         buckets: dict = {}
         for i, img in enumerate(imgs):
             buckets.setdefault((img.width, img.height, img.pixel),
