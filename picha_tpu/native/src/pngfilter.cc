@@ -10,6 +10,10 @@
 #include <cstdlib>
 #include <cstring>
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 #include "picha_native.h"
 
 namespace {
@@ -24,6 +28,85 @@ inline uint8_t paeth_predict(int a, int b, int c) {
   return (uint8_t)c;
 }
 
+#ifdef __AVX2__
+// Pixel-stepped SSE reconstruction for the serial filters (the
+// standard libpng-style vectorisation, implemented independently):
+// one 3/4-byte pixel per iteration with the maths in 16-bit lanes —
+// the row recurrence stays, the per-byte branches go. The last pixel
+// runs scalar so 4-byte loads never cross the buffer end.
+
+inline __m128i load_px(const uint8_t* p) {
+  return _mm_cvtsi32_si128(*(const int32_t*)p);  // 4 bytes (bpp<=4)
+}
+
+inline void store_px(uint8_t* p, __m128i v, int bpp) {
+  uint32_t w = (uint32_t)_mm_cvtsi128_si32(v);
+  if (bpp == 4) {
+    memcpy(p, &w, 4);
+  } else {
+    p[0] = (uint8_t)w;
+    p[1] = (uint8_t)(w >> 8);
+    p[2] = (uint8_t)(w >> 16);
+  }
+}
+
+void unfilter_avg_sse(const uint8_t* in, uint8_t* out, const uint8_t* prev,
+                      int rowbytes, int bpp) {
+  const __m128i zero = _mm_setzero_si128();
+  __m128i a = zero;  // previous output pixel, 16-bit lanes
+  int i = 0;
+  int safe = rowbytes - bpp;  // last pixel handled scalar
+  for (; i + bpp <= safe; i += bpp) {
+    __m128i b = _mm_unpacklo_epi8(load_px(prev + i), zero);
+    __m128i x = _mm_unpacklo_epi8(load_px(in + i), zero);
+    __m128i avg = _mm_srli_epi16(_mm_add_epi16(a, b), 1);
+    __m128i o = _mm_and_si128(_mm_add_epi16(x, avg),
+                              _mm_set1_epi16(0xFF));
+    store_px(out + i, _mm_packus_epi16(o, o), bpp);
+    a = o;
+  }
+  for (; i < rowbytes; ++i) {
+    int av = i >= bpp ? out[i - bpp] : 0;
+    out[i] = (uint8_t)(in[i] + ((av + prev[i]) >> 1));
+  }
+}
+
+void unfilter_paeth_sse(const uint8_t* in, uint8_t* out,
+                        const uint8_t* prev, int rowbytes, int bpp) {
+  const __m128i zero = _mm_setzero_si128();
+  __m128i a = zero, c = zero;  // out[i-bpp], prev[i-bpp] in 16-bit lanes
+  int i = 0;
+  int safe = rowbytes - bpp;
+  for (; i + bpp <= safe; i += bpp) {
+    __m128i b = _mm_unpacklo_epi8(load_px(prev + i), zero);
+    __m128i x = _mm_unpacklo_epi8(load_px(in + i), zero);
+    // pa=|b-c| pb=|a-c| pc=|a+b-2c|, pick smallest with a<=b<=c ties
+    __m128i pa = _mm_sub_epi16(_mm_max_epi16(b, c), _mm_min_epi16(b, c));
+    __m128i pb = _mm_sub_epi16(_mm_max_epi16(a, c), _mm_min_epi16(a, c));
+    __m128i pab = _mm_add_epi16(_mm_sub_epi16(a, c), _mm_sub_epi16(b, c));
+    __m128i pc = _mm_max_epi16(pab, _mm_sub_epi16(zero, pab));
+    // cond_a = pa <= pb && pa <= pc; cond_b = pb <= pc (tie order a,b,c)
+    __m128i not_a = _mm_or_si128(_mm_cmpgt_epi16(pa, pb),
+                                 _mm_cmpgt_epi16(pa, pc));
+    __m128i not_b = _mm_cmpgt_epi16(pb, pc);
+    __m128i bc = _mm_or_si128(_mm_andnot_si128(not_b, b),
+                              _mm_and_si128(not_b, c));
+    __m128i pred = _mm_or_si128(_mm_andnot_si128(not_a, a),
+                                _mm_and_si128(not_a, bc));
+    __m128i o = _mm_and_si128(_mm_add_epi16(x, pred),
+                              _mm_set1_epi16(0xFF));
+    store_px(out + i, _mm_packus_epi16(o, o), bpp);
+    a = o;
+    c = b;
+  }
+  for (; i < rowbytes; ++i) {
+    int av = i >= bpp ? out[i - bpp] : 0;
+    int cv = i >= bpp ? prev[i - bpp] : 0;
+    out[i] = (uint8_t)(in[i] + paeth_predict(av, prev[i], cv));
+  }
+}
+#endif  // __AVX2__
+
 void unfilter_row(uint8_t type, const uint8_t* in, uint8_t* out,
                   const uint8_t* prev, int rowbytes, int bpp) {
   switch (type) {
@@ -35,12 +118,27 @@ void unfilter_row(uint8_t type, const uint8_t* in, uint8_t* out,
       for (int i = bpp; i < rowbytes; ++i) out[i] = (uint8_t)(in[i] + out[i - bpp]);
       break;
     case 2:  // Up
-      if (prev)
-        for (int i = 0; i < rowbytes; ++i) out[i] = (uint8_t)(in[i] + prev[i]);
-      else
+      if (prev) {
+        int i = 0;
+#ifdef __AVX2__
+        for (; i + 32 <= rowbytes; i += 32) {
+          __m256i x = _mm256_loadu_si256((const __m256i*)(in + i));
+          __m256i p = _mm256_loadu_si256((const __m256i*)(prev + i));
+          _mm256_storeu_si256((__m256i*)(out + i), _mm256_add_epi8(x, p));
+        }
+#endif
+        for (; i < rowbytes; ++i) out[i] = (uint8_t)(in[i] + prev[i]);
+      } else {
         memcpy(out, in, rowbytes);
+      }
       break;
     case 3:  // Average
+#ifdef __AVX2__
+      if (prev && (bpp == 3 || bpp == 4) && rowbytes > 2 * bpp) {
+        unfilter_avg_sse(in, out, prev, rowbytes, bpp);
+        break;
+      }
+#endif
       for (int i = 0; i < rowbytes; ++i) {
         int a = i >= bpp ? out[i - bpp] : 0;
         int b = prev ? prev[i] : 0;
@@ -48,6 +146,12 @@ void unfilter_row(uint8_t type, const uint8_t* in, uint8_t* out,
       }
       break;
     case 4:  // Paeth
+#ifdef __AVX2__
+      if (prev && (bpp == 3 || bpp == 4) && rowbytes > 2 * bpp) {
+        unfilter_paeth_sse(in, out, prev, rowbytes, bpp);
+        break;
+      }
+#endif
       for (int i = 0; i < rowbytes; ++i) {
         int a = i >= bpp ? out[i - bpp] : 0;
         int b = prev ? prev[i] : 0;

@@ -51,6 +51,23 @@ ZIGZAG = np.array([
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ], dtype=np.int32)
 
+def compact_slots_for_quality(quality) -> int:
+    """Encoder compaction cap: packets per block = 1 DC + nonzero ACs
+    + ZRLs + EOB — bounded by the quantisation quality of the
+    coefficients being encoded (q85 natural content measures ~8-11;
+    reference fixtures at high quality run up to ~47). 65 = the exact
+    worst case (no compaction win, always safe). Overflow signals
+    out-of-band (nbytes > byte_cap)."""
+    if quality is None:
+        return 65
+    if quality <= 88:
+        return 16
+    if quality <= 93:
+        return 28
+    if quality <= 97:
+        return 40
+    return 65
+
 
 @functools.lru_cache(maxsize=1)
 def std_huffman_tables():
@@ -160,12 +177,15 @@ def _mcu_layout(comp_sig):
 
 
 @functools.lru_cache(maxsize=64)
-def build_scan_encoder(comp_sig, byte_cap: int):
+def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65):
     """Traceable fn(coefs: tuple of (N, bh, bw, 64) int32)
     -> (scan_bytes (N, byte_cap) uint8, nbytes (N,) int32).
 
-    nbytes > byte_cap signals overflow: the bytes are invalid and the
-    caller must fall back (host re-encode) or raise."""
+    slots_per_block: compaction width (compact_slots_for_quality) — the
+    per-slot Huffman-table gather runs at nblk*slots_per_block instead
+    of the dense nblk*65.
+    nbytes > byte_cap signals overflow (scan bytes OR packet count):
+    the bytes are invalid and the caller must fall back or raise."""
     import jax
     import jax.numpy as jnp
 
@@ -190,7 +210,21 @@ def build_scan_encoder(comp_sig, byte_cap: int):
             s = s + (a >= (1 << k)).astype(jnp.int32)
         return s
 
-    E = nblk * 65 + 1   # packet slots per image incl. the pad packet
+    # unified (class*2 + tid, 256) packed (len<<16 | code) table: DC
+    # symbols are the size itself (<= 11 < 16), so sym & 15 gives the
+    # value-bit count for BOTH classes and one gather serves every
+    # packet kind after compaction
+    big_packed = np.zeros((4, 256), np.int32)
+    big_packed[0, :12] = dc_packed[0]
+    big_packed[1, :12] = dc_packed[1]
+    big_packed[2] = ac_packed[0]
+    big_packed[3] = ac_packed[1]
+
+    # per-image cap: nblk*slots averages block-level density variance
+    # away on real geometries; small images (little averaging headroom,
+    # and downscaling concentrates detail) get a floor that amounts to
+    # full safety at negligible cost
+    K = min(nblk * 65, max(nblk * max(2, int(slots_per_block)), 4096))
     R = byte_cap + 1    # byte-region stride per image (last slot = trash)
 
     def fn(coefs):
@@ -212,14 +246,18 @@ def build_scan_encoder(comp_sig, byte_cap: int):
         diff = jnp.where(dummy[None, :], 0, dc - prev_dc)
         tid = jnp.asarray(tid_np)
 
-        # --- DC packets ----------------------------------------------------
+        # --- packet FIELDS, no table lookups (the dense phase) ---------------
+        # the per-slot Huffman-table gather dominated device time at
+        # dense (nblk*65) width (~50M 8 ns gathers per 16x1080p batch);
+        # only ~10-15% of slots carry a packet, so each needed slot
+        # packs a self-describing field — [0:11) value bits, [11:19)
+        # symbol, [19] table id, [20] class — and a SORTED scatter
+        # compacts them; every table lookup then runs at K width.
         s = bitsize(diff)
         lo = jnp.where(diff < 0, diff - 1, diff) & ((1 << s) - 1)
-        cl = jnp.asarray(dc_packed)[tid[None, :], s]
-        dc_pkt = ((cl & 0xFFFF) << s) | lo
-        dc_len_b = (cl >> 16) + s                       # (N, nblk)
+        dc_field = lo | (s << 11) | (tid[None, :] << 19)        # class 0
 
-        # --- AC packets (positions 1..63) ------------------------------------
+        # --- AC fields (positions 1..63) -------------------------------------
         nz = ac != 0                                    # (N, nblk, 63)
         pos = jnp.arange(1, 64, dtype=jnp.int32)
         # inclusive prefix-max of nonzero positions, shifted: previous
@@ -233,39 +271,61 @@ def build_scan_encoder(comp_sig, byte_cap: int):
         s_ac = bitsize(ac)
         sym = ((run & 15) << 4) | s_ac
         lo_ac = jnp.where(ac < 0, ac - 1, ac) & ((1 << s_ac) - 1)
-        cl_ac = jnp.asarray(ac_packed)[tid[None, :, None], sym]
-        ac_pkt = ((cl_ac & 0xFFFF) << s_ac) | lo_ac
-        ac_bits = (cl_ac >> 16) + s_ac
+        tid3 = tid[None, :, None]
+        ac_field = lo_ac | (sym << 11) | (tid3 << 19) | (1 << 20)
         # ZRL at zero positions 16k past the previous nonzero, provided
         # another nonzero follows (run >= 16k is then guaranteed)
         has_next = jnp.flip(jax.lax.associative_scan(
             jnp.logical_or, jnp.flip(nz, 2), axis=2), 2)
         d = pos - prev_nz
         zrl_here = (~nz) & has_next & (d > 0) & (d % 16 == 0)
-        zrl_code = jnp.asarray(ac_code)[tid, 0xF0][None, :, None]
-        zrl_len = jnp.asarray(ac_len)[tid, 0xF0][None, :, None]
-        pkt_ac = jnp.where(nz, ac_pkt, jnp.where(zrl_here, zrl_code, 0))
-        bits_ac = jnp.where(nz, ac_bits, jnp.where(zrl_here, zrl_len, 0))
+        zrl_field = (0xF0 << 11) | (tid3 << 19) | (1 << 20)
+        field_ac = jnp.where(nz, ac_field, zrl_field)   # masked by `needed`
+        need_ac = nz | zrl_here
 
-        # --- EOB slot --------------------------------------------------------
+        # --- EOB slot ---------------------------------------------------------
         eob = ~nz[:, :, 62]
-        eob_pkt = jnp.where(eob, jnp.asarray(ac_code)[tid, 0][None, :], 0)
-        eob_bits = jnp.where(eob, jnp.asarray(ac_len)[tid, 0][None, :], 0)
+        eob_field = (tid[None, :] << 19) | (1 << 20)    # sym 0, lo 0
+
+        fields = jnp.concatenate(
+            [dc_field[:, :, None], field_ac, eob_field[:, :, None]
+             * jnp.ones((n_img, 1, 1), jnp.int32)],
+            axis=2).reshape(n_img, -1)                   # (N, nblk*65)
+        needed = jnp.concatenate(
+            [jnp.ones((n_img, nblk, 1), bool), need_ac, eob[:, :, None]],
+            axis=2).reshape(n_img, -1)
+
+        # --- compaction: one sorted scatter-add -------------------------------
+        rank = jnp.cumsum(needed.astype(jnp.int32), axis=1)
+        count = rank[:, -1]                              # packets per image
+        rank = rank - needed.astype(jnp.int32)           # exclusive
+        # non-needed slots add 0 at the NEXT packet's rank, keeping the
+        # flat index stream sorted (same trick as the decoder's masked
+        # emission slots)
+        ii = jnp.arange(n_img, dtype=jnp.int32)[:, None]
+        g = (jnp.minimum(rank, K - 1) + ii * K).reshape(-1)
+        cf = jnp.zeros((n_img * K,), jnp.int32).at[g].add(
+            jnp.where(needed, fields, 0).reshape(-1),
+            indices_are_sorted=True).reshape(n_img, K)
+
+        # --- table lookups + packets at compact width -------------------------
+        alive = jnp.arange(K, dtype=jnp.int32)[None, :] < count[:, None]
+        lo_c = cf & 0x7FF
+        sym_c = (cf >> 11) & 0xFF
+        row = (cf >> 19) & 3                             # class*2 + tid
+        cl = jnp.asarray(big_packed)[row, sym_c]         # the one gather
+        sval = sym_c & 15
+        pkt = jnp.where(alive, ((cl & 0xFFFF) << sval) | lo_c, 0)
+        ln = jnp.where(alive, (cl >> 16) + sval, 0)
 
         # --- per-image bit offsets + the 1-bits pad packet -------------------
-        lens = jnp.concatenate(
-            [dc_len_b[:, :, None], bits_ac, eob_bits[:, :, None]],
-            axis=2).reshape(n_img, -1)                   # (N, nblk*65)
-        pkts = jnp.concatenate(
-            [dc_pkt[:, :, None], pkt_ac, eob_pkt[:, :, None]],
-            axis=2).reshape(n_img, -1)
-        ends = jnp.cumsum(lens, axis=1)
-        offs = ends - lens
+        ends = jnp.cumsum(ln, axis=1)
+        offs = ends - ln
         total = ends[:, -1]
         pad = (-total) % 8
-        lens = jnp.concatenate([lens, pad[:, None]], axis=1)   # (N, E)
+        lens = jnp.concatenate([ln, pad[:, None]], axis=1)     # (N, K+1)
         offs = jnp.concatenate([offs, total[:, None]], axis=1)
-        pkts = jnp.concatenate([pkts, ((1 << pad) - 1)[:, None]], axis=1)
+        pkts = jnp.concatenate([pkt, ((1 << pad) - 1)[:, None]], axis=1)
         total = total + pad
 
         # --- bit assembly: two sorted scatter-adds into 32-bit words --------
@@ -274,7 +334,6 @@ def build_scan_encoder(comp_sig, byte_cap: int):
         # scatter-ADD == bitwise OR (no carries), including across the
         # int32 sign bit (wraparound add). This replaces a 6-window
         # gather stage whose ~75M table lookups dominated device time.
-        ii = jnp.arange(n_img, dtype=jnp.int32)[:, None]
         nwords = -(-byte_cap // 4)
         WR = nwords + 2  # per-image word region incl. 2 trash slots
         wi = offs >> 5                                   # (N, E)
@@ -310,6 +369,9 @@ def build_scan_encoder(comp_sig, byte_cap: int):
             byte.reshape(-1), indices_are_sorted=True)
         out = out.reshape(n_img, R)[:, :byte_cap]
         nbytes = nraw + jnp.sum(is_ff.astype(jnp.int32), axis=1)
+        # compaction overflow (count > K, pathological content) uses
+        # the same out-of-band signal as a scan byte overflow
+        nbytes = jnp.where(count > K, byte_cap + 1, nbytes)
         return out.astype(jnp.uint8), nbytes
 
     return fn

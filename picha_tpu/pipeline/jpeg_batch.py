@@ -383,10 +383,13 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                 # full on-device entropy encode: the readback is finished
                 # scan bytes (~0.1-0.2 B/px) instead of 4:2:0 planes
                 from .jpeg_batch import _resized_comp_sig
-                from ..ops.jpeg_huffman_tpu import build_scan_encoder
+                from ..ops.jpeg_huffman_tpu import (
+                    build_scan_encoder, compact_slots_for_quality)
 
                 rsig = _resized_comp_sig(eh, ew, img.shape[-1])
-                scan_enc = build_scan_encoder(rsig, device_scan_cap)
+                scan_enc = build_scan_encoder(
+                    rsig, device_scan_cap,
+                    compact_slots_for_quality(encode_quality))
                 return scan_enc(out_coefs)
             return img.astype(jnp.uint8)
 
@@ -734,8 +737,11 @@ class JpegBatchPipeline:
         cap = scan.shape[1]
         if int(nb.max()) > cap:
             raise OverflowError(
-                f"device scan buffer overflow ({int(nb.max())} > {cap}); "
-                "raise scan_byte_cap or lower the quality")
+                f"device scan encode overflow ({int(nb.max())} > {cap}): "
+                "the scan bytes or packet count exceeded the budget for "
+                "this quality (incompressible content?) — raise "
+                "scan_byte_cap, lower the quality, or use "
+                "encode_backend='raw420'/'host'")
         m = min(cap, -(-int(nb.max()) // 65536) * 65536)
         host = np.asarray(scan[:, :m])
         ew = self._width if self._width is not None else sig[0]
