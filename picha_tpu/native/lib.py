@@ -144,6 +144,8 @@ def get_lib():
                 C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int,
                 C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int]
             lib.picha_resize_u8.restype = C.c_int
+            lib.picha_resize_u8_i16.argtypes = lib.picha_resize_u8.argtypes
+            lib.picha_resize_u8_i16.restype = C.c_int
             lib.picha_resize_u16.argtypes = [
                 C.POINTER(C.c_uint16), C.c_int, C.c_int, C.c_int,
                 C.POINTER(C.c_uint16), C.c_int, C.c_int,
@@ -606,11 +608,16 @@ def gap4_pack_batch(planes, k1_granule: int = 8192, k2_granule: int = 4096,
 
 def resize_u8(arr: np.ndarray, dw: int, dh: int,
               xstart: np.ndarray, xw: np.ndarray,
-              ystart: np.ndarray, yw: np.ndarray) -> np.ndarray:
+              ystart: np.ndarray, yw: np.ndarray,
+              precision: str = "f32") -> np.ndarray:
     """(H, W, C) uint8|uint16 -> (dh, dw, C) same dtype with precomputed
     uniform tap windows (ops/resize.py resize_windows — reference
     float32 weights). 16-bit arrays route to picha_resize_u16 (the deep
-    r16* leg of resize.cc:136-149)."""
+    r16* leg of resize.cc:136-149). precision="i16" takes the ~2x
+    fixed-point u8 kernel (occasional +-1 vs f32 at pack thresholds;
+    silently falls back to f32 when the taps exceed its q15 guard) —
+    used by the raw-domain transcode where the parity budget has
+    room; golden-parity callers keep the f32 default."""
     lib = get_lib()
     if arr.dtype == np.uint16:
         arr = np.ascontiguousarray(arr)
@@ -629,13 +636,15 @@ def resize_u8(arr: np.ndarray, dw: int, dh: int,
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     sh, sw, ch = arr.shape
     out = np.empty((dh, dw, ch), np.uint8)
-    rc = lib.picha_resize_u8(
-        _u8ptr(arr.reshape(-1)), sh, sw, ch, _u8ptr(out.reshape(-1)),
-        dh, dw,
-        xstart.ctypes.data_as(C.POINTER(C.c_int32)),
-        xw.ctypes.data_as(C.POINTER(C.c_float)), xw.shape[1],
-        ystart.ctypes.data_as(C.POINTER(C.c_int32)),
-        yw.ctypes.data_as(C.POINTER(C.c_float)), yw.shape[1])
+    args = (_u8ptr(arr.reshape(-1)), sh, sw, ch, _u8ptr(out.reshape(-1)),
+            dh, dw,
+            xstart.ctypes.data_as(C.POINTER(C.c_int32)),
+            xw.ctypes.data_as(C.POINTER(C.c_float)), xw.shape[1],
+            ystart.ctypes.data_as(C.POINTER(C.c_int32)),
+            yw.ctypes.data_as(C.POINTER(C.c_float)), yw.shape[1])
+    rc = lib.picha_resize_u8_i16(*args) if precision == "i16" else 2
+    if rc == 2:  # guard tripped (or f32 requested): exact kernel
+        rc = lib.picha_resize_u8(*args)
     if rc != 0:
         raise CodecError("native resize failed")
     return out

@@ -196,6 +196,175 @@ int resize_avx2(const T* src, int sh, int sw, int ch, T* dst,
 
 #endif  // __AVX2__
 
+// ---- int16 fixed-point u8 kernel -----------------------------------
+//
+// 16 lanes per op instead of 8: samples are held as s*64 (s16), taps as
+// q15 (w*32768), and _mm256_mulhrs_epi16 computes (a*b + 2^14) >> 15 —
+// so each tap is one rounding multiply keeping the s*64 scale through
+// both passes. Pack is (acc + 32) >> 6 with unsigned saturation, which
+// is exactly the pinned floor(clip(v + 0.5)) in fixed point. Per-tap
+// rounding is 1/128 sample, so outputs can differ from the f32 kernel
+// by the occasional +-1 at a pack threshold (avg well under 0.05 LSB —
+// tests pin it). Used by the raw-domain transcode path where the
+// parity budget has room; the f32 kernel remains the golden-parity
+// default.
+//
+// Overflow guard: |acc| <= 255*64*g and horizontal partials
+// <= 255*64*g^2 must stay < 32768, so rows whose sum(|w|) exceeds
+// g = 1.41 (or any single |w| >= 1.0, unrepresentable in q15) return 2
+// and the caller falls back to the f32 kernel.
+
+#ifdef __AVX2__
+
+inline void transpose16x16_epi16(__m256i r[16]) {
+  __m256i a[16], b[16];
+  for (int i = 0; i < 8; ++i) {
+    a[2 * i] = _mm256_unpacklo_epi16(r[2 * i], r[2 * i + 1]);
+    a[2 * i + 1] = _mm256_unpackhi_epi16(r[2 * i], r[2 * i + 1]);
+  }
+  for (int i = 0; i < 4; ++i) {
+    b[4 * i] = _mm256_unpacklo_epi32(a[4 * i], a[4 * i + 2]);
+    b[4 * i + 1] = _mm256_unpackhi_epi32(a[4 * i], a[4 * i + 2]);
+    b[4 * i + 2] = _mm256_unpacklo_epi32(a[4 * i + 1], a[4 * i + 3]);
+    b[4 * i + 3] = _mm256_unpackhi_epi32(a[4 * i + 1], a[4 * i + 3]);
+  }
+  for (int i = 0; i < 2; ++i) {
+    a[8 * i] = _mm256_unpacklo_epi64(b[8 * i], b[8 * i + 4]);
+    a[8 * i + 1] = _mm256_unpackhi_epi64(b[8 * i], b[8 * i + 4]);
+    a[8 * i + 2] = _mm256_unpacklo_epi64(b[8 * i + 1], b[8 * i + 5]);
+    a[8 * i + 3] = _mm256_unpackhi_epi64(b[8 * i + 1], b[8 * i + 5]);
+    a[8 * i + 4] = _mm256_unpacklo_epi64(b[8 * i + 2], b[8 * i + 6]);
+    a[8 * i + 5] = _mm256_unpackhi_epi64(b[8 * i + 2], b[8 * i + 6]);
+    a[8 * i + 6] = _mm256_unpacklo_epi64(b[8 * i + 3], b[8 * i + 7]);
+    a[8 * i + 7] = _mm256_unpackhi_epi64(b[8 * i + 3], b[8 * i + 7]);
+  }
+  for (int i = 0; i < 8; ++i) {
+    r[i] = _mm256_permute2x128_si256(a[i], a[i + 8], 0x20);
+    r[i + 8] = _mm256_permute2x128_si256(a[i], a[i + 8], 0x31);
+  }
+}
+
+int resize_avx2_i16(const uint8_t* src, int sh, int sw, int ch,
+                    uint8_t* dst, int dh, int dw, const int32_t* xstart,
+                    const float* xw, int xk, const int32_t* ystart,
+                    const float* yw, int yk) {
+  (void)sh;
+  auto guard = [](const float* w, int n, int k) {
+    for (int i = 0; i < n; ++i) {
+      float s = 0.0f;
+      for (int j = 0; j < k; ++j) {
+        float a = w[(size_t)i * k + j];
+        if (a >= 0.99997f || a <= -0.99997f) return false;
+        s += a < 0 ? -a : a;
+      }
+      if (s > 1.41f) return false;
+    }
+    return true;
+  };
+  if (!guard(yw, dh, yk) || !guard(xw, dw, xk)) return 2;
+  std::vector<int16_t> ywq((size_t)dh * yk), xwq((size_t)dw * xk);
+  for (size_t i = 0; i < ywq.size(); ++i)
+    ywq[i] = (int16_t)lrintf(yw[i] * 32768.0f);
+  for (size_t i = 0; i < xwq.size(); ++i)
+    xwq[i] = (int16_t)lrintf(xw[i] * 32768.0f);
+
+  const size_t rowlen = (size_t)sw * ch;
+  const size_t orow = (size_t)dw * ch;
+  std::vector<int16_t> tmpv(16 * rowlen);
+  std::vector<int16_t> fb(rowlen * 16 + 16);
+  std::vector<int16_t> ob(orow * 16 + 16);
+  for (int y0 = 0; y0 < dh; y0 += 16) {
+    int rmax = std::min(16, dh - y0);
+    // vertical pass: u8 -> s*64 int16, 16 samples per op
+    for (int r = 0; r < rmax; ++r) {
+      int oy = y0 + r;
+      const int16_t* w = ywq.data() + (size_t)oy * yk;
+      int16_t* out = tmpv.data() + (size_t)r * rowlen;
+      size_t j = 0;
+      for (; j + 16 <= rowlen; j += 16) {
+        __m256i acc = _mm256_setzero_si256();
+        for (int k = 0; k < yk; ++k) {
+          const uint8_t* p = src + (size_t)(ystart[oy] + k) * rowlen + j;
+          __m256i s = _mm256_slli_epi16(
+              _mm256_cvtepu8_epi16(_mm_loadu_si128((const __m128i*)p)), 6);
+          acc = _mm256_add_epi16(
+              acc, _mm256_mulhrs_epi16(s, _mm256_set1_epi16(w[k])));
+        }
+        _mm256_storeu_si256((__m256i*)(out + j), acc);
+      }
+      for (; j < rowlen; ++j) {
+        int acc = 0;
+        for (int k = 0; k < yk; ++k) {
+          int s = (int)src[(size_t)(ystart[oy] + k) * rowlen + j] << 6;
+          acc += (s * (int)w[k] + 16384) >> 15;
+        }
+        out[j] = (int16_t)acc;
+      }
+    }
+    // transpose to column-major (lane = row)
+    const int16_t* rows[16];
+    for (int r = 0; r < 16; ++r)
+      rows[r] = tmpv.data() + (size_t)std::min(r, rmax - 1) * rowlen;
+    size_t j = 0;
+    for (; j + 16 <= rowlen; j += 16) {
+      __m256i v[16];
+      for (int r = 0; r < 16; ++r)
+        v[r] = _mm256_loadu_si256((const __m256i*)(rows[r] + j));
+      transpose16x16_epi16(v);
+      for (int c = 0; c < 16; ++c)
+        _mm256_storeu_si256((__m256i*)(fb.data() + (j + c) * 16), v[c]);
+    }
+    for (; j < rowlen; ++j)
+      for (int r = 0; r < 16; ++r) fb[j * 16 + r] = rows[r][j];
+    // horizontal pass in lanes
+    for (int ox = 0; ox < dw; ++ox) {
+      const int16_t* w = xwq.data() + (size_t)ox * xk;
+      const int16_t* base = fb.data() + (size_t)xstart[ox] * ch * 16;
+      for (int c = 0; c < ch; ++c) {
+        __m256i acc = _mm256_setzero_si256();
+        const int16_t* bc = base + (size_t)c * 16;
+        for (int k = 0; k < xk; ++k)
+          acc = _mm256_add_epi16(
+              acc, _mm256_mulhrs_epi16(
+                       _mm256_loadu_si256(
+                           (const __m256i*)(bc + (size_t)k * ch * 16)),
+                       _mm256_set1_epi16(w[k])));
+        _mm256_storeu_si256((__m256i*)(ob.data() + ((size_t)ox * ch + c)
+                                       * 16), acc);
+      }
+    }
+    // transpose back, round-pack: (acc + 32) >> 6, saturate to u8
+    const __m256i r32 = _mm256_set1_epi16(32);
+    size_t jj = 0;
+    for (; jj + 16 <= orow; jj += 16) {
+      __m256i v[16];
+      for (int c = 0; c < 16; ++c)
+        v[c] = _mm256_loadu_si256((const __m256i*)(ob.data() + (jj + c)
+                                                   * 16));
+      transpose16x16_epi16(v);
+      for (int r = 0; r < rmax; ++r) {
+        __m256i x = _mm256_srai_epi16(_mm256_add_epi16(v[r], r32), 6);
+        __m256i p = _mm256_packus_epi16(x, x);  // lanes 0,1 duplicated
+        __m128i lo = _mm256_castsi256_si128(p);
+        __m128i hi = _mm256_extracti128_si256(p, 1);
+        _mm_storeu_si128(
+            (__m128i*)(dst + (size_t)(y0 + r) * orow + jj),
+            _mm_unpacklo_epi64(lo, hi));
+      }
+    }
+    for (; jj < orow; ++jj) {
+      for (int r = 0; r < rmax; ++r) {
+        int x = ((int)ob[jj * 16 + r] + 32) >> 6;
+        dst[(size_t)(y0 + r) * orow + jj] =
+            (uint8_t)(x < 0 ? 0 : (x > 255 ? 255 : x));
+      }
+    }
+  }
+  return 0;
+}
+
+#endif  // __AVX2__
+
 }  // namespace
 
 namespace {
@@ -266,6 +435,25 @@ PICHA_API int picha_resize_u8(const uint8_t* src, int sh, int sw, int ch,
                               const float* yw, int yk) {
   return resize_any<uint8_t>(src, sh, sw, ch, dst, dh, dw, xstart, xw, xk,
                              ystart, yw, yk);
+}
+
+// int16 fixed-point u8 variant (see block comment above): returns 2
+// when the tap windows exceed the q15/overflow guard so callers fall
+// back to the f32 kernel; non-AVX2 builds always return 2.
+PICHA_API int picha_resize_u8_i16(const uint8_t* src, int sh, int sw,
+                                  int ch, uint8_t* dst, int dh, int dw,
+                                  const int32_t* xstart, const float* xw,
+                                  int xk, const int32_t* ystart,
+                                  const float* yw, int yk) {
+  if (sh <= 0 || sw <= 0 || ch <= 0 || dh <= 0 || dw <= 0) return 1;
+#ifdef __AVX2__
+  return resize_avx2_i16(src, sh, sw, ch, dst, dh, dw, xstart, xw, xk,
+                         ystart, yw, yk);
+#else
+  (void)src; (void)dst; (void)xstart; (void)xw; (void)xk;
+  (void)ystart; (void)yw; (void)yk;
+  return 2;
+#endif
 }
 
 // deep (16-bit) formats: same kernel, 65535 pack clamp

@@ -120,6 +120,15 @@ PICHA_API int picha_resize_u16(const uint16_t* src, int sh, int sw, int ch,
                                const int32_t* xstart, const float* xw,
                                int xk, const int32_t* ystart,
                                const float* yw, int yk);
+// int16 fixed-point u8 kernel (q15 taps, s*64 samples, 16 lanes/op):
+// ~2x the f32 kernel, within occasional +-1 of it at pack thresholds.
+// Returns 2 (caller must fall back to picha_resize_u8) when taps
+// exceed the q15/overflow guard or the build lacks AVX2.
+PICHA_API int picha_resize_u8_i16(const uint8_t* src, int sh, int sw,
+                                  int ch, uint8_t* dst, int dh, int dw,
+                                  const int32_t* xstart, const float* xw,
+                                  int xk, const int32_t* ystart,
+                                  const float* yw, int yk);
 
 // ---- CCITT fax (TIFF compressions 2, 3, 4) --------------------------------
 // Decodes a T.4/T.6 bitstream (MSB-first; caller pre-reverses

@@ -166,6 +166,14 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
                          xs.data(), xw.data(), 2, ys.data(), yw.data(), 2)
         != 0)
       ++failures;
+    // int16 fixed-point u8 kernel on the same windows
+    std::vector<uint8_t> s8((size_t)48 * 64 * 3);
+    for (size_t i = 0; i < s8.size(); ++i) s8[i] = (uint8_t)(i * 97);
+    std::vector<uint8_t> d8((size_t)24 * 32 * 3);
+    int rc16 = picha_resize_u8_i16(s8.data(), 48, 64, 3, d8.data(), 24, 32,
+                                   xs.data(), xw.data(), 2, ys.data(),
+                                   yw.data(), 2);
+    if (rc16 != 0 && rc16 != 2) ++failures;
   }
 }
 }  // namespace

@@ -78,7 +78,7 @@ def apply_correction(img: np.ndarray) -> np.ndarray:
     h, w = img.shape[:2]
     xs, xw = correction_windows(w, "x")
     ys, yw = correction_windows(h, "y")
-    return native.resize_u8(img, w, h, xs, xw, ys, yw)
+    return native.resize_u8(img, w, h, xs, xw, ys, yw, precision="i16")
 
 
 def fit_correction(pairs, k: int = 5, iters: int = 6, samples: int = 120000,

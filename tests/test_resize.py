@@ -183,3 +183,33 @@ def test_native_resize_deep_u16():
         rng.integers(0, 65536, (20, 30, 3), dtype=np.uint16), "r16g16b16")
     out = picha.resizeSync(im, {"width": 45, "height": 31})
     assert out.pixel == "r16g16b16" and (out.width, out.height) == (45, 31)
+
+
+def test_i16_kernel_matches_f32_within_1():
+    """The int16 fixed-point kernel (precision="i16") must stay within
+    +-1 of the f32 kernel everywhere and average well under 0.05 LSB;
+    windows its q15 guard rejects (upscale taps >= 1.0) must silently
+    take the f32 kernel and match exactly."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.ops.resize import resize_windows
+
+    rng = np.random.default_rng(5)
+    # downscale: i16 eligible
+    a = rng.integers(0, 256, (120, 160, 3), np.uint8)
+    xs, xw = resize_windows(80, 160, "cubic", 0.7)
+    ys, yw = resize_windows(60, 120, "cubic", 0.7)
+    f = native.resize_u8(a, 80, 60, xs, xw, ys, yw)
+    i = native.resize_u8(a, 80, 60, xs, xw, ys, yw, precision="i16")
+    d = np.abs(f.astype(int) - i.astype(int))
+    assert d.max() <= 1
+    assert d.mean() < 0.05
+    # identity windows carry a 1.0 tap — unrepresentable in q15, so the
+    # guard must trip and the i16 call must equal the f32 kernel exactly
+    xs = np.arange(160, dtype=np.int32)
+    xw = np.ones((160, 1), np.float32)
+    ys = np.arange(120, dtype=np.int32)
+    yw = np.ones((120, 1), np.float32)
+    f = native.resize_u8(a, 160, 120, xs, xw, ys, yw)
+    i = native.resize_u8(a, 160, 120, xs, xw, ys, yw, precision="i16")
+    np.testing.assert_array_equal(f, i)
+    np.testing.assert_array_equal(f, a)
