@@ -288,13 +288,24 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
         raise CodecError("TIFF strip tables too short")
     out = np.zeros((height, width, spp),
                    dtype=np.uint16 if bits == 16 else np.uint8)
+    # LZW strips: one native call for all of them (per-call ctypes
+    # overhead otherwise dominates small-strip files — ~50 us x strips)
+    raws = None
+    if (comp == C_LZW and fillorder == 1
+            and all(0 <= offsets[i] and offsets[i] + counts[i] <= len(buf)
+                    for i in range(nstrips))):
+        caps = [rowbytes * min(rps, height - (i % strips_per_plane) * rps)
+                for i in range(nstrips)]
+        raws = native.lzw_decode_multi(
+            buf, [offsets[i] for i in range(nstrips)],
+            [counts[i] for i in range(nstrips)], caps)
     for p in range(planes):
         for s in range(strips_per_plane):
             i = p * strips_per_plane + s
             y0 = s * rps
             nrows = min(rps, height - y0)
-            raw = _decompress(seg_bytes(offsets[i], counts[i]), comp,
-                              rowbytes * nrows)
+            raw = raws[i] if raws is not None else _decompress(
+                seg_bytes(offsets[i], counts[i]), comp, rowbytes * nrows)
             if len(raw) < rowbytes * nrows:
                 raise CodecError("TIFF strip too short")
             rows = np.frombuffer(raw, np.uint8, rowbytes * nrows).reshape(
@@ -534,7 +545,10 @@ def encode(img: Image, opts: dict) -> bytes:
     raw = arr.tobytes()  # little-endian samples, matching the II header
     rowbytes = w * spp * (bits // 8)
 
-    rps = max(1, min(h, 8192 // max(1, rowbytes)))
+    # 256 KiB strips (vs libtiff's classic 8 KiB): fewer per-strip
+    # codec crossings on both sides and a warmer LZW dictionary;
+    # readers accept any RowsPerStrip
+    rps = max(1, min(h, 262144 // max(1, rowbytes)))
     nstrips = math.ceil(h / rps)
     strips = []
     for s in range(nstrips):

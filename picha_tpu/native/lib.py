@@ -101,6 +101,12 @@ def get_lib():
                 C.POINTER(C.c_uint8), C.c_size_t,
                 C.POINTER(C.POINTER(C.c_uint8)), C.POINTER(C.c_size_t)]
             lib.picha_lzw_encode.restype = C.c_int
+            lib.picha_lzw_decode_multi.argtypes = [
+                C.POINTER(C.c_uint8), C.POINTER(C.c_uint64),
+                C.POINTER(C.c_uint64), C.c_int, C.POINTER(C.c_uint8),
+                C.POINTER(C.c_uint64), C.POINTER(C.c_uint64),
+                C.POINTER(C.c_uint64)]
+            lib.picha_lzw_decode_multi.restype = C.c_int
             lib.picha_packbits_decode.argtypes = [
                 C.POINTER(C.c_uint8), C.c_size_t, C.POINTER(C.c_uint8),
                 C.c_size_t, C.POINTER(C.c_size_t)]
@@ -394,6 +400,31 @@ def lzw_decode(buf: bytes, expected: int) -> bytes:
     if rc != 0:
         raise CodecError("LZW decode failed")
     return out[:outlen.value].tobytes()
+
+
+def lzw_decode_multi(buf, offsets, lengths, caps):
+    """Decode many independent LZW segments (TIFF strips share one
+    underlying file buffer) in ONE native call — per-call ctypes
+    overhead (~50 us) dominates small-strip decode otherwise. Returns
+    a list of bytes objects, one per segment."""
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    n = len(offsets)
+    in_off = np.asarray(offsets, np.uint64)
+    in_len = np.asarray(lengths, np.uint64)
+    caps_a = np.asarray(caps, np.uint64)
+    out_off = np.zeros(n, np.uint64)
+    np.cumsum(caps_a[:-1], out=out_off[1:])
+    out = np.empty(int(caps_a.sum()), np.uint8)
+    got = np.zeros(n, np.uint64)
+    u64p = lambda a: a.ctypes.data_as(C.POINTER(C.c_uint64))  # noqa: E731
+    rc = lib.picha_lzw_decode_multi(_u8ptr(src), u64p(in_off),
+                                    u64p(in_len), n, _u8ptr(out),
+                                    u64p(out_off), u64p(caps_a), u64p(got))
+    if rc != 0:
+        raise CodecError(f"LZW decode failed (strip {-rc - 1})")
+    return [out[int(o):int(o) + int(g)].tobytes()
+            for o, g in zip(out_off, got)]
 
 
 def lzw_encode(buf: bytes) -> bytes:

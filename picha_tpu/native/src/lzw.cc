@@ -134,6 +134,27 @@ PICHA_API int picha_lzw_decode(const uint8_t* src, size_t srclen, uint8_t* out,
   return 0;
 }
 
+// Batched strip decode: one crossing for a whole TIFF image's strips
+// (per-call ctypes overhead measured ~50 us; 52 small strips cost more
+// in call overhead than in LZW work). Segments are independent LZW
+// streams (TIFF resets per strip). Returns 0, or the failing segment's
+// (index+1) negated.
+PICHA_API int picha_lzw_decode_multi(const uint8_t* src,
+                                     const uint64_t* in_off,
+                                     const uint64_t* in_len, int n,
+                                     uint8_t* out, const uint64_t* out_off,
+                                     const uint64_t* out_cap,
+                                     uint64_t* out_len) {
+  for (int i = 0; i < n; ++i) {
+    size_t got = 0;
+    int rc = picha_lzw_decode(src + in_off[i], (size_t)in_len[i],
+                              out + out_off[i], (size_t)out_cap[i], &got);
+    if (rc != 0) return -(i + 1);
+    out_len[i] = got;
+  }
+  return 0;
+}
+
 PICHA_API int picha_lzw_encode(const uint8_t* src, size_t srclen, uint8_t** out,
                                size_t* outlen) {
   // hash-table keyed (prefix_code << 8 | byte) -> code
