@@ -23,6 +23,8 @@ from .ops.colorconvert import color_convert_image
 from .ops.resize import resize_image
 from .runtime.executor import run_async
 
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
+
 __all__ = [
     "Image", "catalog", "PichaError", "InvalidImageError",
     "InvalidOptionsError", "UnsupportedFormatError", "CodecError",

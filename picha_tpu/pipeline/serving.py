@@ -259,9 +259,13 @@ def stream_best(batches, *, width, height, quality=85,
                               upload=upload, host_raw=True)
         return p, (lambda bs: p.stream_hybrid(bs, depth=depth))
 
+    # the library build is part of the deployment signature: a kernel
+    # speedup in a new version must re-race, not inherit a stale winner
+    from .. import __version__ as _ver
+
     cache_key = "|".join(map(str, (width, height, quality,
                                    ",".join(sorted(configs)),
-                                   os.cpu_count() or 1)))
+                                   os.cpu_count() or 1, _ver)))
     cached = _race_cache_load(cache_key) if use_cache else None
     it = iter(batches)
     if cached and cached.get("best") in set(configs) | {"host"}:
