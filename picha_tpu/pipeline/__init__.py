@@ -2,6 +2,7 @@
 
   JpegBatchPipeline — decode -> resize -> {uint8|normalize|re-encode}
   TrainingInput     — deterministic resumable training-input iterator
+  augment           — device-side jitter/cutout/mixup (config 5)
   prefetch          — double-buffered host->device overlap
 """
 
@@ -16,6 +17,7 @@ from .image_batch import ImageBatchPipeline  # noqa: F401
 from .jpeg_batch import JpegBatchPipeline, entropy_decode, signature  # noqa: F401
 from .prefetch import map_prefetch, prefetch  # noqa: F401
 from .training import TrainingInput  # noqa: F401
+from . import augment  # noqa: F401
 from .serving import DynamicBatcher, stream_best  # noqa: F401
 from .png_batch import PngBatchPipeline  # noqa: F401
 from .tiff_batch import TiffBatchPipeline  # noqa: F401

@@ -29,7 +29,8 @@ from .jpeg_batch import bucket_by_signature, pad_group, signature
 
 @functools.lru_cache(maxsize=128)
 def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
-                               fscale: float, gap4_ks=None):
+                               fscale: float, gap4_ks=None,
+                               augment_cfg=None):
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +58,13 @@ def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
 
         cropped = jax.vmap(crop_one)(rgb, xs, ys, flip)
         f = cropped.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
-        return jnp.clip(resize_f32(f, out, out, filter_name, fscale), 0.0, 1.0)
+        f = jnp.clip(resize_f32(f, out, out, filter_name, fscale), 0.0, 1.0)
+        if augment_cfg:
+            from .augment import augment as _augment
+
+            f = _augment(f, jax.random.fold_in(key, 0x5eed),
+                         **dict(augment_cfg))
+        return f
 
     return jax.jit(fn)
 
@@ -90,7 +97,7 @@ class TrainingInput:
     def __init__(self, items: Sequence[bytes], batch: int, crop: int,
                  size: int, seed: int = 0, filter: str = "cubic",
                  filter_scale: float = 1.0, state: Optional[dict] = None,
-                 num_threads: int = 8):
+                 num_threads: int = 8, augment: Optional[dict] = None):
         from concurrent.futures import ThreadPoolExecutor
 
         self.items = list(items)
@@ -99,6 +106,11 @@ class TrainingInput:
         self.size = size
         self.filter = filter
         self.fscale = filter_scale
+        # device-side augmentations (pipeline/augment.py), applied
+        # inside the jit graph after resize — e.g. {"brightness_s": .2,
+        # "contrast_s": .2, "saturation_s": .2, "cutout_size": 32}.
+        # Hashable tuple form keys the jit cache.
+        self.augment = tuple(sorted((augment or {}).items())) or None
         self._pool = ThreadPoolExecutor(max_workers=num_threads,
                                         thread_name_prefix="picha-train")
         if state is not None:
@@ -168,5 +180,6 @@ class TrainingInput:
         sig, ks, wire = stack_gap4_wire(cos)
         fn = _jit_crop_resize_normalize(sig, self.crop, self.size,
                                         self.filter, self.fscale,
-                                        gap4_ks=ks)
+                                        gap4_ks=ks,
+                                        augment_cfg=self.augment)
         return fn((wire,), key)
