@@ -163,8 +163,9 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host",
         up_b = down_b = 0.0
     else:
         upload, backend = config.split("+")
-        # the hybrid's host worker runs the raw-domain strict path too —
-        # strictly faster than the RGB path at the same ≤1 LSB parity
+        # the hybrid's host worker runs the raw-domain path too — faster
+        # than the RGB path, ≤1 LSB parity (measured by config_parity
+        # every run, not assumed)
         p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
                               encode_backend=backend, fused=True,
                               upload=upload, host_raw=True)
@@ -179,14 +180,21 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host",
     for _ in runner([bufs]):  # untimed warmup
         pass
 
-    # rotate the batch each round: this platform may memoize identical
-    # dispatches (see bench_tpu_stage), so every round must present
-    # distinct wire bytes to the device chain
+    # rotate the batch each round AND across windows: this platform may
+    # memoize identical dispatches (see bench_tpu_stage), so every round
+    # of every window must present distinct wire bytes to the device
+    # chain — a repeated window would otherwise replay window 1's exact
+    # dispatch sequence and time its cache
+    win = [0]
+
     def window():
+        base = win[0] * rounds + 1  # +1: warmup used rotation 0
+        win[0] += 1
         t0 = time.perf_counter()
         n = 0
         for encoded in runner(
-                bufs[r % batch:] + bufs[: r % batch] for r in range(rounds)):
+                bufs[(base + r) % batch:] + bufs[: (base + r) % batch]
+                for r in range(rounds)):
             n += len(encoded)
         return n, time.perf_counter() - t0
 

@@ -68,17 +68,19 @@ def color_jitter(batch, key, brightness_s=0.0, contrast_s=0.0,
 
 
 def cutout(batch, key, size: int, fill: float = 0.0):
-    """Zero (or `fill`) one random size x size square per image —
-    mask built from iota comparisons (static shapes, fuses on TPU)."""
+    """Zero (or `fill`) one random size x size square per image (mask
+    from iota comparisons — static shapes, fuses on TPU). The square's
+    centre is uniform over the image, so it clips at borders (standard
+    cutout semantics: expected masked area shrinks near edges)."""
     n, h, w, _ = batch.shape
     ky, kx = jax.random.split(key)
-    cy = jax.random.randint(ky, (n,), 0, h)
-    cx = jax.random.randint(kx, (n,), 0, w)
+    ty = jax.random.randint(ky, (n,), 0, h) - size // 2
+    tx = jax.random.randint(kx, (n,), 0, w) - size // 2
     yy = jnp.arange(h)[None, :, None]
     xx = jnp.arange(w)[None, None, :]
-    half = size // 2
-    inside = ((jnp.abs(yy - cy[:, None, None]) <= half)
-              & (jnp.abs(xx - cx[:, None, None]) <= half))
+    dy = yy - ty[:, None, None]
+    dx = xx - tx[:, None, None]
+    inside = (dy >= 0) & (dy < size) & (dx >= 0) & (dx < size)
     return jnp.where(inside[..., None], jnp.float32(fill), batch)
 
 

@@ -66,7 +66,8 @@ def test_cutout_masks_a_square():
     # the zeroed region is a contiguous axis-aligned rectangle
     ys, xs = np.where(nz)
     assert nz[ys.min():ys.max() + 1, xs.min():xs.max() + 1].all()
-    assert nz.sum() <= 9 * 9  # size 8 -> at most (2*4+1)^2 inside
+    assert nz.sum() <= 8 * 8  # size 8 -> at most 8x8 (less if clipped)
+    assert (ys.max() - ys.min() + 1) <= 8 and (xs.max() - xs.min() + 1) <= 8
 
 
 def test_mixup_convexity_and_labels():
