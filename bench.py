@@ -81,6 +81,26 @@ def best_window(fn, windows=3):
     return rates[i], steals[i]
 
 
+def _hostile_images(n: int, w: int = 1920, h: int = 1088) -> list:
+    """Adversarial 4:2:0 corpus: 32px block mosaics and 4px band-limited
+    noise — heavy spectral energy at the half-grid Nyquist, the worst
+    case for any draft-decode path."""
+    from picha_tpu.native import lib as native
+
+    r = np.random.default_rng(1234)
+    out = []
+    for i in range(n):
+        if i % 2 == 0:
+            t = r.integers(0, 256, (h // 32, w // 32, 3)).astype(np.float32)
+            img = np.kron(t, np.ones((32, 32, 1), np.float32))
+        else:
+            g = r.normal(0, 1, (h // 4, w // 4, 3)).astype(np.float32)
+            img = 127 + 45 * np.kron(g, np.ones((4, 4, 1), np.float32))
+        out.append(native.jpeg_encode(
+            np.clip(img, 0, 255).astype(np.uint8), 85))
+    return out
+
+
 def measure_link():
     # block_until_ready is unreliable here — force the upload to finish
     # with a tiny dependent readback before stopping the clock
@@ -269,6 +289,31 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     if "host-raw" in diffs and diffs["host-raw"] > 1.0:
         violations.append(
             f"host-raw parity {diffs['host-raw']:.3f} LSB > 1.0")
+
+    # hostile-content parity, REPORTED not gated: block mosaics + 4px
+    # noise put heavy spectral energy at the half-grid Nyquist and many
+    # out-of-gamut colours. Measured (LSB): host-fast ~2.7 (the 4x4
+    # draft IDCT truncates what no filter can recover) and host-raw
+    # ~1.4 (structural: the raw-domain chain resizes YCbCr without the
+    # staged path's intermediate RGB clipping, so on out-of-gamut
+    # synthetic colours the two references genuinely diverge — neither
+    # is "wrong", but the staged path is the parity oracle). This row
+    # is exactly why the headline gate measures parity on the actual
+    # corpus every run instead of trusting any fast path blindly.
+    hostile_parity = {}
+    try:
+        hb = _hostile_images(6)
+        ph = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
+                               encode_backend="host")
+        hrefs = [native.jpeg_decode(bytes(b), 3, out_w, out_h)
+                 for b in ph.host_encode_batch(hb)]
+        for hc in ("host-raw", "host-fast"):
+            hostile_parity[hc] = round(
+                config_parity(hb, out_w, out_h, hc, hrefs), 3)
+        log(f"hostile-content parity (LSB, reported not gated): "
+            f"{hostile_parity}")
+    except Exception as e:  # noqa: BLE001
+        log(f"hostile parity check failed: {e}")
     if diffs.get("host-fast", 99.0) >= 2.0:
         probes.pop("host-fast", None)  # outside even the golden tolerance
 
@@ -309,6 +354,8 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=20, config=winner)
     d["config_probes_img_s"] = probes
     d["config_parity_lsb"] = {k: round(v, 3) for k, v in diffs.items()}
+    if hostile_parity:
+        d["hostile_parity_lsb"] = hostile_parity
     fastest_any = max(probes, key=probes.get)
     d["fastest_any_config"] = fastest_any
     d["fastest_any_img_s"] = probes[fastest_any]

@@ -20,9 +20,9 @@ measured: bench-style gratings 1.14 -> 0.65 LSB, smooth gradients
 15.0 -> 3.86. The filter cannot restore what the 4x4 scaled IDCT
 truncates (frequencies above the half-grid Nyquist), so content with
 substantial energy there stays above 1 LSB — `host_raw`
-(ops/raw420.py) remains the content-independent ≤1 LSB path (its
-deviation comes from fixed intermediate quantisation, not from content
-truncation; measured 0.55 LSB full-corpus with the i16 resize kernel),
+(ops/raw420.py) deviates far less (0.55 LSB on the bench corpus; ~1.4
+on adversarial out-of-gamut synthetics, where its YCbCr-domain resize
+and the staged path's intermediate RGB clipping genuinely diverge),
 and bench.py gates the headline on measured full-corpus parity rather
 than assuming either path's number.
 

@@ -226,7 +226,10 @@ def stream_best(batches, *, width, height, quality=85,
     configs: subset of "host", "host-raw", "host-fast",
     "<upload>+<backend>" (e.g. "gap4+device", "scan+device",
     "gap4+raw420"). "host-raw" transcodes in the 4:2:0 raw domain
-    (ops/raw420.py) — strict ≤1 LSB parity with the cubic path.
+    (ops/raw420.py) — ≤1 LSB of the cubic path on photographic content
+    (bench.py measures 0.55 LSB on its corpus and gates on it; on
+    adversarial out-of-gamut synthetics the YCbCr-domain resize and the
+    staged path's intermediate RGB clipping diverge to ~1.4 LSB).
     "host-fast" uses the draft-mode DCT-scaled decode when the target
     is exactly source/2^k — a different resampling than the cubic
     filter (close on natural content, not on noise), so it is opt-in

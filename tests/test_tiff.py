@@ -410,3 +410,41 @@ def test_ycbcr_subsampled_uncompressed(hs, vs):
         if False else y, cb, cr, width, height, 1, 1)
     want = picha.decodeTiffSync(flat).to_array()
     np.testing.assert_array_equal(got, want)
+
+
+def test_lzw_multi_strip_table_anomalies():
+    """Malformed strip tables must not crash the batched LZW path:
+    out-of-range offsets fall back to the per-strip path and surface as
+    CodecError (not a native crash or silent garbage)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from picha_tpu.codecs import tiff as tiff_codec
+    from picha_tpu.errors import CodecError
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 256, (64, 48, 3), np.uint8)
+    img = Image.from_array(a, "rgb")
+    buf = bytearray(tiff_codec.encode(img, {"compression": "lzw"}))
+
+    # locate the StripOffsets entry in the IFD and poison it to point
+    # past the end of the file
+    ifd_off = struct.unpack("<I", buf[4:8])[0]
+    n = struct.unpack("<H", buf[ifd_off:ifd_off + 2])[0]
+    for i in range(n):
+        e = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack("<HHI", buf[e:e + 8])
+        if tag == 273 and cnt == 1:  # StripOffsets inline
+            buf[e + 8:e + 12] = struct.pack("<I", len(buf) + 1000)
+            break
+    else:
+        pytest.skip("offsets not inline for this geometry")
+    with pytest.raises(CodecError):
+        tiff_codec.decode(bytes(buf), {})
+
+    # and a truncated file: strip count larger than the data present
+    good = tiff_codec.encode(img, {"compression": "lzw"})
+    with pytest.raises(CodecError):
+        tiff_codec.decode(good[: len(good) // 3], {})
