@@ -62,6 +62,14 @@ def get_lib():
                 C.POINTER(C.c_char_p)]
             lib.picha_jpeg_decode_raw420.restype = C.c_int
 
+            _wins = [C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int]
+            lib.picha_jpeg_transcode_raw420.argtypes = (
+                [C.POINTER(C.c_uint8), C.c_size_t, C.c_int, C.c_int,
+                 C.c_int, C.c_int] + _wins * 4
+                + [C.c_int, C.c_int, C.POINTER(C.POINTER(C.c_uint8)),
+                   C.POINTER(C.c_size_t), C.POINTER(C.c_char_p)])
+            lib.picha_jpeg_transcode_raw420.restype = C.c_int
+
             lib.picha_jpeg_encode_raw420.argtypes = [
                 C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
                 C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int, C.c_int,
@@ -306,6 +314,37 @@ def jpeg_encode_raw420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
         _u8ptr(y.reshape(-1)), _u8ptr(cb.reshape(-1)), _u8ptr(cr.reshape(-1)),
         width, height, quality, restart, C.byref(out), C.byref(outlen),
         C.byref(err))
+    if rc != 0:
+        raise CodecError(take_error(lib, err))
+    return take_buffer(lib, out, outlen.value)
+
+
+def jpeg_transcode_raw420(buf: bytes, src_w: int, src_h: int, dst_w: int,
+                          dst_h: int, ywin_x, ywin_y, cwin_x, cwin_y,
+                          quality: int, restart: int = 0):
+    """One native call: raw 4:2:0 decode -> banded resize (i16 kernel,
+    f32 fallback) -> raw re-encode, GIL released throughout. Window
+    tuples are (starts int32, taps float32 (n, k)) in the
+    picha_resize_u8 layout (ops/raw420.py builds and caches them).
+    Returns encoded bytes, or None for layouts the raw path doesn't
+    take."""
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    out = C.POINTER(C.c_uint8)()
+    outlen = C.c_size_t()
+    err = C.c_char_p()
+
+    def wargs(win):
+        s, w = win
+        return [s.ctypes.data_as(C.POINTER(C.c_int32)),
+                w.ctypes.data_as(C.POINTER(C.c_float)), w.shape[1]]
+
+    rc = lib.picha_jpeg_transcode_raw420(
+        _u8ptr(src), src.size, src_w, src_h, dst_w, dst_h,
+        *wargs(ywin_x), *wargs(ywin_y), *wargs(cwin_x), *wargs(cwin_y),
+        quality, restart, C.byref(out), C.byref(outlen), C.byref(err))
+    if rc == 1:
+        return None
     if rc != 0:
         raise CodecError(take_error(lib, err))
     return take_buffer(lib, out, outlen.value)

@@ -14,6 +14,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
 
 #include <jpeglib.h>
 
@@ -314,6 +315,54 @@ PICHA_API int picha_jpeg_encode_raw420(const uint8_t* y, const uint8_t* cb,
   *out = (uint8_t*)buf;
   *outlen = (size_t)buflen;
   return 0;
+}
+
+// One-call raw-domain transcode: decode raw 4:2:0 planes -> banded
+// separable resize (int16 fixed-point kernel with f32 fallback, see
+// hostresize.cc) -> raw 4:2:0 re-encode, entirely inside one native
+// call with the GIL released — per-image Python/ctypes overhead drops
+// to a single crossing, and on multi-core hosts pool threads run the
+// whole transcode concurrently. Window tables arrive from Python
+// (ops/raw420.py caches them per geometry). Returns 1 (no error
+// string) for layouts the raw path doesn't take — caller falls back.
+PICHA_API int picha_jpeg_transcode_raw420(
+    const uint8_t* src, size_t len, int src_w, int src_h, int dst_w,
+    int dst_h, const int32_t* yxs, const float* yxw, int yxk,
+    const int32_t* yys, const float* yyw, int yyk, const int32_t* cxs,
+    const float* cxw, int cxk, const int32_t* cys, const float* cyw,
+    int cyk, int quality, int restart_mcus, uint8_t** out,
+    size_t* outlen, char** err) {
+  int wpi = (src_w + 15) & ~15, hpi = (src_h + 15) & ~15;
+  int wpo = (dst_w + 15) & ~15, hpo = (dst_h + 15) & ~15;
+  std::vector<uint8_t> y((size_t)hpi * wpi), cbp((size_t)hpi * wpi / 4),
+      crp((size_t)hpi * wpi / 4);
+  int rc = picha_jpeg_decode_raw420(src, len, y.data(), cbp.data(),
+                                    crp.data(), err);
+  if (rc != 0) return rc;
+  std::vector<uint8_t> yo((size_t)hpo * wpo), cbo((size_t)hpo * wpo / 4),
+      cro((size_t)hpo * wpo / 4);
+  auto rsz = [](const uint8_t* s, int sh, int sw, uint8_t* d, int dh,
+                int dw, const int32_t* xs, const float* xw, int xk,
+                const int32_t* ys2, const float* yw2, int yk2) {
+    int r = picha_resize_u8_i16(s, sh, sw, 1, d, dh, dw, xs, xw, xk, ys2,
+                                yw2, yk2);
+    if (r == 2)
+      r = picha_resize_u8(s, sh, sw, 1, d, dh, dw, xs, xw, xk, ys2, yw2,
+                          yk2);
+    return r;
+  };
+  if (rsz(y.data(), hpi, wpi, yo.data(), hpo, wpo, yxs, yxw, yxk, yys,
+          yyw, yyk) != 0 ||
+      rsz(cbp.data(), hpi / 2, wpi / 2, cbo.data(), hpo / 2, wpo / 2, cxs,
+          cxw, cxk, cys, cyw, cyk) != 0 ||
+      rsz(crp.data(), hpi / 2, wpi / 2, cro.data(), hpo / 2, wpo / 2, cxs,
+          cxw, cxk, cys, cyw, cyk) != 0) {
+    if (err) *err = strdup("raw420 resize failed");
+    return -1;
+  }
+  return picha_jpeg_encode_raw420(yo.data(), cbo.data(), cro.data(),
+                                  dst_w, dst_h, quality, restart_mcus,
+                                  out, outlen, err);
 }
 
 // ---------------------------------------------------------------------------

@@ -98,6 +98,16 @@ PICHA_API int picha_jpeg_encode_raw420(const uint8_t* y, const uint8_t* cb,
 
 // Raw 4:2:0 plane decode (Huffman+IDCT only; see jpegshim.cc). Returns
 // 0 ok, 1 unsupported-layout (fall back), -1 error (err set).
+// one-call raw-domain transcode (decode raw -> banded resize -> raw
+// re-encode, GIL-free): windows in the picha_resize_u8 layout; returns
+// 1 for unsupported layouts (caller falls back to the RGB path)
+PICHA_API int picha_jpeg_transcode_raw420(
+    const uint8_t* src, size_t len, int src_w, int src_h, int dst_w,
+    int dst_h, const int32_t* yxs, const float* yxw, int yxk,
+    const int32_t* yys, const float* yyw, int yyk, const int32_t* cxs,
+    const float* cxw, int cxk, const int32_t* cys, const float* cyw,
+    int cyk, int quality, int restart_mcus, uint8_t** out,
+    size_t* outlen, char** err);
 PICHA_API int picha_jpeg_decode_raw420(const uint8_t* src, size_t len,
                                        uint8_t* y, uint8_t* cb, uint8_t* cr,
                                        char** err);

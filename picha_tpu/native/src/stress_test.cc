@@ -149,6 +149,36 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
       ++failures;
       picha_free(rerr);
     }
+    // one-call transcode of the SHARED buffer (2:1 box-ish windows)
+    {
+      int dw = w / 2, dh = h / 2;
+      int dwp = (dw + 15) & ~15, dhp = (dh + 15) & ~15;
+      auto mkwin = [](int n, int src) {
+        std::pair<std::vector<int32_t>, std::vector<float>> p;
+        p.first.resize(n);
+        p.second.assign((size_t)n * 2, 0.5f);
+        for (int i = 0; i < n; ++i)
+          p.first[i] = std::min(2 * i, src - 2);
+        return p;
+      };
+      auto yx = mkwin(dwp, (w + 15) & ~15), yy = mkwin(dhp, (h + 15) & ~15);
+      auto cx = mkwin(dwp / 2, ((w + 15) & ~15) / 2),
+           cy = mkwin(dhp / 2, ((h + 15) & ~15) / 2);
+      uint8_t* tout = nullptr;
+      size_t tlen = 0;
+      char* terr = nullptr;
+      int trc = picha_jpeg_transcode_raw420(
+          shared_jpeg, jpeg_len, w, h, dw, dh, yx.first.data(),
+          yx.second.data(), 2, yy.first.data(), yy.second.data(), 2,
+          cx.first.data(), cx.second.data(), 2, cy.first.data(),
+          cy.second.data(), 2, 80, 0, &tout, &tlen, &terr);
+      if (trc == 0) {
+        picha_free(tout);
+      } else if (trc < 0) {
+        ++failures;
+        picha_free(terr);
+      }
+    }
   } else {
     ++failures;
   }

@@ -142,20 +142,25 @@ def resize_raw420(planes, src_w: int, src_h: int, dst_w: int, dst_h: int,
 
 def transcode_raw420(buf: bytes, dst_w: int, dst_h: int, filter_name: str,
                      fscale: float, quality: int, restart: int = 0):
-    """One-shot raw-domain transcode: JPEG bytes -> resized JPEG bytes.
-    Returns None when the source isn't plain 4:2:0 YCbCr (progressive
-    sources are fine — libjpeg's raw mode handles them) so callers fall
-    back to the RGB path."""
+    """One-shot raw-domain transcode: JPEG bytes -> resized JPEG bytes
+    in a single native call (decode raw -> banded i16 resize -> raw
+    re-encode, GIL released end to end — pool threads on multi-core
+    hosts run whole transcodes concurrently). Returns None when the
+    source isn't plain 4:2:0 YCbCr (progressive sources are fine —
+    libjpeg's raw mode handles them) so callers fall back to the RGB
+    path."""
     from ..native import lib as native
 
     st = native.jpeg_stat(buf)
     if st is None:
         return None
     src_w, src_h, _ = st
-    planes = native.jpeg_decode_raw420(buf, src_w, src_h)
-    if planes is None:
-        return None
-    yo, cbo, cro = resize_raw420(planes, src_w, src_h, dst_w, dst_h,
-                                 filter_name, fscale)
-    return native.jpeg_encode_raw420(yo, cbo, cro, dst_w, dst_h, quality,
-                                     restart=restart)
+    wpad_o, hpad_o = _ceil16(dst_w), _ceil16(dst_h)
+    yxs, yxw = luma_windows(dst_w, wpad_o, src_w, filter_name, fscale)
+    yys, yyw = luma_windows(dst_h, hpad_o, src_h, filter_name, fscale)
+    cxs, cxw = chroma_windows(dst_w, wpad_o, src_w, filter_name, fscale)
+    cys, cyw = chroma_windows(dst_h, hpad_o, src_h, filter_name, fscale)
+    return native.jpeg_transcode_raw420(
+        buf, src_w, src_h, dst_w, dst_h,
+        (yxs, yxw), (yys, yyw), (cxs, cxw), (cys, cyw),
+        quality, restart=restart)
