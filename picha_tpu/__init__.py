@@ -159,6 +159,30 @@ _make_format_api("image/png", "Png")
 _make_format_api("image/tiff", "Tiff")
 _make_format_api("image/webp", "WebP")
 
+if "image/jpeg" in catalog:
+    def transcodeJpegSync(buf, opts: dict) -> bytes:
+        """One-call JPEG -> resized JPEG (beyond-reference API; see
+        codecs/jpeg.py transcode): the raw-domain fast path for 4:2:0
+        sources, decode->resize->encode fallback otherwise."""
+        from .codecs import jpeg as _jpeg
+        from .runtime import metrics
+
+        metrics.count("transcode.jpeg")
+        metrics.count("bytes_in", len(buf))
+        with metrics.timer("transcode.jpeg"):
+            out = _jpeg.transcode(bytes(buf), opts)
+        metrics.count("bytes_out", len(out))
+        return out
+
+    def transcodeJpeg(buf, opts=None, cb=None):
+        if callable(opts):
+            cb, opts = opts, None
+        return run_async(lambda: transcodeJpegSync(buf, opts or {}), cb)
+
+    transcode_jpeg_sync = transcodeJpegSync
+    transcode_jpeg = transcodeJpeg
+    __all__.extend(["transcodeJpeg", "transcodeJpegSync"])
+
 
 # ---------------------------------------------------------------------------
 # Format sniffing (index.js:200-233)
