@@ -351,7 +351,8 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         violations.append("no strict-parity config available")
         return 0.0, {"config_probes_img_s": probes}, violations
     winner = max(strict, key=strict.get)
-    ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=20, config=winner)
+    ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=20, config=winner,
+                       windows=4)
     d["config_probes_img_s"] = probes
     d["config_parity_lsb"] = {k: round(v, 3) for k, v in diffs.items()}
     if hostile_parity:
