@@ -730,21 +730,21 @@ def bench_cpu_standin(bufs, out_w, out_h, n=24):
     return best_window(window, windows=3)[0]
 
 
-def main():
+def device_stages_main():
+    """Everything that touches the TPU tunnel, run as a subprocess so a
+    dead/hung tunnel (first-readback cold starts have exceeded 20 min;
+    occasional ABORTED) can be timed out by main() instead of hanging
+    the whole bench. Prints one DEVJSON line."""
     import jax
 
     from picha_tpu.pipeline import JpegBatchPipeline
-
-    log(f"devices: {jax.devices()}")
 
     W, H = 1920, 1088
     mpix = W * H / 1e6
     batch = 16
     bufs = make_test_images(batch, W, H)
-    log(f"generated {len(bufs)} jpegs, ~{len(bufs[0])//1024} KiB each")
-
     out_w, out_h = 960, 544
-    detail = {"host_cores": 1}
+    detail = {}
     violations = []
 
     def stage(name, fn, *a):
@@ -764,12 +764,6 @@ def main():
         detail["link_up_MBps"] = round(link[0], 1)
         detail["link_down_MBps"] = round(link[1], 1)
         log(f"link bandwidth: up {link[0]:.0f} MB/s, down {link[1]:.1f} MB/s")
-
-    entropy_ips = stage("entropy", bench_entropy, bufs, batch)
-    if entropy_ips:
-        detail["host_entropy_mpix_s"] = round(entropy_ips * mpix, 1)
-        log(f"host entropy decode: {entropy_ips:.1f} img/s "
-            f"({entropy_ips * mpix:.0f} Mpix/s)")
 
     def tpu_stage(fused):
         p = JpegBatchPipeline(width=out_w, height=out_h)
@@ -811,12 +805,6 @@ def main():
         log(f"training-input ingest (decode+resize 224+normalize, on-device): "
             f"{train_ips:.1f} img/s ({train_ips * mpix:.0f} Mpix/s)")
 
-    host_ips = stage("host stage", bench_host_stage, bufs, batch, out_w, out_h)
-    if host_ips:
-        detail["host_stage_mpix_s"] = round(host_ips * mpix, 1)
-        log(f"host stage (entropy + gap8 pack + raw420 encode): "
-            f"{host_ips:.1f} img/s ({host_ips * mpix:.0f} Mpix/s)")
-
     parity = stage("tpu parity", bench_tpu_parity, bufs)
     if parity is not None:
         detail["tpu_host_avg_diff_lsb"] = round(float(parity), 3)
@@ -825,6 +813,68 @@ def main():
         if parity > 1.0:
             violations.append(
                 f"TPU fused decode parity {parity:.3f} LSB > 1.0")
+    print("DEVJSON " + json.dumps({"detail": detail,
+                                   "violations": violations}), flush=True)
+
+
+def main():
+    import os
+    import subprocess
+    import sys
+
+    W, H = 1920, 1088
+    mpix = W * H / 1e6
+    batch = 16
+    bufs = make_test_images(batch, W, H)
+    log(f"generated {len(bufs)} jpegs, ~{len(bufs[0])//1024} KiB each")
+
+    out_w, out_h = 960, 544
+    detail = {"host_cores": 1}
+    violations = []
+
+    def stage(name, fn, *a):
+        try:
+            return fn(*a)
+        except Exception as e:  # noqa: BLE001 — flaky platform, keep going
+            log(f"{name} FAILED: {type(e).__name__}: {e}")
+            return None
+
+    # device-touching stages in a watchdogged subprocess: a hung tunnel
+    # costs us those rows, not the whole bench artifact
+    device_ok = False
+    if os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") != "0":
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--device-stages"],
+                env=dict(os.environ), timeout=2400, text=True,
+                stdout=subprocess.PIPE, stderr=sys.stderr)
+            for line in proc.stdout.splitlines():
+                if line.startswith("DEVJSON "):
+                    dev = json.loads(line[len("DEVJSON "):])
+                    detail.update(dev["detail"])
+                    violations.extend(dev["violations"])
+                    device_ok = "tpu_fused_stage_mpix_s" in dev["detail"]
+        except subprocess.TimeoutExpired:
+            log("device stages TIMED OUT (tunnel hung) — host rows only")
+        except Exception as e:  # noqa: BLE001
+            log(f"device stages failed: {type(e).__name__}: {e}")
+    if not device_ok:
+        # don't spend 2x900s probing device e2e configs over a tunnel
+        # that just proved dead/hung
+        os.environ["PICHA_BENCH_TRY_DEVICE"] = "0"
+
+    entropy_ips = stage("entropy", bench_entropy, bufs, batch)
+    if entropy_ips:
+        detail["host_entropy_mpix_s"] = round(entropy_ips * mpix, 1)
+        log(f"host entropy decode: {entropy_ips:.1f} img/s "
+            f"({entropy_ips * mpix:.0f} Mpix/s)")
+
+    host_ips = stage("host stage", bench_host_stage, bufs, batch, out_w, out_h)
+    if host_ips:
+        detail["host_stage_mpix_s"] = round(host_ips * mpix, 1)
+        log(f"host stage (entropy + gap8 pack + raw420 encode): "
+            f"{host_ips:.1f} img/s ({host_ips * mpix:.0f} Mpix/s)")
 
     e2e_ips = None
     e2e = stage("e2e", bench_e2e_best, bufs, batch, out_w, out_h)
@@ -834,7 +884,8 @@ def main():
         detail.update(ebytes)
         log(f"e2e decode->resize->encode (pipelined): {e2e_ips:.1f} img/s "
             f"({e2e_ips * mpix:.0f} Mpix/s)")
-        if link and host_ips and ebytes.get("up_MB_per_batch"):
+        link = (detail.get("link_up_MBps"), detail.get("link_down_MBps"))
+        if all(link) and host_ips and ebytes.get("up_MB_per_batch"):
             up_ips = link[0] * batch / ebytes["up_MB_per_batch"]
             down_ips = link[1] * batch / ebytes["down_MB_per_batch"]
             roof = min(up_ips, down_ips, host_ips)
@@ -898,4 +949,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--device-stages" in sys.argv:
+        device_stages_main()
+    else:
+        main()
