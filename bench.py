@@ -696,7 +696,9 @@ def bench_config4(n=256):
 
 def bench_single_latency(buf, out_w, out_h, reps=15):
     # median of 15: steal bursts hit a minority of reps (measured), so
-    # the median is the no-contention latency
+    # the median is the no-contention latency. Returns (staged p50,
+    # one-call transcode p50) — the latter is the public
+    # transcodeJpegSync fast path.
     import picha_tpu as picha
 
     picha.encodeJpegSync(
@@ -709,7 +711,14 @@ def bench_single_latency(buf, out_w, out_h, reps=15):
         small = picha.resizeSync(img, {"width": out_w, "height": out_h})
         picha.encodeJpegSync(small, {"quality": 85})
         lat.append((time.perf_counter() - t0) * 1e3)
-    return statistics.median(lat)
+    topts = {"width": out_w, "height": out_h, "quality": 85}
+    picha.transcodeJpegSync(buf, topts)
+    tlat = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        picha.transcodeJpegSync(buf, topts)
+        tlat.append((time.perf_counter() - t0) * 1e3)
+    return statistics.median(lat), statistics.median(tlat)
 
 
 def bench_cpu_standin(bufs, out_w, out_h, n=24):
@@ -917,8 +926,10 @@ def main():
 
     p50 = stage("latency", bench_single_latency, bufs[0], out_w, out_h)
     if p50:
-        detail["p50_ms_1080p"] = round(p50, 1)
-        log(f"p50 single-image 1080p decode->resize->encode: {p50:.1f} ms")
+        detail["p50_ms_1080p"] = round(p50[0], 1)
+        detail["p50_transcode_ms_1080p"] = round(p50[1], 1)
+        log(f"p50 single-image 1080p decode->resize->encode: {p50[0]:.1f} ms"
+            f"; one-call transcodeJpegSync: {p50[1]:.1f} ms")
 
     cpu_ips = stage("cpu standin", bench_cpu_standin, bufs, out_w, out_h)
     if cpu_ips:
