@@ -655,3 +655,33 @@ def test_host_fast_scale_path():
                            encode_backend="host")
     assert [bytes(x) for x in po.host_encode_batch([sm_buf])] == \
         [bytes(x) for x in pr.host_encode_batch([sm_buf])]
+
+
+def test_pool_paths_not_dead_code(monkeypatch):
+    """The multi-core pool branches (gated off on this 1-core box) must
+    still execute correctly when cpu_count reports more cores —
+    production hosts take them on every batch."""
+    import os
+
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import ImageBatchPipeline, JpegBatchPipeline
+    from picha_tpu.pipeline.training import TrainingInput
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    rng = np.random.default_rng(2)
+    bufs = [native.jpeg_encode(
+        rng.integers(0, 256, (64, 80, 3), np.uint8).astype(np.uint8), 88)
+        for _ in range(4)]
+    p = JpegBatchPipeline(width=40, height=32, encode_quality=85,
+                          encode_backend="host")
+    pooled = p.host_encode_batch(bufs)
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    serial = p.host_encode_batch(bufs)
+    assert [bytes(a) for a in pooled] == [bytes(b) for b in serial]
+
+    monkeypatch.setattr(os, "cpu_count", lambda: 4)
+    ti = TrainingInput(bufs, batch=2, crop=48, size=32, seed=3)
+    a = np.asarray(next(ti))
+    monkeypatch.setattr(os, "cpu_count", lambda: 1)
+    ti2 = TrainingInput(bufs, batch=2, crop=48, size=32, seed=3)
+    np.testing.assert_array_equal(a, np.asarray(next(ti2)))
