@@ -84,3 +84,61 @@ def test_pipeline_host_raw_mixed_batch():
         assert (st[0], st[1]) == (64, 48)
     # grey image went through the fallback path and stays grey
     assert native.jpeg_stat(outs[1])[2] == 1
+
+
+def test_hostile_divergence_is_staged_path_clipping():
+    """Attribution of the hostile-content parity gap (bench.py reports
+    host-raw ~1.4 LSB vs the staged path on out-of-gamut synthetics):
+    the raw-domain path must track the PURE LINEAR composition
+    (float resize of Y; float down.resize.up of chroma) at
+    quantisation level, while the staged reference's intermediate RGB
+    clipping/rounding is what diverges from that composition. If this
+    inverts, the raw path has a real bug rather than a semantics
+    difference."""
+    from picha_tpu.ops.raw420 import (box_downsample_matrix,
+                                      fancy_upsample_matrix, resize_raw420)
+    from picha_tpu.ops.resize import _resize_native, resize_weights
+
+    W, H, OW, OH = 640, 384, 320, 192
+    r = np.random.default_rng(3)
+    t = r.integers(0, 2, (H // 16, W // 16, 3)).astype(np.float32) * 255
+    img = np.kron(t, np.ones((16, 16, 1), np.float32))
+    img += r.normal(0, 20, img.shape)
+    b = native.jpeg_encode(np.clip(img, 0, 255).astype(np.uint8), 85)
+
+    planes = native.jpeg_decode_raw420(b, W, H)
+    y, cb, cr = [p.astype(np.float32) for p in planes]
+    Ry = resize_weights(OH, H, "cubic", 0.7)
+    Rx = resize_weights(OW, W, "cubic", 0.7)
+    y_ref = np.clip(Ry @ y[:H, :W] @ Rx.T, 0, 255)
+    Uv = fancy_upsample_matrix(H, H // 2)
+    Uh = fancy_upsample_matrix(W, W // 2)
+    Dv = box_downsample_matrix(OH // 2, OH)
+    Dh = box_downsample_matrix(OW // 2, OW)
+
+    def cref(c):
+        return np.clip(
+            Dv @ (Ry @ (Uv @ c[:H // 2, :W // 2] @ Uh.T) @ Rx.T) @ Dh.T,
+            0, 255)
+
+    cb_ref, cr_ref = cref(cb), cref(cr)
+
+    yo, cbo, cro = resize_raw420(planes, W, H, OW, OH, "cubic", 0.7)
+    d_raw = max(
+        np.abs(yo[:OH, :OW] - y_ref).mean(),
+        np.abs(cbo[:OH // 2, :OW // 2] - cb_ref).mean(),
+        np.abs(cro[:OH // 2, :OW // 2] - cr_ref).mean())
+
+    staged = _resize_native(native.jpeg_decode(b, 3, W, H), OW, OH,
+                            "cubic", 0.7).astype(np.float32)
+    R, G, B = staged[..., 0], staged[..., 1], staged[..., 2]
+    Ys = 0.299 * R + 0.587 * G + 0.114 * B
+    Cbs = -0.168735892 * R - 0.331264108 * G + 0.5 * B + 128
+    Crs = 0.5 * R - 0.418687589 * G - 0.081312411 * B + 128
+    d_staged = max(
+        np.abs(Ys - y_ref).mean(),
+        np.abs(Dv @ Cbs @ Dh.T - cb_ref).mean(),
+        np.abs(Dv @ Crs @ Dh.T - cr_ref).mean())
+
+    assert d_raw < 0.4, d_raw          # quantisation-level tracking
+    assert d_staged > 2 * d_raw, (d_raw, d_staged)  # the gap is theirs
