@@ -303,10 +303,8 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     hostile_parity = {}
     try:
         hb = _hostile_images(6)
-        ph = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
-                               encode_backend="host")
         hrefs = [native.jpeg_decode(bytes(b), 3, out_w, out_h)
-                 for b in ph.host_encode_batch(hb)]
+                 for b in pn.host_encode_batch(hb)]
         for hc in ("host-raw", "host-fast"):
             hostile_parity[hc] = round(
                 config_parity(hb, out_w, out_h, hc, hrefs), 3)
@@ -711,14 +709,21 @@ def bench_single_latency(buf, out_w, out_h, reps=15):
         small = picha.resizeSync(img, {"width": out_w, "height": out_h})
         picha.encodeJpegSync(small, {"quality": 85})
         lat.append((time.perf_counter() - t0) * 1e3)
-    topts = {"width": out_w, "height": out_h, "quality": 85}
-    picha.transcodeJpegSync(buf, topts)
-    tlat = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
+    # separate failure fate: a transcode-path error must not discard
+    # the independently measured staged p50
+    try:
+        topts = {"width": out_w, "height": out_h, "quality": 85}
         picha.transcodeJpegSync(buf, topts)
-        tlat.append((time.perf_counter() - t0) * 1e3)
-    return statistics.median(lat), statistics.median(tlat)
+        tlat = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            picha.transcodeJpegSync(buf, topts)
+            tlat.append((time.perf_counter() - t0) * 1e3)
+        t50 = statistics.median(tlat)
+    except Exception as e:  # noqa: BLE001
+        log(f"transcode p50 FAILED: {type(e).__name__}: {e}")
+        t50 = None
+    return statistics.median(lat), t50
 
 
 def bench_cpu_standin(bufs, out_w, out_h, n=24):
@@ -739,29 +744,46 @@ def bench_cpu_standin(bufs, out_w, out_h, n=24):
     return best_window(window, windows=3)[0]
 
 
+# one corpus for every stage: the decomposition in `detail` is only
+# comparable because the subprocess and main() measure the same batch
+BENCH_W, BENCH_H = 1920, 1088
+BENCH_BATCH = 16
+BENCH_OUT_W, BENCH_OUT_H = 960, 544
+
+
+def run_stage(name, fn, *a):
+    try:
+        return fn(*a)
+    except Exception as e:  # noqa: BLE001 — flaky platform, keep going
+        log(f"{name} FAILED: {type(e).__name__}: {e}")
+        return None
+
+
 def device_stages_main():
     """Everything that touches the TPU tunnel, run as a subprocess so a
     dead/hung tunnel (first-readback cold starts have exceeded 20 min;
     occasional ABORTED) can be timed out by main() instead of hanging
-    the whole bench. Prints one DEVJSON line."""
+    the whole bench. Prints a DEVJSON snapshot after EVERY stage — a
+    hang in stage N costs stages N.. only; main() keeps the last
+    snapshot."""
     import jax
 
     from picha_tpu.pipeline import JpegBatchPipeline
 
-    W, H = 1920, 1088
+    W, H = BENCH_W, BENCH_H
     mpix = W * H / 1e6
-    batch = 16
+    batch = BENCH_BATCH
     bufs = make_test_images(batch, W, H)
-    out_w, out_h = 960, 544
+    out_w, out_h = BENCH_OUT_W, BENCH_OUT_H
     detail = {}
     violations = []
 
-    def stage(name, fn, *a):
-        try:
-            return fn(*a)
-        except Exception as e:  # noqa: BLE001 — flaky platform, keep going
-            log(f"{name} FAILED: {type(e).__name__}: {e}")
-            return None
+    def snapshot():
+        print("DEVJSON " + json.dumps({"detail": detail,
+                                       "violations": violations}),
+              flush=True)
+
+    stage = run_stage
 
     # warm the device->host path once (first readback on this tunnel can
     # take minutes; everything after is fast)
@@ -773,6 +795,7 @@ def device_stages_main():
         detail["link_up_MBps"] = round(link[0], 1)
         detail["link_down_MBps"] = round(link[1], 1)
         log(f"link bandwidth: up {link[0]:.0f} MB/s, down {link[1]:.1f} MB/s")
+    snapshot()
 
     def tpu_stage(fused):
         p = JpegBatchPipeline(width=out_w, height=out_h)
@@ -786,12 +809,14 @@ def device_stages_main():
         detail["tpu_fused_stage_mpix_s"] = round(tpu_ips * mpix, 1)
         log(f"TPU fused stage (dequant+IDCT+upsample+resize as 2 matmuls/comp "
             f"+ YCbCr + pack): {tpu_ips:.1f} img/s ({tpu_ips * mpix:.0f} Mpix/s)")
+    snapshot()
 
     staged_ips = stage("tpu pixel stage (staged)", tpu_stage, False)
     if staged_ips:
         detail["tpu_staged_stage_mpix_s"] = round(staged_ips * mpix, 1)
         log(f"TPU staged stage: {staged_ips:.1f} img/s "
             f"({staged_ips * mpix:.0f} Mpix/s)")
+    snapshot()
 
     roof = stage("device-only roofline", bench_device_roofline, bufs,
                  batch, out_w, out_h, mpix)
@@ -807,12 +832,14 @@ def device_stages_main():
         if roof_parity > 1.0:
             violations.append(
                 f"device-only roofline parity {roof_parity:.3f} LSB > 1.0")
+    snapshot()
 
     train_ips = stage("train ingest", bench_train_ingest, bufs, batch)
     if train_ips:
         detail["train_ingest_mpix_s"] = round(train_ips * mpix, 1)
         log(f"training-input ingest (decode+resize 224+normalize, on-device): "
             f"{train_ips:.1f} img/s ({train_ips * mpix:.0f} Mpix/s)")
+    snapshot()
 
     parity = stage("tpu parity", bench_tpu_parity, bufs)
     if parity is not None:
@@ -822,8 +849,7 @@ def device_stages_main():
         if parity > 1.0:
             violations.append(
                 f"TPU fused decode parity {parity:.3f} LSB > 1.0")
-    print("DEVJSON " + json.dumps({"detail": detail,
-                                   "violations": violations}), flush=True)
+    snapshot()
 
 
 def main():
@@ -831,25 +857,21 @@ def main():
     import subprocess
     import sys
 
-    W, H = 1920, 1088
+    W, H = BENCH_W, BENCH_H
     mpix = W * H / 1e6
-    batch = 16
+    batch = BENCH_BATCH
     bufs = make_test_images(batch, W, H)
     log(f"generated {len(bufs)} jpegs, ~{len(bufs[0])//1024} KiB each")
 
-    out_w, out_h = 960, 544
+    out_w, out_h = BENCH_OUT_W, BENCH_OUT_H
     detail = {"host_cores": 1}
     violations = []
-
-    def stage(name, fn, *a):
-        try:
-            return fn(*a)
-        except Exception as e:  # noqa: BLE001 — flaky platform, keep going
-            log(f"{name} FAILED: {type(e).__name__}: {e}")
-            return None
+    stage = run_stage
 
     # device-touching stages in a watchdogged subprocess: a hung tunnel
-    # costs us those rows, not the whole bench artifact
+    # costs us the remaining device rows, not the whole bench artifact
+    # (the subprocess snapshots DEVJSON after every stage; the last
+    # snapshot carries everything measured before any hang)
     device_ok = False
     if os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") != "0":
         try:
@@ -858,19 +880,28 @@ def main():
                  "--device-stages"],
                 env=dict(os.environ), timeout=2400, text=True,
                 stdout=subprocess.PIPE, stderr=sys.stderr)
-            for line in proc.stdout.splitlines():
-                if line.startswith("DEVJSON "):
-                    dev = json.loads(line[len("DEVJSON "):])
-                    detail.update(dev["detail"])
-                    violations.extend(dev["violations"])
-                    device_ok = "tpu_fused_stage_mpix_s" in dev["detail"]
-        except subprocess.TimeoutExpired:
-            log("device stages TIMED OUT (tunnel hung) — host rows only")
+        except subprocess.TimeoutExpired as te:
+            log("device stages TIMED OUT (tunnel hung) — keeping rows "
+                "snapshotted before the hang")
+            proc = te  # .stdout holds output captured before the kill
         except Exception as e:  # noqa: BLE001
             log(f"device stages failed: {type(e).__name__}: {e}")
+            proc = None
+        out_text = getattr(proc, "stdout", None) or ""
+        if isinstance(out_text, bytes):
+            out_text = out_text.decode(errors="replace")
+        for line in out_text.splitlines():
+            if line.startswith("DEVJSON "):
+                dev = json.loads(line[len("DEVJSON "):])
+                detail.update(dev["detail"])
+                violations.extend(dev["violations"])
+                # tunnel proved alive if ANY device row landed —
+                # one stage's transient ABORTED must not disable the
+                # device e2e probes
+                device_ok = True
     if not device_ok:
         # don't spend 2x900s probing device e2e configs over a tunnel
-        # that just proved dead/hung
+        # that produced nothing at all
         os.environ["PICHA_BENCH_TRY_DEVICE"] = "0"
 
     entropy_ips = stage("entropy", bench_entropy, bufs, batch)
@@ -927,9 +958,10 @@ def main():
     p50 = stage("latency", bench_single_latency, bufs[0], out_w, out_h)
     if p50:
         detail["p50_ms_1080p"] = round(p50[0], 1)
-        detail["p50_transcode_ms_1080p"] = round(p50[1], 1)
-        log(f"p50 single-image 1080p decode->resize->encode: {p50[0]:.1f} ms"
-            f"; one-call transcodeJpegSync: {p50[1]:.1f} ms")
+        log(f"p50 single-image 1080p decode->resize->encode: {p50[0]:.1f} ms")
+        if p50[1] is not None:
+            detail["p50_transcode_ms_1080p"] = round(p50[1], 1)
+            log(f"one-call transcodeJpegSync p50: {p50[1]:.1f} ms")
 
     cpu_ips = stage("cpu standin", bench_cpu_standin, bufs, out_w, out_h)
     if cpu_ips:

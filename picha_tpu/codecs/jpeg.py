@@ -133,6 +133,8 @@ def transcode(buf: bytes, opts: dict) -> bytes:
     quality = max(0, min(100, int(opts.get("quality", DEFAULT_QUALITY))))
     restart = int(opts.get("restartInterval",
                            opts.get("restart_interval", 0)))
+    if restart < 0:  # same validation as encode(), path-independent
+        raise InvalidOptionsError("restartInterval must be >= 0")
     fname, fscale = parse_resize_options(opts)
     out = transcode_raw420(buf, w, h, fname, fscale, quality,
                            restart=restart)

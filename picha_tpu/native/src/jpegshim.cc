@@ -332,6 +332,15 @@ PICHA_API int picha_jpeg_transcode_raw420(
     const float* cxw, int cxk, const int32_t* cys, const float* cyw,
     int cyk, int quality, int restart_mcus, uint8_t** out,
     size_t* outlen, char** err) {
+  // the decode writes rows per the bitstream's header dims; buffers
+  // here are sized from the caller's src_w/src_h, so the two MUST
+  // agree or the plane writes run off the heap — verify, don't trust
+  int hw = 0, hh = 0, hc = 0;
+  if (picha_jpeg_stat(src, len, &hw, &hh, &hc) != 0 || hw != src_w ||
+      hh != src_h) {
+    if (err) *err = strdup("transcode dims disagree with JPEG header");
+    return -1;
+  }
   int wpi = (src_w + 15) & ~15, hpi = (src_h + 15) & ~15;
   int wpo = (dst_w + 15) & ~15, hpo = (dst_h + 15) & ~15;
   std::vector<uint8_t> y((size_t)hpi * wpi), cbp((size_t)hpi * wpi / 4),

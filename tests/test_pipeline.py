@@ -664,7 +664,7 @@ def test_pool_paths_not_dead_code(monkeypatch):
     import os
 
     from picha_tpu.native import lib as native
-    from picha_tpu.pipeline import ImageBatchPipeline, JpegBatchPipeline
+    from picha_tpu.pipeline import JpegBatchPipeline
     from picha_tpu.pipeline.training import TrainingInput
 
     monkeypatch.setattr(os, "cpu_count", lambda: 4)
