@@ -96,3 +96,13 @@ def test_refit_matches_shipped_taps():
     hx, hy = fit_correction(pairs, samples=40000)
     assert np.abs(hx - HX).max() < 0.08
     assert np.abs(hy - HY).max() < 0.08
+
+
+def test_windows_tiny_axis():
+    # axes smaller than the filter fold all taps in-range and keep
+    # unit gain; apply_correction works on images narrower than 5 px
+    starts, taps = correction_windows(3, "x")
+    assert taps.shape == (3, 3)
+    np.testing.assert_allclose(taps.sum(axis=1), 1.0, atol=1e-5)
+    tiny = np.full((4, 3, 3), 77, np.uint8)
+    np.testing.assert_array_equal(apply_correction(tiny), tiny)
