@@ -32,10 +32,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_test_images(n: int, w: int, h: int) -> list:
+def make_test_images(n: int, w: int, h: int, seed: int = 42) -> list:
     from picha_tpu.native import lib as native
 
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     bufs = []
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     noise = rng.normal(0, 6, (h, w, 3)).astype(np.float32)
@@ -151,6 +151,19 @@ def bench_tpu_stage(p, sig, dargs, batch, mpix, iters=20, fused=False):
     return batch * iters / dt
 
 
+_POOL_CACHE = {}
+
+
+def _device_pool(bufs, batch):
+    """96-image pool for device-config dispatch diversity (cached per
+    process; the subprocess probes each build their own)."""
+    key = (len(bufs), batch)
+    if key not in _POOL_CACHE:
+        _POOL_CACHE[key] = list(bufs) + make_test_images(
+            96 - len(bufs), BENCH_W, BENCH_H, seed=1337)
+    return _POOL_CACHE[key]
+
+
 def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host",
               windows=3):
     """End-to-end decode -> resize -> encode in one of three
@@ -200,11 +213,15 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host",
     for _ in runner([bufs]):  # untimed warmup
         pass
 
-    # rotate the batch each round AND across windows: this platform may
-    # memoize identical dispatches (see bench_tpu_stage), so every round
-    # of every window must present distinct wire bytes to the device
-    # chain — a repeated window would otherwise replay window 1's exact
-    # dispatch sequence and time its cache
+    # every round of every window must present distinct wire bytes to
+    # the device chain (this platform may memoize identical dispatches
+    # — see bench_tpu_stage). Rotations of a 16-image corpus give only
+    # 16 distinct compositions, so device configs draw batch windows
+    # from a 96-image pool instead: rounds x windows stays below the
+    # number of distinct ring windows. Host configs really do the CPU
+    # work every time; rotation only varies the order.
+    pool = bufs if "+" not in config else _device_pool(bufs, batch)
+    P = len(pool)
     win = [0]
 
     def window():
@@ -213,7 +230,7 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host",
         t0 = time.perf_counter()
         n = 0
         for encoded in runner(
-                bufs[(base + r) % batch:] + bufs[: (base + r) % batch]
+                [pool[(base + r + i) % P] for i in range(batch)]
                 for r in range(rounds)):
             n += len(encoded)
         return n, time.perf_counter() - t0
@@ -349,8 +366,10 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         violations.append("no strict-parity config available")
         return 0.0, {"config_probes_img_s": probes}, violations
     winner = max(strict, key=strict.get)
+    # device winners: 3 windows x 20 rounds + warmup = 61 dispatches,
+    # below the 96-window pool's distinct ring positions
     ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=20, config=winner,
-                       windows=4)
+                       windows=3 if "+" in winner else 4)
     d["config_probes_img_s"] = probes
     d["config_parity_lsb"] = {k: round(v, 3) for k, v in diffs.items()}
     if hostile_parity:
@@ -892,7 +911,10 @@ def main():
             out_text = out_text.decode(errors="replace")
         for line in out_text.splitlines():
             if line.startswith("DEVJSON "):
-                dev = json.loads(line[len("DEVJSON "):])
+                try:  # a timeout kill can truncate the last snapshot
+                    dev = json.loads(line[len("DEVJSON "):])
+                except ValueError:
+                    continue
                 detail.update(dev["detail"])
                 violations.extend(dev["violations"])
                 # tunnel proved alive if ANY device row landed —

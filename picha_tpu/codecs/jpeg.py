@@ -128,11 +128,17 @@ def transcode(buf: bytes, opts: dict) -> bytes:
     except KeyError as e:
         raise InvalidOptionsError("transcode requires width and height") \
             from e
+    except (TypeError, ValueError) as e:  # same taxonomy as decode/encode
+        raise InvalidOptionsError("invalid transcode dimensions") from e
     if w <= 0 or h <= 0:
         raise InvalidOptionsError("invalid transcode dimensions")
-    quality = max(0, min(100, int(opts.get("quality", DEFAULT_QUALITY))))
-    restart = int(opts.get("restartInterval",
-                           opts.get("restart_interval", 0)))
+    try:
+        quality = max(0, min(100, int(opts.get("quality",
+                                               DEFAULT_QUALITY))))
+        restart = int(opts.get("restartInterval",
+                               opts.get("restart_interval", 0)))
+    except (TypeError, ValueError) as e:
+        raise InvalidOptionsError("invalid transcode options") from e
     if restart < 0:  # same validation as encode(), path-independent
         raise InvalidOptionsError("restartInterval must be >= 0")
     fname, fscale = parse_resize_options(opts)

@@ -283,6 +283,12 @@ def jpeg_decode_raw420(buf: bytes, width: int, height: int):
     jpeg_decode."""
     lib = get_lib()
     src = np.frombuffer(buf, dtype=np.uint8)
+    # the C decode writes rows per the BITSTREAM's dims; the buffers
+    # here are sized from the caller's — verify they agree or the plane
+    # writes would run off the heap
+    st = jpeg_stat(buf)
+    if st is None or st[0] != width or st[1] != height:
+        raise CodecError("raw420 dims disagree with JPEG header")
     wpad, hpad = (width + 15) & ~15, (height + 15) & ~15
     y = np.empty((hpad, wpad), np.uint8)
     cb = np.empty((hpad // 2, wpad // 2), np.uint8)
@@ -644,14 +650,7 @@ def gap4_pack_batch(planes, k1_granule: int = 8192, k2_granule: int = 4096,
     if rc != 0:
         raise CodecError("gap4 batch pack failed")
 
-    def bucket(k, granule):
-        # geometric rounding (16 mantissa steps per octave, >= granule):
-        # wire sizes land on a handful of values across a real corpus,
-        # so the jit graphs recompile a bounded number of times instead
-        # of once per random batch composition (<= ~6% padding)
-        k = max(int(k), granule)
-        step = max(granule, 1 << max(0, k.bit_length() - 4))
-        return -(-k // step) * step
+    from ..bucketing import bucket_geometric as bucket
 
     k1 = bucket(np1.max(), k1_granule)
     k2 = bucket(np2.max(), k2_granule)

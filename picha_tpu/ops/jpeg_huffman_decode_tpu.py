@@ -56,13 +56,7 @@ STEP_GRANULE = 64            # steps bucket (bounds recompiles)
 SEG_LANE_CAP = 24576         # single-pass mode: max segment bits/lane
 
 
-def _bucket_geometric(k: int, granule: int) -> int:
-    """Geometric rounding (16 mantissa steps per octave, >= granule):
-    content-dependent sizes land on a handful of values across a real
-    corpus, bounding jit recompiles (same scheme as lib.py bucket())."""
-    k = max(int(k), granule)
-    step = max(granule, 1 << max(0, k.bit_length() - 4))
-    return -(-k // step) * step
+from ..bucketing import bucket_geometric as _bucket_geometric  # noqa: E402
 MAX_PASSES = 48              # Jacobi budget (measured need: ~13)
 
 

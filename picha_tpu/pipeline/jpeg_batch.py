@@ -460,6 +460,7 @@ class JpegBatchPipeline:
         self._upload = upload
         self._fused = fused
         self._scan_byte_cap = scan_byte_cap
+        self._overflow_clone = None  # lazy raw420 fallback pipeline
         # draft-mode host decode: when the resize target is EXACTLY the
         # source/2 (or /4, /8), decode at 1/N via the reduced IDCT and
         # skip the resize — a different resampling than the cubic path
@@ -679,7 +680,37 @@ class JpegBatchPipeline:
         sigs = {signature(co) for co in cos}
         if len(sigs) != 1:
             return self._call_mixed(cos)
-        return self._finish(*self._process(cos))
+        try:
+            return self._finish(*self._process(cos))
+        except OverflowError:
+            # device scan encode hit its compaction/byte budget (dense
+            # content) — redo this batch with the raw420 backend: same
+            # device decode+resize, host entropy encode, no budget
+            return self._overflow_fallback(cos)
+
+    def _overflow_fallback(self, cos):
+        """Re-run a batch whose on-chip encode overflowed its packet or
+        byte budget through a raw420-backend clone (device pixel
+        stages, host entropy coding — no compaction cap). Rare by
+        construction (the cap covers natural content at the configured
+        quality; tests pin the overflow signalling), so paying one
+        extra jit compile here beats capping everyone for the worst
+        case."""
+        clone = self._overflow_clone
+        if clone is None:
+            clone = JpegBatchPipeline(
+                width=self._width, height=self._height,
+                filter=self._filter, filter_scale=self._fscale,
+                encode_quality=self._encode_quality,
+                encode_backend="raw420", fused=self._fused,
+                upload=self._upload if self._upload != "scan" else "gap4",
+                normalize=self._normalize)
+            self._overflow_clone = clone
+        from ..ops.jpeg_scan import ScanInfo
+
+        if isinstance(cos[0], ScanInfo):  # scan infos carry the bytes
+            cos = entropy_decode([i.src for i in cos], None)
+        return clone._finish(*clone._process(cos))
 
     def _process(self, cos):
         """Homogeneous batch -> (sig, device output)."""
@@ -766,7 +797,10 @@ class JpegBatchPipeline:
         results = [None] * len(cos)
         for sig, idxs, group in bucket_by_signature(cos):
             padded, n = pad_group(group)
-            out = self._finish(*self._process(padded))
+            try:
+                out = self._finish(*self._process(padded))
+            except OverflowError:
+                out = self._overflow_fallback(padded)
             if isinstance(out, list):
                 for j, i in enumerate(idxs):
                     results[i] = out[j]
@@ -927,7 +961,10 @@ class JpegBatchPipeline:
                 if not all(x.is_ready() for x in leaves(inflight[0][2])):
                     return
                 idx, sig, out, _bufs = inflight.popleft()
-                pending[idx] = self._finish(sig, out)
+                try:
+                    pending[idx] = self._finish(sig, out)
+                except OverflowError:  # on-chip encode budget exceeded
+                    pending[idx] = self.host_encode_batch(_bufs)
 
         pump()
         while backlog or inflight or pending:
@@ -959,7 +996,10 @@ class JpegBatchPipeline:
                 # host's.
                 idx, sig, out, bufs = inflight.popleft()
                 if all(x.is_ready() for x in leaves(out)):
-                    pending[idx] = self._finish(sig, out)
+                    try:
+                        pending[idx] = self._finish(sig, out)
+                    except OverflowError:
+                        pending[idx] = self.host_encode_batch(bufs)
                 else:
                     pending[idx] = self.host_encode_batch(bufs)
         while next_yield in pending:

@@ -268,24 +268,45 @@ def stream_best(batches, *, width, height, quality=85,
 
     cache_key = "|".join(map(str, (width, height, quality,
                                    ",".join(sorted(configs)),
-                                   os.cpu_count() or 1, _ver)))
+                                   os.cpu_count() or 1, depth, _ver)))
     cached = _race_cache_load(cache_key) if use_cache else None
     it = iter(batches)
     if cached and cached.get("best") in set(configs) | {"host"}:
         best = cached["best"]
         pipe, runner = make(best)
+        # replay tap: remember batches handed to the runner but not yet
+        # yielded as results (all runners yield in input order), so a
+        # cached-winner failure replays its in-flight batches through
+        # the host path instead of dropping them — the same
+        # nothing-is-ever-dropped guarantee the race path gives
+        import collections
+
+        tap = collections.deque()
+
+        def tapped():
+            for b in it:
+                tap.append(b)
+                yield b
+
         try:
-            for out in runner(it):
+            for out in runner(tapped()):
+                if tap:
+                    tap.popleft()
                 yield out
             return
         except GeneratorExit:
             raise
         except Exception:
             # the cached winner no longer works in this deployment —
-            # forget it so the next start re-races (batches already
-            # consumed by the failed runner cannot be replayed here)
+            # forget it, replay its in-flight batches on the host path,
+            # and finish the rest of the stream there too
             _race_cache_store(cache_key, None)
-            raise
+            _hp, host_run = make("host")
+            from itertools import chain
+
+            for out in host_run(chain(list(tap), it)):
+                yield out
+            return
 
     host_pipe, host_runner = make("host")
     rates = {}

@@ -685,3 +685,74 @@ def test_pool_paths_not_dead_code(monkeypatch):
     monkeypatch.setattr(os, "cpu_count", lambda: 1)
     ti2 = TrainingInput(bufs, batch=2, crop=48, size=32, seed=3)
     np.testing.assert_array_equal(a, np.asarray(next(ti2)))
+
+
+def test_device_encode_overflow_falls_back():
+    """Dense content can exceed the on-chip encoder's quality-derived
+    packet budget; the pipeline must transparently redo the batch with
+    the raw420 backend instead of raising OverflowError (VERDICT-style
+    invariant: a budget is an optimisation, not a failure mode)."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    rng = np.random.default_rng(0)
+    bufs = [native.jpeg_encode(
+        rng.integers(0, 256, (256, 256, 3), np.uint8).astype(np.uint8), 85)
+        for _ in range(2)]
+    p = JpegBatchPipeline(width=128, height=128, encode_quality=85,
+                          encode_backend="device", fused=True,
+                          upload="gap4")
+    outs = p(bufs)
+    assert len(outs) == 2
+    for o, b in zip(outs, bufs):
+        got = native.jpeg_decode(bytes(o), 3, 128, 128)
+        assert got.shape == (128, 128, 3)
+        # quality sanity vs the host path on the same source
+        ref = native.jpeg_encode(
+            np.ascontiguousarray(_resize_ref(b, 128, 128)), 85)
+        refd = native.jpeg_decode(ref, 3, 128, 128)
+        assert np.abs(got.astype(int) - refd.astype(int)).mean() < 4.0
+
+
+def _resize_ref(buf, w, h):
+    from picha_tpu.native import lib as native
+    from picha_tpu.ops.resize import _resize_native
+
+    st = native.jpeg_stat(buf)
+    return _resize_native(native.jpeg_decode(buf, 3, st[0], st[1]), w, h,
+                          "cubic", 0.7)
+
+
+def test_stream_best_cached_winner_failure_replays(tmp_path, monkeypatch):
+    """A cached-winner failure must not drop batches: in-flight batches
+    replay through the host path and the stream finishes there (the
+    same nothing-is-ever-dropped guarantee the race path gives)."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import serving
+    import picha_tpu.pipeline.jpeg_batch as jb
+
+    monkeypatch.setenv("PICHA_COMPILE_CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(0)
+    bufs = [native.jpeg_encode(
+        rng.integers(0, 256, (64, 80, 3), np.uint8).astype(np.uint8), 88)
+        for _ in range(4)]
+    batches = [bufs[:2], bufs[2:], bufs[:2], bufs[2:]]
+    # race once to persist a winner
+    outs = list(serving.stream_best(iter(batches), width=40, height=32,
+                                    configs=("host", "host-raw")))
+    assert len(outs) == 4
+    # cached run: inject one mid-stream failure into the winner
+    orig = jb.JpegBatchPipeline.host_encode_batch
+    calls = [0]
+
+    def failing(self, b):
+        calls[0] += 1
+        if calls[0] == 2:
+            raise RuntimeError("injected mid-stream failure")
+        return orig(self, b)
+
+    monkeypatch.setattr(jb.JpegBatchPipeline, "host_encode_batch", failing)
+    outs2 = list(serving.stream_best(iter(batches), width=40, height=32,
+                                     configs=("host", "host-raw")))
+    assert len(outs2) == 4  # nothing dropped
+    assert calls[0] >= 4
