@@ -711,6 +711,75 @@ def bench_config4(n=256):
     return out
 
 
+def bench_config23(out_w, out_h, n=12):
+    """BASELINE configs 2 and 3: the CMYK JPEG round-trip with colour
+    convert (decode -> rgb fold -> lanczos downscale -> encode q85) and
+    the 16-bit deep path (deep PNG decode -> catmulrom resize -> grey16
+    convert). Both host-side; PIL stand-in for the CMYK leg."""
+    import io as _io
+
+    from PIL import Image as PILImage
+
+    import picha_tpu as picha
+
+    W, H = BENCH_W, BENCH_H
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = 127 + 70 * np.sin(xx / 23) + 50 * np.cos(yy / 17)
+    rgbish = np.clip(np.stack(
+        [base, 255 - base, base * 0.6 + 50], -1)
+        + rng.normal(0, 5, (H, W, 3)), 0, 255).astype(np.uint8)
+    pim = PILImage.fromarray(rgbish, "RGB").convert("CMYK")
+    o = _io.BytesIO()
+    pim.save(o, format="JPEG", quality=90)
+    cmyk = o.getvalue()
+
+    deep = (rng.integers(0, 65536, (H // 2, W // 2, 4))
+            .astype(np.uint16))
+    deep_png = picha.encodePngSync(
+        picha.Image.from_array(deep, "r16g16b16a16"))
+
+    out = {}
+
+    def window2():
+        t0 = time.perf_counter()
+        for _ in range(n):
+            img = picha.decodeJpegSync(cmyk)  # CMYK folds to rgb
+            sm = picha.resizeSync(img, {"width": out_w, "height": out_h,
+                                        "filter": "lanczos"})
+            picha.encodeJpegSync(sm, {"quality": 85})
+        return n * W * H / 1e6, time.perf_counter() - t0
+
+    picha.decodeJpegSync(cmyk)
+    out["cmyk_e2e_mpix_s"] = round(best_window(window2, windows=2)[0], 1)
+
+    def window2_pil():
+        t0 = time.perf_counter()
+        for _ in range(max(2, n // 2)):
+            im = PILImage.open(_io.BytesIO(cmyk)).convert("RGB")
+            im = im.resize((out_w, out_h), PILImage.LANCZOS)
+            oo = _io.BytesIO()
+            im.save(oo, format="JPEG", quality=85)
+        return max(2, n // 2) * W * H / 1e6, time.perf_counter() - t0
+
+    out["cmyk_pil_standin_mpix_s"] = round(
+        best_window(window2_pil, windows=2)[0], 1)
+
+    def window3():
+        t0 = time.perf_counter()
+        for _ in range(n):
+            img = picha.decodePngSync(deep_png, {"deep": True})
+            sm = picha.resizeSync(img, {"width": out_w // 2,
+                                        "height": out_h // 2,
+                                        "filter": "catmulrom"})
+            picha.colorConvertSync(sm, {"pixel": "r16"})
+        return n * (W // 2) * (H // 2) / 1e6, time.perf_counter() - t0
+
+    picha.decodePngSync(deep_png, {"deep": True})
+    out["deep16_mpix_s"] = round(best_window(window3, windows=2)[0], 1)
+    return out
+
+
 def bench_single_latency(buf, out_w, out_h, reps=15):
     # median of 15: steal bursts hit a minority of reps (measured), so
     # the median is the no-contention latency. Returns (staged p50,
@@ -967,6 +1036,15 @@ def main():
             f"[winner {png_detail['png_e2e_config']}, "
             f"configs {png_detail['png_configs_img_s']}, "
             f"stages {png_detail['png_stage_ms']}]")
+
+    c23 = stage("config2/3 cmyk+deep16", bench_config23, out_w, out_h)
+    if c23:
+        detail.update(c23)
+        log(f"config 2 (CMYK decode->rgb->lanczos->q85): "
+            f"{c23.get('cmyk_e2e_mpix_s')} Mpix/s "
+            f"(PIL {c23.get('cmyk_pil_standin_mpix_s')}); "
+            f"config 3 (deep16 PNG->catmulrom->grey16): "
+            f"{c23.get('deep16_mpix_s')} Mpix/s")
 
     c4 = stage("config4 webp/tiff", bench_config4)
     if c4:
