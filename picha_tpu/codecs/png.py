@@ -368,7 +368,17 @@ class PngCodec:
 
     @staticmethod
     def decode_sync(buf, opts):
-        return decode(buf, opts)
+        # boundary trap mirroring libpng's setjmp conversion
+        # (pngcodec.cc:88-95): crafted chunks can push garbage through
+        # zlib/numpy paths — always surface as the typed error
+        try:
+            return decode(buf, opts)
+        except (CodecError, InvalidOptionsError):
+            raise
+        except (ValueError, TypeError, IndexError, KeyError,
+                struct.error, zlib.error, OverflowError,
+                MemoryError) as e:
+            raise CodecError(f"malformed PNG: {type(e).__name__}") from e
 
     @staticmethod
     def encode_sync(img, opts):

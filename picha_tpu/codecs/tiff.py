@@ -139,9 +139,13 @@ def stat(buf: bytes):
         # stat and decode always agree on geometry.
         if int(ifd.one(T_ORIENTATION, 1)) in (5, 6, 7, 8):
             w, h = h, w
-    except CodecError:
+        return {"width": int(w), "height": int(h), "pixel": "rgba"}
+    except (CodecError, ValueError, TypeError, IndexError, KeyError,
+            struct.error, OverflowError):
+        # corrupted tag tables can hand back bytes/garbage/empty lists
+        # for numeric tags (fuzz-found); stat's contract is None, never
+        # a raw leak
         return None
-    return {"width": int(w), "height": int(h), "pixel": "rgba"}
 
 
 # ---------------------------------------------------------------------------
@@ -625,7 +629,17 @@ class TiffCodec:
 
     @staticmethod
     def decode_sync(buf, opts):
-        return decode(buf, opts)
+        # the reference's setjmp trap converted ANY library abort into a
+        # typed error (tiffcodec.cc:18-41); crafted tag tables can push
+        # garbage through numpy/struct paths itag() doesn't cover, so
+        # the boundary does the same conversion here
+        try:
+            return decode(buf, opts)
+        except CodecError:
+            raise
+        except (ValueError, TypeError, IndexError, KeyError,
+                struct.error, OverflowError, MemoryError) as e:
+            raise CodecError(f"malformed TIFF: {type(e).__name__}") from e
 
     @staticmethod
     def encode_sync(img, opts):

@@ -97,3 +97,28 @@ def test_fax_and_ycbcr_mutations_never_crash():
                 pass
             st = picha.statTiff(mutant)
             assert st is None or st["width"] >= 0
+
+
+def test_tiff_stat_malformed_tag_types_return_none():
+    """Fuzz-found: crafted IFDs can store numeric tags with a BYTE/ASCII
+    type (stat got bytes back and leaked ValueError) or an empty value
+    list (IndexError). stat's contract is None for anything malformed."""
+    import struct
+
+    from picha_tpu.codecs import tiff as tiff_codec
+
+    base = picha.encodeTiffSync(
+        picha.Image.from_array(
+            np.zeros((8, 8, 3), np.uint8), "rgb"), {"compression": "none"})
+    buf = bytearray(base)
+    ifd_off = struct.unpack("<I", buf[4:8])[0]
+    n = struct.unpack("<H", buf[ifd_off:ifd_off + 2])[0]
+    for i in range(n):
+        e = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack("<HHI", buf[e:e + 8])
+        if tag == 256:  # ImageWidth -> claim it's ASCII bytes
+            buf[e + 2:e + 4] = struct.pack("<H", 2)
+    assert tiff_codec.stat(bytes(buf)) is None
+    # decode of the same mutant must raise a typed error, not leak
+    with pytest.raises(PichaError):
+        tiff_codec.CODEC.decode_sync(bytes(buf), {})
