@@ -202,12 +202,28 @@ def _decode_samples(buf: bytes, h: _Header):
             trns = data
     if not idat:
         raise CodecError("PNG missing IDAT")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:
-        raise CodecError(f"PNG inflate failed: {e}") from None
-
     ch = _CHANNELS[h.color_type]
+    data = b"".join(idat)
+    # exact filtered-stream size is known from the header, so the
+    # whole-buffer libdeflate path applies; overlong streams (writers
+    # that pad past the last scanline) fall back to zlib's keep-the-
+    # extras semantics, truncated ones surface below per plane.
+    if h.interlace == 0:
+        expected = h.height * (_rowbytes(h.width, ch, h.bit_depth) + 1)
+    else:
+        expected = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (h.width - x0 + dx - 1) // dx
+            ph = (h.height - y0 + dy - 1) // dy
+            if pw and ph:
+                expected += ph * (_rowbytes(pw, ch, h.bit_depth) + 1)
+    raw = native.zlib_inflate(data, expected, as_array=True)
+    if raw is None:
+        try:
+            raw = zlib.decompress(data)
+        except zlib.error as e:
+            raise CodecError(f"PNG inflate failed: {e}") from None
+
     if h.interlace == 0:
         plane = _unfilter_to_plane(raw, h.width, h.height, ch, h.bit_depth)
         samples = _expand_bits(plane, h.width, ch, h.bit_depth)
@@ -350,7 +366,11 @@ def encode(img: Image, opts: dict) -> bytes:
     filtered = native.png_filter(
         np.frombuffer(raw, dtype=np.uint8), h, rb, bpp, strategy)
     level = int(opts.get("compressionLevel", opts.get("compression_level", 6)))
-    idat = zlib.compress(filtered.tobytes(), level)
+    if not -1 <= level <= 9:
+        raise InvalidOptionsError("compressionLevel must be -1 or 0-9")
+    idat = native.zlib_deflate(filtered, 6 if level == -1 else level)
+    if idat is None:
+        idat = zlib.compress(filtered.tobytes(), level)
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)

@@ -158,7 +158,8 @@ def _decompress(data: bytes, comp: int, expected: int) -> bytes:
     if comp == C_LZW:
         return native.lzw_decode(data, expected)
     if comp in (C_ADEFLATE, C_DEFLATE):
-        return zlib.decompress(data)
+        out = native.zlib_inflate(data, expected)
+        return zlib.decompress(data) if out is None else out
     if comp == C_PACKBITS:
         return native.packbits_decode(data, expected)
     raise CodecError(f"unsupported TIFF compression {comp}")
@@ -560,7 +561,8 @@ def encode(img: Image, opts: dict) -> bytes:
         if comp == C_LZW:
             strips.append(native.lzw_encode(chunk))
         elif comp == C_ADEFLATE:
-            strips.append(zlib.compress(chunk, 6))
+            z = native.zlib_deflate(chunk, 6)
+            strips.append(zlib.compress(chunk, 6) if z is None else z)
         else:
             strips.append(chunk)
 

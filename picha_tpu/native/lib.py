@@ -42,6 +42,17 @@ def get_lib():
                 C.c_int, C.c_int, C.c_int, C.c_int]
             lib.picha_png_filter.restype = C.c_int
 
+            lib.picha_zlib_inflate.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t,
+                C.POINTER(C.c_uint8), C.c_size_t, C.POINTER(C.c_size_t)]
+            lib.picha_zlib_inflate.restype = C.c_int
+            lib.picha_zlib_deflate.argtypes = [
+                C.POINTER(C.c_uint8), C.c_size_t, C.c_int,
+                C.POINTER(C.c_uint8), C.c_size_t]
+            lib.picha_zlib_deflate.restype = C.c_longlong
+            lib.picha_zlib_deflate_bound.argtypes = [C.c_size_t, C.c_int]
+            lib.picha_zlib_deflate_bound.restype = C.c_size_t
+
             lib.picha_jpeg_stat.argtypes = [
                 C.POINTER(C.c_uint8), C.c_size_t,
                 C.POINTER(C.c_int), C.POINTER(C.c_int), C.POINTER(C.c_int)]
@@ -223,6 +234,61 @@ def png_filter(img: np.ndarray, height: int, rowbytes: int, bpp: int,
     out = np.empty(height * (rowbytes + 1), dtype=np.uint8)
     lib.picha_png_filter(_u8ptr(img), _u8ptr(out), height, rowbytes, bpp, strategy)
     return out
+
+
+_libdeflate_ok = None
+
+
+def have_libdeflate() -> bool:
+    """True when the native lib was built against libdeflate."""
+    global _libdeflate_ok
+    if _libdeflate_ok is None:
+        lib = get_lib()
+        probe = np.zeros(1, dtype=np.uint8)
+        n = C.c_size_t()
+        rc = lib.picha_zlib_inflate(_u8ptr(probe), 0, _u8ptr(probe), 0,
+                                    C.byref(n))
+        _libdeflate_ok = rc != 3
+    return _libdeflate_ok
+
+
+def zlib_inflate(buf, expected: int, as_array: bool = False):
+    """Whole-buffer zlib decompress via libdeflate.
+
+    Returns the decompressed payload (ndarray when ``as_array``, else
+    bytes), or None when the caller should fall back to :mod:`zlib`
+    (library unavailable, or the stream holds MORE than ``expected``
+    bytes — zlib semantics keep the extras and some writers pad).
+    Raises CodecError on corrupt streams."""
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    out = np.empty(max(expected, 1), dtype=np.uint8)
+    n = C.c_size_t()
+    rc = lib.picha_zlib_inflate(_u8ptr(src), src.size, _u8ptr(out),
+                                expected, C.byref(n))
+    if rc in (2, 3):
+        return None
+    if rc != 0:
+        raise CodecError("zlib stream is corrupt")
+    out = out[: n.value]
+    return out if as_array else out.tobytes()
+
+
+def zlib_deflate(buf, level: int = 6):
+    """zlib-format compress via libdeflate (levels 0-12; zlib's 0-9 map
+    1:1 — libdeflate at the same number is faster AND tighter). Returns
+    None when libdeflate is unavailable."""
+    lib = get_lib()
+    src = np.frombuffer(buf, dtype=np.uint8)
+    cap = lib.picha_zlib_deflate_bound(src.size, level)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.picha_zlib_deflate(_u8ptr(src), src.size, level, _u8ptr(out),
+                               cap)
+    if n == -3:
+        return None
+    if n <= 0:
+        raise CodecError("deflate failed")
+    return out[:n].tobytes()
 
 
 # ---------------------------------------------------------------------------

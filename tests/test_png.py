@@ -202,3 +202,47 @@ def test_palette_index_out_of_range_decodes_black():
     arr = img.to_array()
     np.testing.assert_array_equal(arr[0, 0], [0, 0, 0])
     np.testing.assert_array_equal(arr[1, 0], [0, 255, 0])
+
+
+def test_libdeflate_shim_matches_zlib():
+    """The whole-buffer libdeflate path must be a drop-in for zlib:
+    inflate agrees byte-for-byte, deflate output re-inflates under
+    stock zlib, and a too-small expected size reports fallback (None)
+    rather than truncating."""
+    import zlib
+    from picha_tpu.native import lib as native
+    if not native.have_libdeflate():
+        import pytest
+        pytest.skip("native lib built without libdeflate")
+    rng = np.random.default_rng(7)
+    payload = rng.integers(0, 256, 64 * 1024, dtype=np.uint8).tobytes()
+    payload += bytes(8192) + b"abc" * 5000
+    z = zlib.compress(payload, 6)
+    assert native.zlib_inflate(z, len(payload)) == payload
+    assert native.zlib_inflate(z, len(payload) - 1) is None
+    for level in (0, 1, 6, 9, 12):
+        d = native.zlib_deflate(payload, level)
+        assert zlib.decompress(d) == payload
+    import pytest as _pytest
+    from picha_tpu.errors import CodecError
+    with _pytest.raises(CodecError):
+        native.zlib_inflate(z[:-4] + b"\x00\x00\x00\x00", len(payload))
+
+
+def test_png_compression_level_option():
+    """compressionLevel surfaces like the reference's option surface:
+    -1 (default) and 0-9 accepted, out-of-range rejected, smaller level
+    -> larger-or-equal file, all levels decode back identically."""
+    rng = np.random.default_rng(3)
+    arr = np.repeat(rng.integers(0, 256, (32, 8, 3), dtype=np.uint8),
+                    8, axis=1)
+    img = picha.Image.from_array(arr, "rgb")
+    sizes = {}
+    for level in (-1, 0, 2, 9):
+        buf = picha.encodePngSync(img, {"compressionLevel": level})
+        out = picha.decodePngSync(buf)
+        np.testing.assert_array_equal(out.to_array(), arr)
+        sizes[level] = len(buf)
+    assert sizes[0] > sizes[2] >= sizes[9]
+    with pytest.raises(picha.InvalidOptionsError):
+        picha.encodePngSync(img, {"compressionLevel": 10})
