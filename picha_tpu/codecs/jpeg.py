@@ -24,7 +24,10 @@ decode ``scaleDenom`` in {1,2,4,8} (extension): DCT-scaled decode at
 at 1/2; output differs from full-decode+resize, it is a different
 resampling); ``restartInterval`` (extension, default 0) writes DRI +
 restart markers every N MCUs — segments become independently decodable, which
-the TPU entropy decoder exploits for exact parallel entry states.
+the TPU entropy decoder exploits for exact parallel entry states;
+``progressive`` (extension, default False) writes libjpeg's stock
+spectral-selection/successive-approximation scan script (the reference
+encoded baseline only; its decoder — and ours — reads both).
 """
 from __future__ import annotations
 
@@ -96,17 +99,23 @@ def encode(img: Image, opts: dict) -> bytes:
                            opts.get("restart_interval", 0)))
     if restart < 0:
         raise InvalidOptionsError("restartInterval must be >= 0")
+    progressive = bool(opts.get("progressive", False))
     arr = img.to_array()
     if opts.get("backend") == "tpu":
         from ..ops import jpeg_tpu
 
+        if progressive:
+            raise InvalidOptionsError(
+                "progressive encode is host-only (backend='tpu' writes "
+                "baseline scans)")
         comps = jpeg_tpu.encode_to_coefficients(
             arr, quality, subsample=bool(opts.get("subsample", True)))
         return native.jpeg_coef_write(
             img.width, img.height, comps,
             optimize_huffman=bool(opts.get("optimize", False)),
             restart=restart)
-    return native.jpeg_encode(arr, quality, restart=restart)
+    return native.jpeg_encode(arr, quality, restart=restart,
+                              progressive=progressive)
 
 
 def transcode(buf: bytes, opts: dict) -> bytes:

@@ -63,7 +63,8 @@ def get_lib():
             lib.picha_jpeg_decode.restype = C.c_int
             lib.picha_jpeg_encode.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int, C.c_int,
-                C.c_int, C.c_int, C.POINTER(C.POINTER(C.c_uint8)),
+                C.c_int, C.c_int, C.c_int,
+                C.POINTER(C.POINTER(C.c_uint8)),
                 C.POINTER(C.c_size_t), C.POINTER(C.c_char_p)]
             lib.picha_jpeg_encode.restype = C.c_int
 
@@ -323,10 +324,12 @@ def jpeg_decode(buf: bytes, want_channels: int, width: int, height: int,
     return out
 
 
-def jpeg_encode(arr: np.ndarray, quality: int, restart: int = 0) -> bytes:
+def jpeg_encode(arr: np.ndarray, quality: int, restart: int = 0,
+                progressive: bool = False) -> bytes:
     """restart > 0 writes DRI + restart markers every `restart` MCUs,
     making the scan parallel-decodable (the TPU entropy decoder gets
-    exactly known entry states per segment; ~2 bytes/MCU cost)."""
+    exactly known entry states per segment; ~2 bytes/MCU cost).
+    progressive emits libjpeg's stock spectral/successive script."""
     lib = get_lib()
     arr = np.ascontiguousarray(arr)
     h, w, ch = arr.shape
@@ -334,8 +337,8 @@ def jpeg_encode(arr: np.ndarray, quality: int, restart: int = 0) -> bytes:
     outlen = C.c_size_t()
     err = C.c_char_p()
     rc = lib.picha_jpeg_encode(_u8ptr(arr.reshape(-1)), w, h, w * ch, ch,
-                               quality, restart, C.byref(out),
-                               C.byref(outlen), C.byref(err))
+                               quality, restart, int(progressive),
+                               C.byref(out), C.byref(outlen), C.byref(err))
     if rc != 0:
         raise CodecError(take_error(lib, err))
     return take_buffer(lib, out, outlen.value)

@@ -144,8 +144,8 @@ PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
 
 PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
                                 int stride, int channels, int quality,
-                                int restart_mcus, uint8_t** out,
-                                size_t* outlen, char** err) {
+                                int restart_mcus, int progressive,
+                                uint8_t** out, size_t* outlen, char** err) {
   jpeg_compress_struct cinfo;
   ErrorTrap trap;
   cinfo.err = &trap.mgr;
@@ -173,6 +173,9 @@ PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
   // an independent bitstream with reset DC prediction) — the TPU
   // entropy decoder exploits them; small intervals cost ~2 bytes/MCU
   if (restart_mcus > 0) cinfo.restart_interval = (unsigned)restart_mcus;
+  // libjpeg's stock spectral-selection/successive-approximation script
+  // (beyond the reference, which wrote baseline only)
+  if (progressive) jpeg_simple_progression(&cinfo);
   jpeg_start_compress(&cinfo, TRUE);
   for (int y = 0; y < height; ++y) {
     JSAMPROW p = (JSAMPROW)(src + (size_t)y * stride);

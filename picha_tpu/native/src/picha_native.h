@@ -50,8 +50,8 @@ PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
 // gets exactly known entry states per segment).
 PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
                                 int stride, int channels, int quality,
-                                int restart_mcus, uint8_t** out,
-                                size_t* outlen, char** err);
+                                int restart_mcus, int progressive,
+                                uint8_t** out, size_t* outlen, char** err);
 
 // Raw DCT coefficient access for the TPU pixel-stage path.
 typedef struct PichaJpegCoefs PichaJpegCoefs;  // opaque

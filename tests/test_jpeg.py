@@ -148,3 +148,19 @@ def test_tpu_path_sampling_modes(h_samp, v_samp):
     host = picha.decodeJpegSync(buf)
     tpu = picha.decodeJpegSync(buf, {"backend": "tpu"})
     assert host.avg_channel_diff(tpu) <= 1.0
+
+
+def test_progressive_encode_roundtrip():
+    """progressive=True writes SOF2 scans (beyond the reference's
+    baseline-only encoder) that decode identically to the baseline
+    encode of the same pixels at the same quality."""
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    img = picha.Image.from_array(arr, "rgb")
+    prog = picha.encodeJpegSync(img, {"progressive": True, "quality": 92})
+    assert b"\xff\xc2" in prog[:600]          # SOF2: progressive DCT
+    base = picha.encodeJpegSync(img, {"quality": 92})
+    assert b"\xff\xc2" not in base[:600]
+    assert picha.decodeJpegSync(prog).equal_pixels(picha.decodeJpegSync(base))
+    with pytest.raises(picha.InvalidOptionsError):
+        picha.encodeJpegSync(img, {"progressive": True, "backend": "tpu"})
