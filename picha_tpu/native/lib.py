@@ -261,8 +261,16 @@ def zlib_inflate(buf, expected: int, as_array: bool = False):
     (library unavailable, or the stream holds MORE than ``expected``
     bytes — zlib semantics keep the extras and some writers pad).
     Raises CodecError on corrupt streams."""
+    if not have_libdeflate():
+        return None
     lib = get_lib()
     src = np.frombuffer(buf, dtype=np.uint8)
+    # deflate expands at most ~1032:1, so an `expected` beyond that is a
+    # crafted-header claim the stream cannot fill — route to the zlib
+    # fallback (tiny actual output -> the caller's typed truncation
+    # error) instead of allocating the claimed size
+    if expected > src.size * 1032 + 4096:
+        return None
     out = np.empty(max(expected, 1), dtype=np.uint8)
     n = C.c_size_t()
     rc = lib.picha_zlib_inflate(_u8ptr(src), src.size, _u8ptr(out),
@@ -279,6 +287,8 @@ def zlib_deflate(buf, level: int = 6):
     """zlib-format compress via libdeflate (levels 0-12; zlib's 0-9 map
     1:1 — libdeflate at the same number is faster AND tighter). Returns
     None when libdeflate is unavailable."""
+    if not have_libdeflate():
+        return None
     lib = get_lib()
     src = np.frombuffer(buf, dtype=np.uint8)
     cap = lib.picha_zlib_deflate_bound(src.size, level)

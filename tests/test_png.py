@@ -246,3 +246,29 @@ def test_png_compression_level_option():
     assert sizes[0] > sizes[2] >= sizes[9]
     with pytest.raises(picha.InvalidOptionsError):
         picha.encodePngSync(img, {"compressionLevel": 10})
+
+
+def test_crafted_header_dimensions_fail_typed():
+    """Crafted IHDR dimensions must raise CodecError before any
+    size-derived allocation (libpng's default user-limit behavior) —
+    never MemoryError/ValueError."""
+    import struct, zlib as _zlib
+    for w, hgt in ((1 << 31, 100000), (0xFFFFFFFF, 0xFFFFFFFF),
+                   (1_000_001, 10)):
+        ihdr = struct.pack(">IIBBBBB", w & 0xFFFFFFFF, hgt & 0xFFFFFFFF,
+                           8, 2, 0, 0, 0)
+        idat = _zlib.compress(b"\x00" * 64)
+        buf = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", idat) + _chunk(b"IEND", b""))
+        with pytest.raises(picha.CodecError):
+            picha.decodePngSync(buf)
+        assert picha.statPng(buf) is None
+    # a claimed-huge but in-limit header with a tiny stream stays the
+    # typed truncation error (the inflate path must not pre-allocate
+    # the claimed size for a stream that cannot fill it)
+    ihdr = struct.pack(">IIBBBBB", 500_000, 900_000, 8, 2, 0, 0, 0)
+    buf = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", _zlib.compress(b"\x00" * 64))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(picha.CodecError):
+        picha.decodePngSync(buf)
