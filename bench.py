@@ -63,14 +63,24 @@ def steal_ticks() -> int:
         return 0
 
 
-def best_window(fn, windows=3):
+def best_window(fn, windows=3, max_windows=None):
     """Run the timed window `fn() -> (work, seconds)` several times and
     return (rate, steal_ticks_of_best): the best window approximates
     what the hardware delivers when the hypervisor isn't stealing the
     core mid-measurement. All windows + their steal deltas are logged
-    for attribution."""
+    for attribution. When every window was stolen from, keep retrying
+    (up to `max_windows`, default 2x `windows`) — a steal burst hitting
+    all of a handful of windows otherwise publishes a 30-50% low
+    headline (observed: 14 steal ticks -> 90.9 img/s vs ~120 clean)."""
+    if max_windows is None:
+        max_windows = 2 * windows
     rates, steals = [], []
     for _ in range(windows):
+        s0 = steal_ticks()
+        work, dt = fn()
+        rates.append(work / dt)
+        steals.append(steal_ticks() - s0)
+    while min(steals) > 1 and len(rates) < max_windows:
         s0 = steal_ticks()
         work, dt = fn()
         rates.append(work / dt)
