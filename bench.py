@@ -377,9 +377,18 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         return 0.0, {"config_probes_img_s": probes}, violations
     winner = max(strict, key=strict.get)
     # device winners: 3 windows x 20 rounds + warmup = 61 dispatches,
-    # below the 96-window pool's distinct ring positions
-    ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=20, config=winner,
-                       windows=3 if "+" in winner else 4)
+    # below the 96-window pool's distinct ring positions. Host winners
+    # use SHORT windows, many of them: a 20-round (~1.8 s) window on
+    # this box almost always absorbs a steal burst (observed: probes at
+    # 6 rounds hit 123.8 img/s while the 20-round final published
+    # 108.8), so the steal-free estimate needs windows shorter than the
+    # typical inter-burst gap.
+    if "+" in winner:
+        ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=20,
+                           config=winner, windows=3)
+    else:
+        ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=8,
+                           config=winner, windows=8)
     d["config_probes_img_s"] = probes
     d["config_parity_lsb"] = {k: round(v, 3) for k, v in diffs.items()}
     if hostile_parity:
