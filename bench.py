@@ -245,7 +245,14 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host",
             n += len(encoded)
         return n, time.perf_counter() - t0
 
-    ips, stl = best_window(window, windows=windows)
+    # device configs must never re-dispatch wire bytes the platform has
+    # already seen (it may memoize identical dispatches, timing a no-op
+    # window as near-infinite throughput) — cap steal retries so
+    # total windows x rounds + warmup stays within the pool's P
+    # distinct ring positions. Host configs really do the CPU work
+    # every time; retries are unbounded-by-pool there.
+    max_w = None if "+" not in config else max(windows, (P - 1) // rounds)
+    ips, stl = best_window(window, windows=windows, max_windows=max_w)
     return ips, {"up_MB_per_batch": round(up_b, 1),
                  "down_MB_per_batch": round(down_b, 1),
                  "e2e_config": config, "steal_ticks_best_window": stl}
@@ -584,8 +591,6 @@ def bench_png_e2e(bufs, out_w, out_h, n=10):
     expected = h.height * (h.width * 3 + 1)
     t0 = time.perf_counter()
     raw = native.zlib_inflate(idat, expected)
-    if raw is None:
-        raw = zlib.decompress(idat)
     stages["inflate_ms"] = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
     plane = png_codec._unfilter_to_plane(raw, h.width, h.height, 3,
@@ -604,9 +609,7 @@ def bench_png_e2e(bufs, out_w, out_h, n=10):
     filt_fixed = native.png_filter(np.ascontiguousarray(small), out_h,
                                    out_w * 3, 3, 4)
     stages["filter_paeth_ms"] = (time.perf_counter() - t0) * 1e3
-    def _deflate(payload, level):
-        z = native.zlib_deflate(payload, level)
-        return zlib.compress(payload.tobytes(), level) if z is None else z
+    _deflate = native.zlib_deflate
 
     t0 = time.perf_counter()
     z6 = _deflate(filt_adapt, 6)

@@ -150,11 +150,13 @@ def transcode(buf: bytes, opts: dict) -> bytes:
         raise InvalidOptionsError("invalid transcode options") from e
     if restart < 0:  # same validation as encode(), path-independent
         raise InvalidOptionsError("restartInterval must be >= 0")
+    progressive = bool(opts.get("progressive", False))
     fname, fscale = parse_resize_options(opts)
-    out = transcode_raw420(buf, w, h, fname, fscale, quality,
-                           restart=restart)
-    if out is not None:
-        return out
+    if not progressive:  # the raw-domain fast path emits baseline scans
+        out = transcode_raw420(buf, w, h, fname, fscale, quality,
+                               restart=restart)
+        if out is not None:
+            return out
     from ..ops.resize import resize_image
 
     img = decode(buf, {})
@@ -163,7 +165,8 @@ def transcode(buf: bytes, opts: dict) -> bytes:
                                   ("filter", "filterScale", "filter_scale")
                                   if k in opts}})
     return encode(small, {"quality": quality,
-                          "restartInterval": restart})
+                          "restartInterval": restart,
+                          "progressive": progressive})
 
 
 class JpegCodec:

@@ -28,7 +28,7 @@ import zlib
 
 import numpy as np
 
-from ..errors import CodecError, InvalidOptionsError
+from ..errors import MALFORMED_EXCS, CodecError, InvalidOptionsError
 from ..image import Image
 from ..native import lib as native
 from ..pixels import PIXEL_FORMATS, SHALLOW_OF, pixel_format
@@ -222,11 +222,6 @@ def _decode_samples(buf: bytes, h: _Header):
             if pw and ph:
                 expected += ph * (_rowbytes(pw, ch, h.bit_depth) + 1)
     raw = native.zlib_inflate(data, expected, as_array=True)
-    if raw is None:
-        try:
-            raw = zlib.decompress(data)
-        except zlib.error as e:
-            raise CodecError(f"PNG inflate failed: {e}") from None
 
     if h.interlace == 0:
         plane = _unfilter_to_plane(raw, h.width, h.height, ch, h.bit_depth)
@@ -367,14 +362,14 @@ def encode(img: Image, opts: dict) -> bytes:
     strategy = int(opts.get("filter_strategy", -1))
     if strategy not in (-1, 0, 1, 2, 3, 4):
         raise InvalidOptionsError("filter_strategy must be -1 (adaptive) or 0-4")
-    filtered = native.png_filter(
-        np.frombuffer(raw, dtype=np.uint8), h, rb, bpp, strategy)
     level = int(opts.get("compressionLevel", opts.get("compression_level", 6)))
     if not -1 <= level <= 9:
+        # validate before the filter pass — the adaptive scan over the
+        # whole pixel buffer is the dominant encode stage
         raise InvalidOptionsError("compressionLevel must be -1 or 0-9")
+    filtered = native.png_filter(
+        np.frombuffer(raw, dtype=np.uint8), h, rb, bpp, strategy)
     idat = native.zlib_deflate(filtered, 6 if level == -1 else level)
-    if idat is None:
-        idat = zlib.compress(filtered.tobytes(), level)
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
@@ -399,9 +394,7 @@ class PngCodec:
             return decode(buf, opts)
         except (CodecError, InvalidOptionsError):
             raise
-        except (ValueError, TypeError, IndexError, KeyError,
-                struct.error, zlib.error, OverflowError,
-                MemoryError) as e:
+        except MALFORMED_EXCS as e:
             raise CodecError(f"malformed PNG: {type(e).__name__}") from e
 
     @staticmethod

@@ -31,7 +31,7 @@ import zlib
 
 import numpy as np
 
-from ..errors import CodecError, InvalidOptionsError
+from ..errors import MALFORMED_EXCS, CodecError, InvalidOptionsError
 from ..image import Image
 from ..native import lib as native
 
@@ -140,8 +140,7 @@ def stat(buf: bytes):
         if int(ifd.one(T_ORIENTATION, 1)) in (5, 6, 7, 8):
             w, h = h, w
         return {"width": int(w), "height": int(h), "pixel": "rgba"}
-    except (CodecError, ValueError, TypeError, IndexError, KeyError,
-            struct.error, OverflowError):
+    except (CodecError, *MALFORMED_EXCS):
         # corrupted tag tables can hand back bytes/garbage/empty lists
         # for numeric tags (fuzz-found); stat's contract is None, never
         # a raw leak
@@ -158,8 +157,7 @@ def _decompress(data: bytes, comp: int, expected: int) -> bytes:
     if comp == C_LZW:
         return native.lzw_decode(data, expected)
     if comp in (C_ADEFLATE, C_DEFLATE):
-        out = native.zlib_inflate(data, expected)
-        return zlib.decompress(data) if out is None else out
+        return native.zlib_inflate(data, expected)
     if comp == C_PACKBITS:
         return native.packbits_decode(data, expected)
     raise CodecError(f"unsupported TIFF compression {comp}")
@@ -448,6 +446,11 @@ def decode(buf: bytes, opts: dict) -> Image:
     height = itag(T_HEIGHT, 0)
     if width <= 0 or height <= 0:
         raise CodecError("bad TIFF dimensions")
+    # same crafted-header cap as the PNG decoder: fail typed before any
+    # size-derived allocation (a 60000x60000 claim over a 200-byte file
+    # must not reach the canvas allocation)
+    if width > 1_000_000 or height > 1_000_000 or width * height > 2**31:
+        raise CodecError("TIFF dimensions exceed limit")
     spp = itag(T_SPP, 1)
     bits_list = ifd.get(T_BITS, [1])
     try:
@@ -561,8 +564,7 @@ def encode(img: Image, opts: dict) -> bytes:
         if comp == C_LZW:
             strips.append(native.lzw_encode(chunk))
         elif comp == C_ADEFLATE:
-            z = native.zlib_deflate(chunk, 6)
-            strips.append(zlib.compress(chunk, 6) if z is None else z)
+            strips.append(native.zlib_deflate(chunk, 6))
         else:
             strips.append(chunk)
 
@@ -639,8 +641,7 @@ class TiffCodec:
             return decode(buf, opts)
         except CodecError:
             raise
-        except (ValueError, TypeError, IndexError, KeyError,
-                struct.error, OverflowError, MemoryError) as e:
+        except MALFORMED_EXCS as e:
             raise CodecError(f"malformed TIFF: {type(e).__name__}") from e
 
     @staticmethod

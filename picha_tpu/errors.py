@@ -26,3 +26,18 @@ class UnsupportedFormatError(PichaError):
 class CodecError(PichaError):
     """A codec failed while parsing/producing a bitstream (truncated file,
     bad CRC, entropy-decode failure...)."""
+
+
+def _malformed_excs():
+    """The exception classes a crafted bitstream can legitimately raise
+    out of a pure-Python parser (fuzz-found set). Codec boundary traps
+    convert exactly these to CodecError — one shared tuple so the PNG
+    and TIFF traps cannot drift apart."""
+    import struct
+    import zlib
+
+    return (ValueError, TypeError, IndexError, KeyError, struct.error,
+            zlib.error, OverflowError, MemoryError)
+
+
+MALFORMED_EXCS = _malformed_excs()

@@ -253,16 +253,28 @@ def have_libdeflate() -> bool:
     return _libdeflate_ok
 
 
-def zlib_inflate(buf, expected: int, as_array: bool = False):
-    """Whole-buffer zlib decompress via libdeflate.
+def _zlib_inflate_fallback(buf, as_array: bool):
+    """:mod:`zlib` path — keeps any bytes beyond ``expected`` (some
+    writers pad past the last scanline) and maps the untyped
+    ``zlib.error`` to the codec error contract."""
+    import zlib
 
-    Returns the decompressed payload (ndarray when ``as_array``, else
-    bytes), or None when the caller should fall back to :mod:`zlib`
-    (library unavailable, or the stream holds MORE than ``expected``
-    bytes — zlib semantics keep the extras and some writers pad).
-    Raises CodecError on corrupt streams."""
+    try:
+        raw = zlib.decompress(buf)
+    except zlib.error as e:
+        raise CodecError(f"zlib stream is corrupt: {e}") from None
+    return np.frombuffer(raw, dtype=np.uint8) if as_array else raw
+
+
+def zlib_inflate(buf, expected: int, as_array: bool = False):
+    """Whole-buffer zlib decompress — libdeflate when built in, with a
+    transparent :mod:`zlib` fallback (library unavailable, or the
+    stream holds MORE than ``expected`` bytes — zlib semantics keep the
+    extras and some writers pad). Returns the decompressed payload
+    (ndarray when ``as_array``, else bytes); raises CodecError on
+    corrupt streams — callers never see ``zlib.error``."""
     if not have_libdeflate():
-        return None
+        return _zlib_inflate_fallback(buf, as_array)
     lib = get_lib()
     src = np.frombuffer(buf, dtype=np.uint8)
     # deflate expands at most ~1032:1, so an `expected` beyond that is a
@@ -270,13 +282,13 @@ def zlib_inflate(buf, expected: int, as_array: bool = False):
     # fallback (tiny actual output -> the caller's typed truncation
     # error) instead of allocating the claimed size
     if expected > src.size * 1032 + 4096:
-        return None
+        return _zlib_inflate_fallback(buf, as_array)
     out = np.empty(max(expected, 1), dtype=np.uint8)
     n = C.c_size_t()
     rc = lib.picha_zlib_inflate(_u8ptr(src), src.size, _u8ptr(out),
                                 expected, C.byref(n))
     if rc in (2, 3):
-        return None
+        return _zlib_inflate_fallback(buf, as_array)
     if rc != 0:
         raise CodecError("zlib stream is corrupt")
     out = out[: n.value]
@@ -284,19 +296,25 @@ def zlib_inflate(buf, expected: int, as_array: bool = False):
 
 
 def zlib_deflate(buf, level: int = 6):
-    """zlib-format compress via libdeflate (levels 0-12; zlib's 0-9 map
-    1:1 — libdeflate at the same number is faster AND tighter). Returns
-    None when libdeflate is unavailable."""
+    """zlib-format compress — libdeflate when built in (levels 0-12;
+    zlib's 0-9 map 1:1 and libdeflate at the same number is faster AND
+    tighter), else :mod:`zlib` (level clamped to its 0-9 range).
+    Always returns the compressed bytes."""
     if not have_libdeflate():
-        return None
+        import zlib
+
+        payload = buf.tobytes() if hasattr(buf, "tobytes") else buf
+        return zlib.compress(payload, min(level, 9))
     lib = get_lib()
     src = np.frombuffer(buf, dtype=np.uint8)
     cap = lib.picha_zlib_deflate_bound(src.size, level)
     out = np.empty(cap, dtype=np.uint8)
     n = lib.picha_zlib_deflate(_u8ptr(src), src.size, level, _u8ptr(out),
                                cap)
-    if n == -3:
-        return None
+    if n == -3:  # built without libdeflate after all — belt and braces
+        import zlib
+
+        return zlib.compress(src.tobytes(), min(level, 9))
     if n <= 0:
         raise CodecError("deflate failed")
     return out[:n].tobytes()

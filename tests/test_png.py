@@ -207,8 +207,9 @@ def test_palette_index_out_of_range_decodes_black():
 def test_libdeflate_shim_matches_zlib():
     """The whole-buffer libdeflate path must be a drop-in for zlib:
     inflate agrees byte-for-byte, deflate output re-inflates under
-    stock zlib, and a too-small expected size reports fallback (None)
-    rather than truncating."""
+    stock zlib, and a too-small expected size transparently takes the
+    internal zlib fallback (keep-the-extras semantics) rather than
+    truncating."""
     import zlib
     from picha_tpu.native import lib as native
     if not native.have_libdeflate():
@@ -219,7 +220,7 @@ def test_libdeflate_shim_matches_zlib():
     payload += bytes(8192) + b"abc" * 5000
     z = zlib.compress(payload, 6)
     assert native.zlib_inflate(z, len(payload)) == payload
-    assert native.zlib_inflate(z, len(payload) - 1) is None
+    assert native.zlib_inflate(z, len(payload) - 1) == payload
     for level in (0, 1, 6, 9, 12):
         d = native.zlib_deflate(payload, level)
         assert zlib.decompress(d) == payload

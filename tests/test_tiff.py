@@ -448,3 +448,40 @@ def test_lzw_multi_strip_table_anomalies():
     good = tiff_codec.encode(img, {"compression": "lzw"})
     with pytest.raises(CodecError):
         tiff_codec.decode(good[: len(good) // 3], {})
+
+
+def test_corrupt_deflate_strip_is_typed():
+    """A corrupt/truncated deflate strip must surface as CodecError on
+    BOTH zlib backends — the zlib fallback used to leak a raw
+    zlib.error through TiffCodec.decode_sync (review r3d)."""
+    import struct
+
+    import numpy as np
+
+    from picha_tpu.codecs import tiff as tiff_codec
+    from picha_tpu.errors import CodecError
+
+    rng = np.random.default_rng(7)
+    img = Image.from_array(rng.integers(0, 256, (48, 64, 3), np.uint8),
+                           "rgb")
+    buf = bytearray(tiff_codec.encode(img, {"compression": "deflate"}))
+    # mangle the strip data (laid out right after the 8-byte header)
+    buf[8:16] = b"\x00" * 8
+    with pytest.raises(CodecError):
+        tiff_codec.decode(bytes(buf), {})
+    # sync API boundary keeps the typed contract too
+    with pytest.raises(picha.CodecError):
+        picha.decodeTiffSync(bytes(buf))
+
+    # crafted geometry: huge claimed dims push `expected` past the
+    # 1032:1 deflate bound -> zlib fallback path -> still typed
+    big = bytearray(tiff_codec.encode(img, {"compression": "deflate"}))
+    ifd_off = struct.unpack("<I", big[4:8])[0]
+    n = struct.unpack("<H", big[ifd_off:ifd_off + 2])[0]
+    for i in range(n):
+        e = ifd_off + 2 + i * 12
+        tag = struct.unpack("<H", big[e:e + 2])[0]
+        if tag in (256, 257):  # width/height
+            big[e + 8:e + 12] = struct.pack("<I", 60000)
+    with pytest.raises(picha.CodecError):  # the decode_sync boundary
+        picha.decodeTiffSync(bytes(big))   # converts parser leaks too

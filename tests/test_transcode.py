@@ -69,3 +69,17 @@ def test_transcode_filter_options_respected():
     b = picha.transcodeJpegSync(buf, {"width": 160, "height": 128,
                                       "filter": "box"})
     assert bytes(a) != bytes(b)  # different filters -> different output
+
+
+def test_transcode_progressive_honored():
+    """progressive=True must not be silently dropped by the raw-domain
+    fast path (review r3d): it routes through decode->resize->encode
+    and emits SOF2 scans, matching encodeJpegSync's option surface."""
+    buf = _jpeg()
+    prog = picha.transcodeJpegSync(buf, {"width": 100, "height": 80,
+                                         "progressive": True})
+    assert b"\xff\xc2" in bytes(prog)[:600]   # SOF2: progressive DCT
+    base = picha.transcodeJpegSync(buf, {"width": 100, "height": 80})
+    assert b"\xff\xc0" in bytes(base)[:600]   # SOF0: baseline
+    st = picha.statJpeg(prog)
+    assert (st["width"], st["height"]) == (100, 80)
