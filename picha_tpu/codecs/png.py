@@ -359,7 +359,8 @@ def encode(img: Image, opts: dict) -> bytes:
         raw = np.ascontiguousarray(arr).tobytes()
     rb = _rowbytes(w, fmt.channels, depth)
     bpp = max(1, (fmt.channels * depth) // 8)
-    strategy = int(opts.get("filter_strategy", -1))
+    strategy = int(opts.get("filterStrategy", opts.get("filter_strategy",
+                                                       -1)))
     if strategy not in (-1, 0, 1, 2, 3, 4):
         raise InvalidOptionsError("filter_strategy must be -1 (adaptive) or 0-4")
     level = int(opts.get("compressionLevel", opts.get("compression_level", 6)))
