@@ -30,6 +30,10 @@ def make_mesh(axes: Sequence[tuple] = (("dp", -1),), devices=None):
     prod = 1
     for i, (name, size) in enumerate(axes):
         if size == -1:
+            if wild is not None:
+                # two wildcards are ambiguous — the old behaviour
+                # silently pinned the first to 1 (disabling that axis)
+                raise ValueError("only one mesh axis may have size -1")
             wild = i
             sizes.append(1)
         else:

@@ -18,19 +18,10 @@ contribution matrix), so the ring permutation needs no edge casing.
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 
-from ..ops.resize import FILTERS, parse_resize_options
-
-
-def _halo_rows(src_h: int, dst_h: int, filter_name: str, fscale: float) -> int:
-    base_support, _ = FILTERS[filter_name]
-    support = fscale * base_support
-    scale = src_h / dst_h
-    f = max(scale, 1.0, 1.0 / support)
-    return int(math.ceil(support * f)) + 1
+from ..ops.resize import parse_resize_options
 
 
 def _required_halo(src_h: int, dst_h: int, filter_name: str, fscale: float,
@@ -108,11 +99,17 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
 
     def local_fn(img, wv_block):
         # img: (local_in, W, C) float32; wv_block: (1, local_out, ...)
-        up_perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-        dn_perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
-        prev_tail = jax.lax.ppermute(img[-halo:], axis, up_perm)
-        next_head = jax.lax.ppermute(img[:halo], axis, dn_perm)
-        ext = jnp.concatenate([prev_tail, img, next_head], axis=0)
+        if halo == 0:
+            # every window fits inside the slab (e.g. box filter at
+            # shard-aligned scales) — and img[-0:] would be the WHOLE
+            # slab, not an empty slice
+            ext = img
+        else:
+            up_perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+            dn_perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+            prev_tail = jax.lax.ppermute(img[-halo:], axis, up_perm)
+            next_head = jax.lax.ppermute(img[:halo], axis, dn_perm)
+            ext = jnp.concatenate([prev_tail, img, next_head], axis=0)
         # horizontal pass: dense or banded per source width (ops.resize)
         tmp = _apply_axis(ext, dst_w, src_w, filter_name, fscale, axis=-2)
         out = jnp.einsum("oh,hwc->owc", wv_block[0], tmp,

@@ -116,9 +116,22 @@ class DynamicBatcher:
                     # .copy(): don't pin the whole batch buffer through
                     # one client's retained view
                     _safe_set_result(fut, out[i].copy())
-            except Exception as e:  # noqa: BLE001
+            except BaseException as e:  # noqa: BLE001
                 for fut in futs:
                     _safe_set_exception(fut, e)
+                if not isinstance(e, Exception):
+                    # SystemExit/KeyboardInterrupt/... would silently
+                    # kill this worker and hang every later submit();
+                    # fail everything queued and die loudly instead
+                    with self._lock:
+                        self._closed = True
+                        pending = [f for items in self._queues.values()
+                                   for (_, _, f) in items]
+                        self._queues.clear()
+                    for f in pending:
+                        _safe_set_exception(
+                            f, RuntimeError("batcher worker died"))
+                    raise
 
     def close(self, wait: bool = True, timeout: float | None = None):
         """Drain and stop. With wait=True joins until the queue drains
@@ -137,6 +150,8 @@ class DynamicBatcher:
                 for f in pending:
                     _safe_set_exception(
                         f, RuntimeError("batcher closed before completion"))
+            if not self._worker.is_alive():
+                self._pipe.close()  # worker drained — release its pool
 
 
 def _safe_set_result(fut: Future, value) -> None:
@@ -185,20 +200,27 @@ def _race_cache_store(key: str, entry) -> None:
 
     path = _race_cache_path()
     try:
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except Exception:  # noqa: BLE001
-            data = {}
-        if entry is None:
-            data.pop(key, None)
-        else:
-            data[key] = entry
         path.parent.mkdir(parents=True, exist_ok=True)
-        tmp = str(path) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(data, f)
-        os.replace(tmp, path)
+        # exclusive file lock around the read-modify-replace: two
+        # processes finishing races concurrently must not lose each
+        # other's entries (each would re-pay its probe forever)
+        import fcntl
+
+        with open(str(path) + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except Exception:  # noqa: BLE001
+                data = {}
+            if entry is None:
+                data.pop(key, None)
+            else:
+                data[key] = entry
+            tmp = str(path) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(data, f)
+            os.replace(tmp, path)
     except Exception:  # noqa: BLE001
         pass
 
@@ -293,6 +315,7 @@ def stream_best(batches, *, width, height, quality=85,
                 if tap:
                     tap.popleft()
                 yield out
+            pipe.close()
             return
         except GeneratorExit:
             raise
@@ -301,11 +324,15 @@ def stream_best(batches, *, width, height, quality=85,
             # forget it, replay its in-flight batches on the host path,
             # and finish the rest of the stream there too
             _race_cache_store(cache_key, None)
-            _hp, host_run = make("host")
+            pipe.close()
+            hp, host_run = make("host")
             from itertools import chain
 
-            for out in host_run(chain(list(tap), it)):
-                yield out
+            try:
+                for out in host_run(chain(list(tap), it)):
+                    yield out
+            finally:
+                hp.close()
             return
 
     host_pipe, host_runner = make("host")
@@ -317,16 +344,32 @@ def stream_best(batches, *, width, height, quality=85,
         else:
             pipe, runner = make(config)
             winners[config] = (pipe, runner)
-        warm = list(islice(it, 1))
+        # device configs need TWO warm batches: stream_hybrid only
+        # dispatches to the device once its backlog holds >= 2 batches,
+        # so a one-batch warm would leave the device graph uncompiled
+        # and the timed probe would pay the first compile (minutes via
+        # the remote compile service)
+        warm = list(islice(it, 2 if "+" in config else 1))
         if not warm:
             break
+        if "+" in config and len(warm) == 1:
+            # stream nearly dry — compile the device graph with a
+            # direct (non-streamed) call; its outputs are discarded,
+            # the warm batch still flows through the runner below
+            try:
+                pipe(warm[0])
+            except Exception:  # noqa: BLE001 — probe will score the loss
+                pass
         chunk = list(islice(it, probe_batches))
         try:
             warm_outs = list(runner(iter(warm)))
             t0 = time.perf_counter()
             outs = list(runner(iter(chunk)))  # timed to full drain
             if chunk:
-                rates[config] = len(outs) / max(
+                # images/sec, not batches/sec: signature-bucketed
+                # streams can hand different-sized batches to different
+                # configs' probe chunks
+                rates[config] = sum(len(o) for o in outs) / max(
                     time.perf_counter() - t0, 1e-9)
         except Exception:  # noqa: BLE001 — config loses; replay on host
             if config == "host":
@@ -346,8 +389,11 @@ def stream_best(batches, *, width, height, quality=85,
             "rates": {k: round(v, 3) for k, v in rates.items()},
             "saved_at": time.time()})
     for config, (pipe, _r) in winners.items():
-        if config != best and config != "host":
+        if config != best:
             pipe.close()
-    _, runner = winners[best]
-    for out in runner(it):
-        yield out
+    pipe, runner = winners[best]
+    try:
+        for out in runner(it):
+            yield out
+    finally:
+        pipe.close()

@@ -288,3 +288,22 @@ def test_pipeline_parallel_micro_batch_1():
     got = np.asarray(pipeline_apply(stage, {"w": w}, jnp.asarray(x),
                                     mesh, n_micro=1))
     assert np.allclose(got, x * 4.0)
+
+
+def test_make_mesh_rejects_double_wildcard():
+    with pytest.raises(ValueError):
+        make_mesh((("dp", -1), ("tp", -1)))
+
+
+def test_resize_sharded_zero_halo():
+    """Box filter at shard-aligned scales computes halo=0; img[-0:]
+    used to slice the WHOLE slab instead of an empty one (review r3d),
+    crashing the einsum at trace time."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (128, 64, 3), np.uint8)
+    mesh = make_mesh((("sp", 4),))
+    got = np.asarray(resize_sharded(jnp.asarray(img), 32, 32, mesh,
+                                    filter="box", filter_scale=0.5))
+    want = resize_array(jnp.asarray(img), 32, 32, filter="box",
+                        filter_scale=0.5)
+    np.testing.assert_array_equal(got, np.asarray(want))
