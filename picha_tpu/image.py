@@ -41,7 +41,18 @@ def _as_byte_array(data: BufferLike) -> np.ndarray:
         if data.dtype != np.uint8:
             data = data.view(np.uint8)
         return data.reshape(-1)
-    if isinstance(data, (bytes, memoryview)):
+    if isinstance(data, memoryview):
+        # a WRITABLE view (e.g. a slice of a pooled bytearray) shares
+        # the caller's buffer zero-copy, same contract as bytearray; a
+        # read-only view copies like bytes below
+        if not data.readonly:
+            mv = data if data.contiguous else None
+            if mv is None:
+                raise InvalidImageError(
+                    "image data buffer must be contiguous")
+            return np.frombuffer(mv.cast("B"), dtype=np.uint8)
+        return np.frombuffer(data, dtype=np.uint8).copy()
+    if isinstance(data, bytes):
         # bytes are immutable; copy so the image is mutable like Buffer
         return np.frombuffer(data, dtype=np.uint8).copy()
     if isinstance(data, bytearray):

@@ -31,15 +31,19 @@ from .jpeg_tpu import _IDCT_A, CS_CMYK, CS_GRAYSCALE, CS_RGB, CS_YCBCR, CS_YCCK
 from .resize import resize_weights
 
 
-def upsample_matrix(factor: int, n_out: int, n_in: int) -> np.ndarray:
+def upsample_matrix(factor: int, n_out: int, n_in: int,
+                    fancy: bool = True) -> np.ndarray:
     """(n_out, n_in) linear operator of libjpeg's upsampler: triangle
-    ("fancy") weights for 2x, replication otherwise; edge-replicated."""
+    ("fancy") weights for 2x when `fancy`, replication otherwise;
+    edge-replicated. `fancy` mirrors libjpeg-turbo's jinit_upsampler
+    routing — h2v1, h1v2 and h2v2 get the triangle; every other
+    integer expansion is int_upsample replication (jdsample.c)."""
     U = np.zeros((n_out, n_in), dtype=np.float32)
     if factor == 1:
         for i in range(n_out):
             U[i, min(i, n_in - 1)] = 1.0
         return U
-    if factor == 2:
+    if factor == 2 and fancy:
         for o in range(n_out):
             i = o // 2
             if o % 2 == 0:
@@ -59,14 +63,15 @@ IDENTITY = "__identity__"  # decode-only: no resampling, W = I
 
 @functools.lru_cache(maxsize=512)
 def component_weights(dst_size: int, full_size: int, comp_size: int,
-                      factor: int, filter_name: str, fscale: float):
+                      factor: int, filter_name: str, fscale: float,
+                      fancy: bool = True):
     """(dst_size, blocks, 8) float32: resize ∘ upsample ∘ IDCT folded."""
     if filter_name == IDENTITY:
         W = np.eye(dst_size, full_size, dtype=np.float32)
     else:
         W = resize_weights(dst_size, full_size, filter_name, fscale)
     if factor != 1 or comp_size != full_size:
-        U = upsample_matrix(factor, full_size, comp_size)
+        U = upsample_matrix(factor, full_size, comp_size, fancy)
         W = W @ U  # (dst, comp_size)
     # zero-pad to the block grid; the padded columns hit the encoder's
     # dummy samples in partial blocks, which resize weights never tap
@@ -108,10 +113,17 @@ def fused_component(coefs, qtable, comp_geom=None):
     n, bh, bw = cq.shape[0], cq.shape[1], cq.shape[2]
     cq = cq.reshape(n, bh, bw, 8, 8)  # [v, u]
 
-    th = component_weights(out_w, width, dw, fx, filter_name, fscale)
+    # libjpeg-turbo routing (the linked host oracle): fancy triangle
+    # upsamplers exist for h2v1, h1v2 and h2v2; every other integer
+    # expansion (4x, 2h4v, ...) is int_upsample replication
+    fancy_h = fx == 2 and fy in (1, 2)
+    fancy_v = fy == 2 and fx in (1, 2)
+    th = component_weights(out_w, width, dw, fx, filter_name, fscale,
+                           fancy_h)
     tmp = jnp.einsum("nhwvu,owu->nhvo", cq, jnp.asarray(th),
                      preferred_element_type=jnp.float32)
-    tv = component_weights(out_h, height, dh, fy, filter_name, fscale)
+    tv = component_weights(out_h, height, dh, fy, filter_name, fscale,
+                           fancy_v)
     out = jnp.einsum("nhvo,yhv->nyo", tmp, jnp.asarray(tv),
                      preferred_element_type=jnp.float32)
     return out + 128.0

@@ -230,6 +230,14 @@ class ScanBatch:
                     uniq[key] = len(rows)
                     rows.append((limit[t], delta[t], hv[t]))
                 uid_img[img, t] = uniq[key]
+        if len(rows) > 255:
+            # lane_uid6 is uint8 on the wire — wrapping would silently
+            # decode with the wrong tables. Callers pre-check this
+            # (JpegBatchPipeline.entropy_decode) and fall back to host.
+            raise ValueError(
+                f"batch has {len(rows)} unique Huffman table rows "
+                f"(uint8 id space is 256); split the batch or use the "
+                f"host path")
         self.n_uniq = -(-len(rows) // 8) * 8  # bucket: bounds recompiles
         self.limit = np.zeros((self.n_uniq, 16), np.int32)
         self.delta = np.zeros((self.n_uniq, 17), np.int32)

@@ -42,14 +42,11 @@ import struct
 
 import numpy as np
 
-# natural (row-major) index for each zigzag position: ZIGZAG[k] = natural
-# index of the k-th zigzag coefficient (jpeg spec figure A.6)
-ZIGZAG = np.array([
-    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
-], dtype=np.int32)
+# natural (row-major) index for each zigzag position (jpeg spec figure
+# A.6) — the single source of truth lives in jpeg_scan; the encoder and
+# decoder must never drift apart on this table
+from .jpeg_scan import ZIGZAG  # noqa: E402
+
 
 def compact_slots_for_quality(quality) -> int:
     """Encoder compaction cap: packets per block = 1 DC + nonzero ACs

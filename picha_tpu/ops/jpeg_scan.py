@@ -117,7 +117,14 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
                 return None
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((hv >> 4, hv & 15, tq))
+                hs, vs = hv >> 4, hv & 15
+                # JPEG legal sampling range is 1-4 (B.2.2); 0 would
+                # divide-by-zero downstream geometry, >4 blows up dummy
+                # block counts — route such files to the host fallback
+                # like the DHT checks above (libjpeg rejects both)
+                if not (1 <= hs <= 4 and 1 <= vs <= 4) or tq > 3:
+                    return None
+                comps.append((hs, vs, tq))
                 comp_ids.append(cid)
             sof_seen = True
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,

@@ -37,27 +37,28 @@ def bits_of(seg: bytes, pad_chunks: int, C: int) -> np.ndarray:
 
 class _Tables:
     def __init__(self, info: ScanInfo):
-        # 4 table slots: DC0 DC1 AC0 AC1 keyed by (is_dc, tid) where
-        # tid follows the scan's component->table mapping collapsed to
-        # comp0 vs rest (the layouts this path accepts)
+        # 2*ncomp table slots: per-component DC then per-component AC.
+        # parse_baseline accepts scans where every component names its
+        # own DC/AC table ids (e.g. Cb and Cr with different tables),
+        # so the prototype must index tables per component — a comp0
+        # vs rest collapse mis-decodes such files.
         sig = info.comp_sig
         self.comp_of = mcu_slot_tables(sig)
         self.B = int(self.comp_of.size)
-        self.tid_of = np.array(
-            [0 if ci == 0 else 1 for ci in self.comp_of], np.int32)
-        self.limit = np.zeros((4, 17), np.int64)
-        self.mincode = np.zeros((4, 17), np.int64)
-        self.valptr = np.zeros((4, 17), np.int64)
-        self.hv = np.zeros((4, 256), np.int32)
-        for t in range(4):
-            cls = 0 if t < 2 else 1
-            tid_slot = t & 1
-            # component whose tables this slot carries
-            ci = 0 if tid_slot == 0 else (1 if info.ncomp > 1 else 0)
-            table_id = info.scan_tables[ci][cls]
-            lim, mc, vp, hv = derive_tables(*info.huffman[(cls, table_id)])
-            self.limit[t], self.mincode[t] = lim, mc
-            self.valptr[t], self.hv[t] = vp, hv
+        self.ncomp = nc = info.ncomp
+        self.tid_of = self.comp_of.astype(np.int32)  # component per slot
+        self.limit = np.zeros((2 * nc, 17), np.int64)
+        self.mincode = np.zeros((2 * nc, 17), np.int64)
+        self.valptr = np.zeros((2 * nc, 17), np.int64)
+        self.hv = np.zeros((2 * nc, 256), np.int32)
+        for ci in range(nc):
+            for cls in (0, 1):
+                t = ci + cls * nc
+                table_id = info.scan_tables[ci][cls]
+                lim, mc, vp, hv = derive_tables(
+                    *info.huffman[(cls, table_id)])
+                self.limit[t], self.mincode[t] = lim, mc
+                self.valptr[t], self.hv[t] = vp, hv
 
 
 def _decode_chunk(bits: np.ndarray, start: int, end: int,
@@ -84,7 +85,7 @@ def _decode_chunk(bits: np.ndarray, start: int, end: int,
 
     while pos < end:
         tid = int(tabs.tid_of[slot])
-        t = tid if z == 0 else 2 + tid
+        t = tid if z == 0 else tabs.ncomp + tid
         P = peek16(pos)
         # clamp at 16: an all-ones peek (stream padding, or garbage
         # under a wrong speculative phase) exceeds every limit —

@@ -134,8 +134,15 @@ def upsample_to(plane, h_factor, v_factor, out_h, out_w):
     elif (h_factor, v_factor) == (2, 1):
         plane = fancy_upsample_h(plane)
     elif (h_factor, v_factor) == (1, 2):
+        # libjpeg-TURBO (the host parity oracle this image links,
+        # .so.62 = turbo 2.1.5) ships h1v2_fancy_upsample — a vertical
+        # triangle IJG libjpeg does not have. Measured on authored
+        # 4:4:0 files: triangle 0.065 LSB avg vs the linked library,
+        # replication 20 LSB (tests/test_huffman_tpu.py pins this)
         plane = (fancy_upsample_v(plane) + 2) >> 2
     else:
+        # any other integer expansion (4x, 2h4v, ...) is int_upsample
+        # replication in both libjpeg flavours
         if h_factor > 1:
             plane = jnp.repeat(plane, h_factor, axis=-1)
         if v_factor > 1:

@@ -215,12 +215,13 @@ BANDED_THRESHOLD = 512  # use the banded plan when src_size exceeds this
 BAND_TILE = 64
 
 
-def banded_plan_from_matrix(W: np.ndarray, tile: int, align: int = 1):
+def banded_plan_from_matrix(W: np.ndarray, tile: int):
     """Tile any banded (dst, src) matrix into
     (starts (T,) int32, weights (T, tile, in_len) f32, dst_pad).
 
-    `align` forces every window start to a multiple of that value;
-    the windows widen to compensate, extra taps are exact zeros."""
+    Windows are clamped inside [0, src) for the XLA gather path.
+    (An `align` mode for lane-aligned window starts existed for the
+    Pallas kernels deleted in round 3 — removed with them.)"""
     dst_size, src_size = W.shape
     T = -(-dst_size // tile)
     dst_pad = T * tile
@@ -234,19 +235,13 @@ def banded_plan_from_matrix(W: np.ndarray, tile: int, align: int = 1):
             los.append(0)
             his.append(1)
         else:
-            los.append(int(nz[0]) // align * align)
+            los.append(int(nz[0]))
             his.append(int(nz[-1]) + 1)
     in_len = min(src_size, max(h - l for l, h in zip(los, his)))
-    if align == 1:
-        # XLA gather path slices the unpadded source: clamp windows
-        # inside [0, src); coverage holds because window width <= in_len
-        starts = np.array([min(l, max(0, src_size - in_len)) for l in los],
-                          dtype=np.int32)
-    else:
-        # aligned mode: starts stay aligned, the caller pads the source
-        # to starts.max() + in_len; out-of-range taps are exact zeros
-        in_len = -(-in_len // align) * align
-        starts = np.array(los, dtype=np.int32)
+    # clamp windows inside [0, src); coverage holds because window
+    # width <= in_len
+    starts = np.array([min(l, max(0, src_size - in_len)) for l in los],
+                      dtype=np.int32)
     wpad = np.pad(W, ((0, 0), (0, max(0, int(starts.max()) + in_len - src_size))))
     weights = np.stack([
         wpad[t * tile:(t + 1) * tile, starts[t]:starts[t] + in_len]
@@ -256,12 +251,11 @@ def banded_plan_from_matrix(W: np.ndarray, tile: int, align: int = 1):
 
 @functools.lru_cache(maxsize=256)
 def banded_resize_plan(dst_size: int, src_size: int, filter_name: str,
-                       filter_scale: float, tile: int = BAND_TILE,
-                       align: int = 1):
+                       filter_scale: float, tile: int = BAND_TILE):
     """Banded plan for the reference resize weights (see
     banded_plan_from_matrix)."""
     W = resize_weights(dst_size, src_size, filter_name, filter_scale)
-    return banded_plan_from_matrix(W, tile, align)
+    return banded_plan_from_matrix(W, tile)
 
 
 def _apply_axis(x, dst_size: int, src_size: int, filter_name: str,

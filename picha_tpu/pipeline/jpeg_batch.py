@@ -501,9 +501,22 @@ class JpegBatchPipeline:
 
             infos = [parse_baseline(bytes(b)) for b in bufs]
             if all(i is not None for i in infos):
-                for i, b in zip(infos, bufs):
-                    i.src = b
-                return infos
+                # the device decoder's per-lane table ids are uint8; a
+                # batch with >255 unique Huffman table rows (per-image
+                # optimized tables at scale) must take the host path
+                # rather than silently wrap ids onto wrong tables
+                from ..ops.jpeg_huffman_decode_tpu import prep_tables
+
+                uniq = set()
+                for i in infos:
+                    limit, delta, hv = prep_tables(i)
+                    for t in range(6):
+                        uniq.add((limit[t].tobytes(), delta[t].tobytes(),
+                                  hv[t].tobytes()))
+                if len(uniq) <= 255:
+                    for i, b in zip(infos, bufs):
+                        i.src = b
+                    return infos
         if (os.cpu_count() or 1) <= 1:
             return entropy_decode(bufs, None)
         return entropy_decode(bufs, self._pool)

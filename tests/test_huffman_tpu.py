@@ -180,3 +180,67 @@ def test_pipeline_device_encode_stream():
     got = list(p.stream(iter([bufs, bufs]), depth=2))
     assert [bytes(x) for x in got[0]] == [bytes(x) for x in want]
     assert [bytes(x) for x in got[1]] == [bytes(x) for x in want]
+
+
+def test_440_subsampling_parity_with_libjpeg():
+    """4:4:0 (1h2v) upsampling parity: libjpeg-TURBO (the library this
+    image links as .so.62) ships h1v2_fancy_upsample — a vertical
+    triangle IJG libjpeg does not have — and our decode paths must
+    match it (measured: triangle 0.07 LSB, replication 20 LSB). The
+    file is authored by our generic scan encoder from IN-GAMUT planes
+    (forward DCT of real-range samples): the fused path is a linear
+    fold without libjpeg's intermediate sample clipping, so wildly
+    out-of-range synthetic coefficients would diverge by design."""
+    from picha_tpu.ops.jpeg_fused import _IDCT_A
+    from picha_tpu.ops.jpeg_tpu import quality_tables
+
+    rng = np.random.default_rng(11)
+    # 32x32: luma (1,2) full-res 4x4 blocks; chroma (1,1) at half
+    # vertical resolution, 2x4 blocks
+    comp_sig = ((4, 4, 1, 2), (2, 4, 1, 1), (2, 4, 1, 1))
+    qluma, qchroma = quality_tables(85)
+    qts = [qluma, qchroma, qchroma]
+
+    def fdct_quant(plane, qt):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        out = np.zeros((1, bh, bw, 64), np.int32)
+        A = np.asarray(_IDCT_A, np.float64)  # samples = A.T @ C @ A
+        for by in range(bh):
+            for bx in range(bw):
+                s = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                C = A @ s @ A.T
+                out[0, by, bx] = np.round(
+                    C / qt.reshape(8, 8)).astype(np.int32).reshape(64)
+        return out
+
+    def smooth(h, w, seed):
+        r = np.random.default_rng(seed)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        return (128 + 70 * np.sin(2 * np.pi * (xx * r.uniform(1, 3) / w))
+                * np.cos(2 * np.pi * (yy * r.uniform(1, 3) / h))
+                + r.normal(0, 4, (h, w)))
+
+    coefs = tuple(
+        fdct_quant(np.clip(smooth(bh * 8, bw * 8, 20 + i), 20, 235), qts[i])
+        for i, (bh, bw, _, _) in enumerate(comp_sig))
+    enc = H.build_scan_encoder(comp_sig, byte_cap=1 << 16)
+    scan, nbytes = enc(tuple(__import__("jax").numpy.asarray(c)
+                             for c in coefs))
+    buf = H.assemble(H.jpeg_header(32, 32, comp_sig, 85),
+                     np.asarray(scan)[0], int(np.asarray(nbytes)[0]))
+    want = native.jpeg_decode(buf, 3, 32, 32)
+
+    import picha_tpu as picha
+    got = picha.decodeJpegSync(buf, {"backend": "tpu"})
+    diff = np.abs(np.asarray(got.to_array()).astype(int)
+                  - want.astype(int)).mean()
+    assert diff <= 1.0, f"staged TPU 4:4:0 decode diff {diff:.3f} LSB"
+
+    # fused path (decode-only identity resampling) must agree too
+    from picha_tpu.pipeline import JpegBatchPipeline
+    p = JpegBatchPipeline(fused=True)
+    cos = p.entropy_decode([buf])
+    sig, args = p.stack_bucket(cos)
+    out = np.asarray(p.run_bucket(sig, args))[0]
+    fdiff = np.abs(out.astype(int) - want.astype(int)).mean()
+    assert fdiff <= 1.0, f"fused 4:4:0 decode diff {fdiff:.3f} LSB"
