@@ -142,12 +142,33 @@ def _make_jpeg_with_sampling(h_samp, v_samp):
     return native.jpeg_coef_write(w, h, comps)
 
 
-@pytest.mark.parametrize("h_samp,v_samp", [(2, 1), (1, 2), (2, 2), (1, 1)])
+@pytest.mark.parametrize("h_samp,v_samp", [
+    # triangle ("fancy") upsample routes in libjpeg-turbo
+    (2, 1), (1, 2), (2, 2), (1, 1),
+    # int_upsample replication routes (any other integer expansion,
+    # jdsample.c) — pins the fused path's per-axis `fancy` routing.
+    # 4x4 is omitted: its MCU is 18 blocks > the JPEG limit of 10, and
+    # libjpeg rejects it ("Sampling factors too large for interleaved
+    # scan")
+    (4, 1), (1, 4), (2, 4), (4, 2),
+])
 def test_tpu_path_sampling_modes(h_samp, v_samp):
     buf = _make_jpeg_with_sampling(h_samp, v_samp)
     host = picha.decodeJpegSync(buf)
     tpu = picha.decodeJpegSync(buf, {"backend": "tpu"})
     assert host.avg_channel_diff(tpu) <= 1.0
+
+    # fused (decode-only identity resampling) must match the same
+    # libjpeg oracle through the linear fold
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    p = JpegBatchPipeline(fused=True)
+    cos = p.entropy_decode([buf])
+    sig, args = p.stack_bucket(cos)
+    out = np.asarray(p.run_bucket(sig, args))[0]
+    want = np.asarray(host.to_array())
+    fdiff = np.abs(out.astype(int) - want.astype(int)).mean()
+    assert fdiff <= 1.0, f"fused {h_samp}x{v_samp} diff {fdiff:.3f} LSB"
 
 
 def test_progressive_encode_roundtrip():
