@@ -126,6 +126,14 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
                     return None
                 comps.append((hs, vs, tq))
                 comp_ids.append(cid)
+            if nc == 1:
+                # single-component scans have MCU = 1 data unit and the
+                # sampling factors do not shape the scan (JPEG B.2.3;
+                # libjpeg jdinput.c per_scan_setup) — normalize declared
+                # 2x2-sampled grey files to the geometry libjpeg uses,
+                # else the MCU model would impose a z-ordered block
+                # walk + dummy edge blocks that aren't in the stream
+                comps = [(1, 1, comps[0][2])]
             sof_seen = True
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):

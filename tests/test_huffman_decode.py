@@ -71,6 +71,32 @@ def test_reference_decoder_exact():
         assert np.array_equal(got[ci], co.comps[ci]["coefs"])
 
 
+def test_single_component_scan_ignores_sampling_factors():
+    """JPEG B.2.3 / libjpeg jdinput.c per_scan_setup: a one-component
+    scan has MCU = 1 data unit and the declared sampling factors do not
+    shape the scan. Some encoders emit grey files with 2x2 sampling in
+    the SOF; the scan model must use libjpeg's geometry (row-major
+    blocks, no dummy blocks, restarts counted in blocks), not a
+    2x2-block MCU walk."""
+    from picha_tpu.ops.jpeg_tpu import quality_tables
+
+    rng = np.random.default_rng(7)
+    coefs = rng.integers(-6, 7, (8, 8, 64)).astype(np.int16)
+    coefs[..., 0] = rng.integers(-60, 61, (8, 8))
+    qluma, _ = quality_tables(85)
+    buf = native.jpeg_coef_write(
+        64, 64, [{"coefs": coefs, "qtable": qluma,
+                  "h_samp": 2, "v_samp": 2}], restart=3)
+    info = jpeg_scan.parse_baseline(bytes(buf))
+    assert info is not None
+    assert info.comps[0][:2] == (1, 1)  # normalized
+    assert len(info.segments) == -(-64 // 3)  # restart in 1-block MCUs
+    got = jpeg_scan.decode_reference(info)
+    want = native.JpegCoefficients(bytes(buf)).comps[0]["coefs"]
+    assert np.array_equal(got[0], want)
+    _exact([buf])  # device kernel too
+
+
 def test_chunked_prototype_exact_and_converges():
     from picha_tpu.ops.jpeg_scan_chunked import decode_chunked
 
