@@ -74,7 +74,10 @@ def decode(buf: bytes, opts: dict) -> Image:
                 "(use the host path, or resize after decode)")
         from ..ops import jpeg_tpu
 
-        co = native.JpegCoefficients(buf)
+        # segment-parallel host entropy decode when the file has
+        # restart markers and cores are available (single-image
+        # latency; see native/src/jpegentropy.cc)
+        co = native.jpeg_coefficients(buf)
         arr = jpeg_tpu.decode_coefficients(co)
         pixel = "grey" if arr.shape[-1] == 1 else "rgb"
         img = Image.from_array(arr, pixel)

@@ -68,6 +68,18 @@ def get_lib():
                 C.POINTER(C.c_size_t), C.POINTER(C.c_char_p)]
             lib.picha_jpeg_encode.restype = C.c_int
 
+            lib.picha_jpeg_entropy_segments.argtypes = [
+                C.POINTER(C.c_uint8), C.POINTER(C.c_int64), C.c_int,
+                C.c_int64, C.c_int64, C.c_int64, C.c_int,
+                C.POINTER(C.c_int), C.POINTER(C.c_int),
+                C.POINTER(C.c_int), C.POINTER(C.c_int),
+                C.POINTER(C.c_int), C.POINTER(C.c_int),
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64), C.POINTER(C.c_int32),
+                C.POINTER(C.c_int32), C.c_int, C.c_int,
+                C.POINTER(C.POINTER(C.c_int16))]
+            lib.picha_jpeg_entropy_segments.restype = C.c_int
+
             lib.picha_jpeg_decode_raw420.argtypes = [
                 C.POINTER(C.c_uint8), C.c_size_t, C.POINTER(C.c_uint8),
                 C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
@@ -497,6 +509,109 @@ class JpegCoefficients:
                 })
         finally:
             lib.picha_jpeg_coef_close(handle)
+
+
+def jpeg_entropy_decode(info, nthreads: int = 0):
+    """Segment-parallel native entropy decode of a parsed baseline scan
+    (ops/jpeg_scan.parse_baseline output) -> a JpegCoefficients-shaped
+    object, bit-exact vs libjpeg (tested in test_huffman_decode.py).
+
+    Restart segments reset the DC predictors and the bit phase, so they
+    decode concurrently on `nthreads` host threads (0 = cpu count) —
+    per-image parallelism the reference's serial libjpeg scanline loop
+    cannot offer (/root/reference/src/jpegcodec.cc:100-106). Files
+    without restart markers are one segment and decode serially."""
+    import os
+
+    from ..ops.jpeg_scan import derive_tables
+
+    lib = get_lib()
+    ncomp = info.ncomp
+    sig = info.comp_sig
+    hmax = max(h for h, _, _ in info.comps)
+    vmax = max(v for _, v, _ in info.comps)
+
+    # table rows, deduped in first-use order; per-component row ids
+    rows, row_of = [], {}
+    nbits_rows = []
+    dc_tab, ac_tab = [], []
+    for ci in range(ncomp):
+        for cls, dest in ((0, dc_tab), (1, ac_tab)):
+            key = (cls, info.scan_tables[ci][cls])
+            if key not in row_of:
+                row_of[key] = len(rows)
+                rows.append(derive_tables(*info.huffman[key]))
+                nbits_rows.append([0] + list(info.huffman[key][0]))
+            dest.append(row_of[key])
+    limit = np.ascontiguousarray(np.stack([r[0] for r in rows]), np.int64)
+    mincode = np.ascontiguousarray(np.stack([r[1] for r in rows]), np.int64)
+    valptr = np.ascontiguousarray(np.stack([r[2] for r in rows]), np.int64)
+    hv = np.ascontiguousarray(np.stack([r[3] for r in rows]), np.int32)
+    nbits = np.ascontiguousarray(np.array(nbits_rows), np.int32)
+
+    data = b"".join(info.segments)
+    arr = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
+    seg_off = np.zeros(len(info.segments) + 1, np.int64)
+    np.cumsum([len(s) for s in info.segments], out=seg_off[1:])
+
+    outs = [np.zeros((bh, bw, 64), np.int16) for bh, bw, _, _ in sig]
+    out_ptrs = (C.POINTER(C.c_int16) * ncomp)(
+        *[o.ctypes.data_as(C.POINTER(C.c_int16)) for o in outs])
+
+    def ints(vals):
+        return (C.c_int * ncomp)(*vals)
+
+    mcus = info.mcus
+    ri = info.restart_interval or mcus
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    rc = lib.picha_jpeg_entropy_segments(
+        _u8ptr(arr), seg_off.ctypes.data_as(C.POINTER(C.c_int64)),
+        len(info.segments), mcus, ri, -(-info.width // (8 * hmax)),
+        ncomp, ints(h for h, _, _ in info.comps),
+        ints(v for _, v, _ in info.comps),
+        ints(c[1] for c in sig), ints(c[0] for c in sig),
+        ints(dc_tab), ints(ac_tab),
+        limit.ctypes.data_as(C.POINTER(C.c_int64)),
+        mincode.ctypes.data_as(C.POINTER(C.c_int64)),
+        valptr.ctypes.data_as(C.POINTER(C.c_int64)),
+        hv.ctypes.data_as(C.POINTER(C.c_int32)),
+        nbits.ctypes.data_as(C.POINTER(C.c_int32)),
+        len(rows), nthreads, out_ptrs)
+    if rc != 0:
+        raise CodecError("native entropy decode failed")
+
+    co = object.__new__(JpegCoefficients)
+    co.width, co.height, co.ncomp = info.width, info.height, ncomp
+    co.color_space = info.color_space
+    co.comps = [{
+        "h_samp": h, "v_samp": v,
+        "blocks_w": bw, "blocks_h": bh,
+        "width": -(-info.width * h // hmax),
+        "height": -(-info.height * v // vmax),
+        "qtable": q, "coefs": outs[ci],
+    } for ci, ((bh, bw, _, _), (h, v, q)) in enumerate(zip(sig, info.comps))]
+    return co
+
+
+def jpeg_coefficients(buf: bytes, nthreads: int = 0) -> JpegCoefficients:
+    """Fastest available host entropy decode for one image: the
+    segment-parallel native decoder when the file is baseline with >1
+    restart segment and >1 thread is worth using, else libjpeg.
+    Single-thread libjpeg is ~1.4-1.6x faster than the native kernel
+    (measured, docs/PERFORMANCE.md), so the native path only wins when
+    it can actually spread segments over threads."""
+    import os
+
+    if nthreads <= 0:
+        nthreads = os.cpu_count() or 1
+    if nthreads > 1:
+        from ..ops.jpeg_scan import parse_baseline
+
+        info = parse_baseline(buf)
+        if info is not None and len(info.segments) > 1:
+            return jpeg_entropy_decode(info, nthreads=nthreads)
+    return JpegCoefficients(buf)
 
 
 def jpeg_coef_write(width: int, height: int, comps: list,

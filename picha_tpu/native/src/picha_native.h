@@ -53,6 +53,27 @@ PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
                                 int restart_mcus, int progressive,
                                 uint8_t** out, size_t* outlen, char** err);
 
+// Segment-parallel baseline entropy decode (jpegentropy.cc): restart
+// segments are DC/phase-independent, so they decode on nthreads host
+// threads concurrently — per-image parallelism libjpeg's serial loop
+// cannot offer. Inputs come from ops/jpeg_scan.parse_baseline: `data`
+// = concatenated 0xFF00-unstuffed segments with seg_off (nseg+1)
+// boundaries; limit/mincode/valptr (ntab,17) int64 and hv (ntab,256)
+// int32 rows from derive_tables; dc_tab/ac_tab index rows per
+// component; nbits (ntab,17) int32 = per-length code counts (slot 0
+// unused) for the 8-bit lookahead LUT. `out` = per-component
+// natural-order (bh,bw,64) int16 planes, PRE-ZEROED by the caller
+// (truncated streams leave trailing blocks zero, like libjpeg's
+// warn-and-pad).
+PICHA_API int picha_jpeg_entropy_segments(
+    const uint8_t* data, const int64_t* seg_off, int nseg, int64_t mcus,
+    int64_t restart_interval, int64_t mcus_per_row, int ncomp,
+    const int* h_samp, const int* v_samp, const int* blocks_w,
+    const int* blocks_h, const int* dc_tab, const int* ac_tab,
+    const int64_t* limit, const int64_t* mincode, const int64_t* valptr,
+    const int32_t* hv, const int32_t* nbits, int ntab, int nthreads,
+    int16_t* const* out);
+
 // Raw DCT coefficient access for the TPU pixel-stage path.
 typedef struct PichaJpegCoefs PichaJpegCoefs;  // opaque
 PICHA_API int picha_jpeg_coef_open(const uint8_t* src, size_t len,

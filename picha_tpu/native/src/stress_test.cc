@@ -149,6 +149,29 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
       ++failures;
       picha_free(rerr);
     }
+    // segment-parallel entropy decode (jpegentropy.cc): nested threads
+    // under the outer stress threads; tiny synthetic 1-bit-code scan
+    // (2 len-1 codes, all-zero stream decodes as DC size 0 + EOB)
+    {
+      const uint8_t zdata[4] = {0, 0, 0, 0};
+      const int64_t zoff[5] = {0, 1, 2, 3, 4};
+      int one = 1, four_w = 4, four_h = 4, zero = 0;
+      int64_t lim[17] = {0}, minc[17] = {0}, vptr[17] = {0};
+      for (int l = 1; l <= 16; ++l) lim[l] = 65536;
+      int32_t hv[256] = {0};
+      int32_t nb[17] = {0};
+      nb[1] = 2;
+      std::vector<int16_t> plane((size_t)4 * 4 * 64, -1);
+      int16_t* outp[1] = {plane.data()};
+      if (picha_jpeg_entropy_segments(zdata, zoff, 4, 16, 4, 4, 1, &one,
+                                      &one, &four_w, &four_h, &zero, &zero,
+                                      lim, minc, vptr, hv, nb, 1, 2,
+                                      outp) != 0)
+        ++failures;
+      for (auto v : plane)
+        if (v != 0) ++failures;
+    }
+
     // one-call transcode of the SHARED buffer (2:1 box-ish windows)
     {
       int dw = w / 2, dh = h / 2;

@@ -34,7 +34,19 @@ from ..ops.resize import parse_resize_options, resize_f32
 
 def entropy_decode(bufs: Sequence[bytes], pool: Optional[ThreadPoolExecutor] = None
                    ) -> List[native.JpegCoefficients]:
-    """Parallel host entropy decode (ctypes releases the GIL)."""
+    """Parallel host entropy decode (ctypes releases the GIL).
+
+    Parallelism policy: a batch at least as wide as the core count
+    fills the cores with cross-image libjpeg decodes (fastest per
+    core). A NARROW batch on a wide host additionally splits each
+    image's restart segments over the idle cores
+    (native.jpeg_coefficients -> jpegentropy.cc) — per-image
+    parallelism libjpeg cannot offer."""
+    cores = os.cpu_count() or 1
+    if cores > 1 and 0 < len(bufs) < cores:
+        per_img = -(-cores // len(bufs))
+        fn = lambda b: native.jpeg_coefficients(b, nthreads=per_img)  # noqa: E731
+        return list(pool.map(fn, bufs)) if pool else [fn(b) for b in bufs]
     if pool is None:
         return [native.JpegCoefficients(b) for b in bufs]
     return list(pool.map(native.JpegCoefficients, bufs))

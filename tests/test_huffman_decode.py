@@ -97,6 +97,70 @@ def test_single_component_scan_ignores_sampling_factors():
     _exact([buf])  # device kernel too
 
 
+def test_native_segment_parallel_decoder_exact():
+    """jpegentropy.cc (restart-segment-parallel host entropy decode)
+    must match libjpeg bit-for-bit across corpora and thread counts:
+    restart / no-restart, grey, subsampled colour, odd dims, per-image
+    optimized tables, and 1/2/5 threads (thread count must never change
+    bytes — segments are independent)."""
+    import io
+
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(5)
+    cases = []
+    for (h, w, ri, q) in [(48, 64, 0, 85), (123, 201, 8, 75),
+                          (240, 336, 5, 92), (77, 99, 3, 95)]:
+        arr = rng.integers(0, 256, (h, w, 3), np.uint8)
+        cases.append(native.jpeg_encode(arr, q, restart=ri))
+    grey = rng.integers(0, 256, (64, 80), np.uint8)
+    cases.append(native.jpeg_encode(
+        np.repeat(grey[..., None], 3, -1), 85, restart=2))
+    b = io.BytesIO()
+    PILImage.fromarray(rng.integers(0, 256, (90, 130, 3), np.uint8)).save(
+        b, "JPEG", optimize=True, quality=80)
+    cases.append(b.getvalue())
+    for k, buf in enumerate(cases):
+        info = jpeg_scan.parse_baseline(bytes(buf))
+        assert info is not None, k
+        want = native.JpegCoefficients(bytes(buf))
+        for nth in (1, 2, 5):
+            co = native.jpeg_entropy_decode(info, nthreads=nth)
+            assert (co.width, co.height, co.ncomp, co.color_space) == (
+                want.width, want.height, want.ncomp, want.color_space)
+            for ci in range(co.ncomp):
+                for f in ("h_samp", "v_samp", "blocks_w", "blocks_h",
+                          "width", "height"):
+                    assert co.comps[ci][f] == want.comps[ci][f], (k, ci, f)
+                assert np.array_equal(co.comps[ci]["qtable"],
+                                      want.comps[ci]["qtable"])
+                assert np.array_equal(co.comps[ci]["coefs"],
+                                      want.comps[ci]["coefs"]), (k, ci, nth)
+
+
+def test_jpeg_coefficients_dispatch():
+    """native.jpeg_coefficients picks the segment decoder only when it
+    can win (restarts present, >1 thread) and falls back to libjpeg for
+    single-segment and non-baseline files — same results either way."""
+    import io
+
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    for buf in (native.jpeg_encode(arr, 85, restart=4),   # segments
+                native.jpeg_encode(arr, 85)):             # one segment
+        want = native.JpegCoefficients(bytes(buf))
+        got = native.jpeg_coefficients(bytes(buf), nthreads=3)
+        for ci in range(3):
+            assert np.array_equal(got.comps[ci]["coefs"],
+                                  want.comps[ci]["coefs"])
+    b = io.BytesIO()
+    PILImage.fromarray(arr).save(b, "JPEG", progressive=True)
+    got = native.jpeg_coefficients(b.getvalue(), nthreads=3)  # libjpeg path
+    assert got.ncomp == 3
+
+
 def test_chunked_prototype_exact_and_converges():
     from picha_tpu.ops.jpeg_scan_chunked import decode_chunked
 
