@@ -44,14 +44,14 @@ def _as_byte_array(data: BufferLike) -> np.ndarray:
     if isinstance(data, memoryview):
         # a WRITABLE view (e.g. a slice of a pooled bytearray) shares
         # the caller's buffer zero-copy, same contract as bytearray; a
-        # read-only view copies like bytes below
+        # read-only view copies like bytes below. Must be C-contiguous
+        # (.contiguous also admits Fortran layouts, which cast("B") and
+        # np.frombuffer both reject with a raw TypeError)
+        if not data.c_contiguous:
+            raise InvalidImageError("image data buffer must be C-contiguous")
         if not data.readonly:
-            mv = data if data.contiguous else None
-            if mv is None:
-                raise InvalidImageError(
-                    "image data buffer must be contiguous")
-            return np.frombuffer(mv.cast("B"), dtype=np.uint8)
-        return np.frombuffer(data, dtype=np.uint8).copy()
+            return np.frombuffer(data.cast("B"), dtype=np.uint8)
+        return np.frombuffer(data.cast("B"), dtype=np.uint8).copy()
     if isinstance(data, bytes):
         # bytes are immutable; copy so the image is mutable like Buffer
         return np.frombuffer(data, dtype=np.uint8).copy()

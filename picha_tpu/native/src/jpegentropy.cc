@@ -69,11 +69,6 @@ struct BitReader {
     } while (cnt <= 48);
   }
 
-  inline uint32_t peek16() {
-    ensure(16);
-    return (uint32_t)((acc >> (cnt - 16)) & 0xFFFFu);
-  }
-
   // take `k` bits below the already-consumed prefix of the current
   // ensure window (no refill check: the caller ensured enough)
   inline uint32_t take(int consumed, int k) const {

@@ -135,6 +135,9 @@ def fused_decode_resize(comp_sig, color_space, width, height, out_w, out_h,
     target resolution -> float RGB/grey in [0, 255] (unrounded)."""
     import jax.numpy as jnp
 
+    from .jpeg_tpu import check_integer_sampling
+
+    check_integer_sampling(comp_sig)
     max_h = max(s[2] for s in comp_sig)
     max_v = max(s[3] for s in comp_sig)
     planes = []

@@ -68,7 +68,15 @@ def prep_tables(info: ScanInfo):
     """Per-image decode tables, one row pair per component:
     t = comp*2 + (0 dc | 1 ac). Returns (limit (6,16) i32 left-aligned
     exclusive bounds for l=1..16, delta (6,17) i32 = valptr - mincode,
-    hv (6,256) i32). Unused component rows are zero."""
+    hv (6,256) i32). Unused component rows are zero.
+
+    Memoized on the info object: the pipeline's uint8-id pre-check
+    (JpegBatchPipeline.entropy_decode) and ScanBatch.__init__ both need
+    these for every image of every batch, and the six derive_tables
+    calls per image are pure host work on the 1-core bottleneck."""
+    cached = getattr(info, "_prep_tables", None)
+    if cached is not None:
+        return cached
     limit = np.zeros((6, 16), np.int32)
     delta = np.zeros((6, 17), np.int32)
     hv = np.zeros((6, 256), np.int32)
@@ -80,6 +88,7 @@ def prep_tables(info: ScanInfo):
             limit[t] = np.minimum(lim[1:17], 2 ** 31 - 1).astype(np.int32)
             delta[t] = (vp - mc).astype(np.int32)
             hv[t] = h
+    info._prep_tables = (limit, delta, hv)
     return limit, delta, hv
 
 
@@ -230,10 +239,11 @@ class ScanBatch:
                     uniq[key] = len(rows)
                     rows.append((limit[t], delta[t], hv[t]))
                 uid_img[img, t] = uniq[key]
-        if len(rows) > 255:
-            # lane_uid6 is uint8 on the wire — wrapping would silently
-            # decode with the wrong tables. Callers pre-check this
-            # (JpegBatchPipeline.entropy_decode) and fall back to host.
+        if len(rows) > 256:
+            # lane_uid6 is uint8 on the wire (ids 0..255) — wrapping
+            # would silently decode with the wrong tables. Callers
+            # pre-check this (JpegBatchPipeline.entropy_decode) and
+            # fall back to host.
             raise ValueError(
                 f"batch has {len(rows)} unique Huffman table rows "
                 f"(uint8 id space is 256); split the batch or use the "

@@ -91,6 +91,8 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
     width = height = 0
     restart = 0
     sof_seen = False
+    saw_jfif = False
+    adobe_transform = None  # APP14 'Adobe' colour-transform byte
     while i + 4 <= len(buf):
         if buf[i] != 0xFF:
             return None
@@ -134,6 +136,16 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
                 # else the MCU model would impose a z-ordered block
                 # walk + dummy edge blocks that aren't in the stream
                 comps = [(1, 1, comps[0][2])]
+            else:
+                # fractional upsampling ratios (legal per spec, e.g.
+                # hmax=3 with hs=2) are not implemented by the pixel
+                # stages — or by libjpeg, which raises "fractional
+                # sampling not implemented"; route to the host path
+                # for its clean error rather than mis-sizing planes
+                hm = max(h for h, _, _ in comps)
+                vm = max(v for _, v, _ in comps)
+                if any(hm % h or vm % v for h, v, _ in comps):
+                    return None
             sof_seen = True
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -177,6 +189,12 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
                 nat[ZIGZAG] = z
                 qtables[tq] = nat
                 pos += 1 + n
+        elif marker == 0xE0:  # APP0
+            if seg[:5] == b"JFIF\x00":
+                saw_jfif = True
+        elif marker == 0xEE:  # APP14
+            if len(seg) >= 12 and seg[:5] == b"Adobe":
+                adobe_transform = seg[11]
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 return None
@@ -238,11 +256,26 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
             needed |= {(1, t[1]) for t in scan_tables}
             if not needed.issubset(huffman.keys()):
                 return None
+            # colour space per libjpeg's default_decompress_parms
+            # (jdapimin.c): JFIF forces YCbCr; Adobe APP14 transform 0
+            # means the components are stored as-is (RGB for 3-comp),
+            # 1 means YCbCr; with neither marker, component IDs
+            # 'R','G','B' mean RGB, anything else defaults to YCbCr
+            if len(comps) == 1:
+                cs = 1
+            elif saw_jfif:
+                cs = 3
+            elif adobe_transform is not None:
+                cs = 2 if adobe_transform == 0 else 3
+            elif comp_ids == [82, 71, 66]:  # 'R','G','B'
+                cs = 2
+            else:
+                cs = 3
             return ScanInfo(
                 width=width, height=height, ncomp=len(comps), comps=full,
                 scan_tables=scan_tables, huffman=huffman,
                 restart_interval=restart, segments=segments,
-                color_space=1 if len(comps) == 1 else 3)
+                color_space=cs)
         elif marker == 0xD9:
             return None
         i += 2 + ln

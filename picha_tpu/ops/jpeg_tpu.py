@@ -122,6 +122,21 @@ def fancy_upsample_h2v2(plane):
     return out.reshape(out.shape[:-2] + (s.shape[-1] * 2,))
 
 
+def check_integer_sampling(comp_sig):
+    """Reject fractional upsampling ratios (legal per spec, e.g. hmax=3
+    with hs=2) with the same clean error libjpeg's pixel path raises
+    ('Fractional sampling not implemented') — libjpeg's COEFFICIENT
+    reader accepts such files, so the guard must live here, in front of
+    the pixel stages, or the plane shapes silently mismatch."""
+    from ..errors import CodecError
+
+    max_h = max(s[2] for s in comp_sig)
+    max_v = max(s[3] for s in comp_sig)
+    for _, _, hs, vs in comp_sig:
+        if max_h % hs or max_v % vs:
+            raise CodecError("fractional sampling not implemented")
+
+
 def upsample_to(plane, h_factor, v_factor, out_h, out_w):
     """Upsample a chroma plane by the component's sampling ratio using
     libjpeg's fancy (triangle) kernels for the common 2x cases and
@@ -205,6 +220,7 @@ def build_decode_stage(comp_sig, color_space, width, height,
 
     max_h = max(s[2] for s in comp_sig)
     max_v = max(s[3] for s in comp_sig)
+    check_integer_sampling(comp_sig)
 
     def decode_stage(coefs, qtabs):
         planes = []

@@ -238,13 +238,13 @@ def banded_plan_from_matrix(W: np.ndarray, tile: int):
             los.append(int(nz[0]))
             his.append(int(nz[-1]) + 1)
     in_len = min(src_size, max(h - l for l, h in zip(los, his)))
-    # clamp windows inside [0, src); coverage holds because window
-    # width <= in_len
+    # clamp windows inside [0, src): starts[t] <= src - in_len and
+    # in_len <= src, so every slice below stays in range; coverage
+    # holds because window width <= in_len
     starts = np.array([min(l, max(0, src_size - in_len)) for l in los],
                       dtype=np.int32)
-    wpad = np.pad(W, ((0, 0), (0, max(0, int(starts.max()) + in_len - src_size))))
     weights = np.stack([
-        wpad[t * tile:(t + 1) * tile, starts[t]:starts[t] + in_len]
+        W[t * tile:(t + 1) * tile, starts[t]:starts[t] + in_len]
         for t in range(T)])
     return starts, weights.astype(np.float32), dst_pad
 

@@ -44,9 +44,14 @@ def entropy_decode(bufs: Sequence[bytes], pool: Optional[ThreadPoolExecutor] = N
     parallelism libjpeg cannot offer."""
     cores = os.cpu_count() or 1
     if cores > 1 and 0 < len(bufs) < cores:
-        per_img = -(-cores // len(bufs))
-        fn = lambda b: native.jpeg_coefficients(b, nthreads=per_img)  # noqa: E731
-        return list(pool.map(fn, bufs)) if pool else [fn(b) for b in bufs]
+        # distribute the cores exactly (ceil for the first cores%len
+        # images, floor for the rest) so concurrent decodes never
+        # oversubscribe the host
+        base, extra = divmod(cores, len(bufs))
+        fn = lambda i_b: native.jpeg_coefficients(  # noqa: E731
+            i_b[1], nthreads=base + (1 if i_b[0] < extra else 0))
+        items = list(enumerate(bufs))
+        return list(pool.map(fn, items)) if pool else [fn(x) for x in items]
     if pool is None:
         return [native.JpegCoefficients(b) for b in bufs]
     return list(pool.map(native.JpegCoefficients, bufs))
@@ -521,11 +526,12 @@ class JpegBatchPipeline:
 
                 uniq = set()
                 for i in infos:
-                    limit, delta, hv = prep_tables(i)
+                    limit, delta, hv = prep_tables(i)  # memoized on i;
+                    # ScanBatch.__init__ reuses the cached result
                     for t in range(6):
                         uniq.add((limit[t].tobytes(), delta[t].tobytes(),
                                   hv[t].tobytes()))
-                if len(uniq) <= 255:
+                if len(uniq) <= 256:
                     for i, b in zip(infos, bufs):
                         i.src = b
                     return infos

@@ -97,6 +97,112 @@ def test_single_component_scan_ignores_sampling_factors():
     _exact([buf])  # device kernel too
 
 
+def _tpu_encoded_444(w=32, h=32, quality=85, seed=9):
+    """A 4:4:4 baseline JPEG authored by the TPU scan encoder (JFIF
+    APP0 header, component ids 1/2/3) from in-gamut planes."""
+    import jax.numpy as jnp
+
+    from picha_tpu.ops import jpeg_huffman_tpu as H
+    from picha_tpu.ops.jpeg_tpu import _IDCT_A, quality_tables
+
+    rng = np.random.default_rng(seed)
+    qluma, qchroma = quality_tables(quality)
+    comp_sig = tuple((h // 8, w // 8, 1, 1) for _ in range(3))
+    A = np.asarray(_IDCT_A, np.float64)
+
+    def fdct_quant(plane, qt):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        out = np.zeros((1, bh, bw, 64), np.int32)
+        for by in range(bh):
+            for bx in range(bw):
+                s = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+                out[0, by, bx] = np.round(
+                    (A @ s @ A.T) / qt.reshape(8, 8)).astype(np.int32).reshape(64)
+        return out
+
+    planes = [np.clip(rng.normal(128, 30, (h, w)), 30, 225) for _ in range(3)]
+    coefs = tuple(fdct_quant(p, qluma if i == 0 else qchroma)
+                  for i, p in enumerate(planes))
+    enc = H.build_scan_encoder(comp_sig, byte_cap=1 << 16)
+    scan, nbytes = enc(tuple(jnp.asarray(c) for c in coefs))
+    return H.assemble(H.jpeg_header(w, h, comp_sig, quality),
+                      np.asarray(scan)[0], int(np.asarray(nbytes)[0]))
+
+
+def _strip_jfif(buf: bytes) -> bytes:
+    """Drop the fixed 18-byte JFIF APP0 our header writer emits."""
+    assert buf[2:4] == b"\xff\xe0" and buf[6:11] == b"JFIF\x00"
+    return buf[:2] + buf[20:]
+
+
+def test_colorspace_detection_matches_libjpeg():
+    """parse_baseline must reproduce libjpeg default_decompress_parms
+    (jdapimin.c): JFIF => YCbCr (even with Adobe present), Adobe
+    transform 0 => RGB / 1 => YCbCr, bare component ids 'R','G','B' =>
+    RGB — and the TPU decode must then match libjpeg's pixels (which
+    skips the YCbCr transform for RGB-tagged files)."""
+    import picha_tpu as picha
+
+    buf = bytes(_tpu_encoded_444())
+    assert jpeg_scan.parse_baseline(buf).color_space == 3  # JFIF
+
+    def adobe(transform):
+        return (b"\xff\xee" + (14).to_bytes(2, "big") + b"Adobe"
+                + bytes([0, 101, 0, 0, 0, 0, transform]))
+
+    # JFIF wins over Adobe (libjpeg checks saw_JFIF_marker first)
+    both = buf[:2] + adobe(0) + buf[2:]
+    assert jpeg_scan.parse_baseline(both).color_space == 3
+
+    bare = _strip_jfif(buf)
+    for transform, cs in ((0, 2), (1, 3)):
+        patched = bare[:2] + adobe(transform) + bare[2:]
+        assert jpeg_scan.parse_baseline(patched).color_space == cs, transform
+        host = picha.decodeJpegSync(patched)
+        tpu = picha.decodeJpegSync(patched, {"backend": "tpu"})
+        d = host.avg_channel_diff(tpu)
+        assert d <= 1.0, (transform, d)
+
+    # component ids 'R','G','B', no JFIF/Adobe
+    ids = bytearray(bare)
+    sof = ids.index(b"\xff\xc0")
+    sos = ids.index(b"\xff\xda")
+    for k, cid in enumerate((82, 71, 66)):
+        ids[sof + 10 + 3 * k] = cid
+        ids[sos + 5 + 2 * k] = cid
+    ids = bytes(ids)
+    assert jpeg_scan.parse_baseline(ids).color_space == 2
+    host = picha.decodeJpegSync(ids)
+    tpu = picha.decodeJpegSync(ids, {"backend": "tpu"})
+    assert host.avg_channel_diff(tpu) <= 1.0
+
+
+def test_fractional_sampling_routes_to_host():
+    """Legal-but-fractional sampling ratios (hmax=3 with hs=2) are not
+    implemented by the pixel stages — or by libjpeg, which raises
+    'Fractional sampling not implemented'. parse_baseline must reject
+    them so every path shares libjpeg's clean error."""
+    import picha_tpu as picha
+    from picha_tpu.ops.jpeg_tpu import quality_tables
+
+    rng = np.random.default_rng(8)
+    qluma, qchroma = quality_tables(85)
+    comps = [{"coefs": rng.integers(-4, 5, (1, 3, 64)).astype(np.int16),
+              "qtable": qluma, "h_samp": 3, "v_samp": 1},
+             {"coefs": rng.integers(-4, 5, (1, 2, 64)).astype(np.int16),
+              "qtable": qchroma, "h_samp": 2, "v_samp": 1},
+             {"coefs": rng.integers(-4, 5, (1, 1, 64)).astype(np.int16),
+              "qtable": qchroma, "h_samp": 1, "v_samp": 1}]
+    buf = native.jpeg_coef_write(24, 8, comps)
+    assert jpeg_scan.parse_baseline(bytes(buf)) is None
+    # libjpeg's COEFFICIENT reader accepts such files (only its pixel
+    # path errors), so the TPU path's own guard must fire
+    with pytest.raises(picha.CodecError, match="ampling"):
+        picha.decodeJpegSync(buf, {"backend": "tpu"})
+    with pytest.raises(picha.CodecError):
+        picha.decodeJpegSync(buf)  # host pixel path: libjpeg's error
+
+
 def test_native_segment_parallel_decoder_exact():
     """jpegentropy.cc (restart-segment-parallel host entropy decode)
     must match libjpeg bit-for-bit across corpora and thread counts:

@@ -41,6 +41,25 @@ def test_data_too_small_rejected():
         Image(width=4, height=4, pixel="rgba", data=bytearray(10))
 
 
+def test_memoryview_data_contract():
+    """Writable C-contiguous views share memory zero-copy; read-only
+    views copy (mutability contract); Fortran-layout views raise the
+    module's typed error, not memoryview.cast's raw TypeError."""
+    import numpy as np
+
+    backing = bytearray(4 * 4 * 4)
+    img = Image(width=4, height=4, pixel="rgba", data=memoryview(backing))
+    img.data[0] = 77
+    assert backing[0] == 77  # zero-copy
+    ro = Image(width=4, height=4, pixel="rgba",
+               data=memoryview(bytes(backing)))
+    assert ro.data[0] == 77
+    ro.data[0] = 1  # copies are mutable, backing unaffected
+    fortran = np.asfortranarray(np.zeros((8, 8), np.uint8))
+    with pytest.raises(InvalidImageError):
+        Image(width=4, height=4, pixel="rgba", data=memoryview(fortran))
+
+
 def test_short_last_row_accepted():
     # data only needs stride*(h-1) + w*psize bytes (lib/image.js:19)
     img = Image(width=3, height=2, pixel="grey", stride=4)
