@@ -148,6 +148,103 @@ def test_multihost_two_process_distributed():
     assert results == {0: 336.0, 1: 336.0}, results
 
 
+def test_multihost_two_process_train_ingest():
+    """End-to-end config-5 story across REAL processes: each of two
+    jax.distributed CPU processes entropy-decodes its local_shard of a
+    JPEG corpus through JpegBatchPipeline (fused decode+resize),
+    contributes it to the dp global batch, and takes one gradient step
+    whose collectives cross the process boundary. Both processes must
+    produce the gradient the single-process run produces (SURVEY.md
+    §5.8: batch axis = pure DP, DCN only for input dispatch)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    child = textwrap.dedent("""
+        import sys
+        import numpy as np
+        pid, coord, repo = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+        sys.path.insert(0, repo)
+        import jax
+        import jax.numpy as jnp
+        from picha_tpu.parallel import multihost
+        from picha_tpu.parallel.mesh import make_mesh
+        multihost.initialize(coordinator=coord, num_processes=2,
+                             process_id=pid)
+        from picha_tpu.native import lib as native
+        from picha_tpu.pipeline import JpegBatchPipeline
+        rng = np.random.default_rng(0)
+        bufs = [native.jpeg_encode(
+            rng.integers(0, 256, (32, 32, 3), np.uint8), 85)
+            for _ in range(8)]
+        local = multihost.local_shard(bufs)
+        assert len(local) == 4
+        p = JpegBatchPipeline(width=16, height=16, fused=True)
+        cos = p.entropy_decode([bytes(b) for b in local])
+        sig, args = p.stack_bucket(cos)
+        imgs = np.asarray(p.run_bucket(sig, args), np.float32) / 255.0
+        mesh = make_mesh((("dp", 2),))
+        g = multihost.global_batch(imgs, mesh)
+        def loss(w, x):
+            pred = x.reshape(x.shape[0], -1) @ w
+            return jnp.mean((pred - 1.0) ** 2)
+        gw = jax.jit(jax.grad(loss))(jnp.zeros((16 * 16 * 3,),
+                                               jnp.float32), g)
+        print("RESULT", pid, float(jnp.sum(jnp.abs(gw))), flush=True)
+    """)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", child, str(i), f"127.0.0.1:{port}", repo],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    results = {}
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"proc {i} failed: {err[-800:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, total = line.split()
+                results[int(pid)] = float(total)
+
+    # single-process oracle: same corpus, same pipeline, same grad
+    import jax
+    import jax.numpy as jnp
+
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    rng = np.random.default_rng(0)
+    bufs = [native.jpeg_encode(
+        rng.integers(0, 256, (32, 32, 3), np.uint8), 85) for _ in range(8)]
+    p = JpegBatchPipeline(width=16, height=16, fused=True)
+    cos = p.entropy_decode([bytes(b) for b in bufs])
+    sig, args = p.stack_bucket(cos)
+    imgs = np.asarray(p.run_bucket(sig, args), np.float32) / 255.0
+
+    def loss(w, x):
+        pred = x.reshape(x.shape[0], -1) @ w
+        return jnp.mean((pred - 1.0) ** 2)
+
+    want = float(jnp.sum(jnp.abs(
+        jax.jit(jax.grad(loss))(jnp.zeros((16 * 16 * 3,), jnp.float32),
+                                jnp.asarray(imgs)))))
+    assert set(results) == {0, 1}, results
+    for pid, got in results.items():
+        assert abs(got - want) <= 1e-4 * max(1.0, abs(want)), (pid, got, want)
+
+
 def test_stream_best_persists_winner(tmp_path, monkeypatch):
     """The config race's winner is cached next to the XLA cache and a
     restart (same deployment key) skips re-probing."""
