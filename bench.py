@@ -555,6 +555,40 @@ def bench_entropy(bufs, batch, iters=4):
     return best_window(window, windows=2)[0]
 
 
+def bench_entropy_native(bufs, iters=4):
+    """Segment-parallel native decoder (jpegentropy.cc) single-thread
+    img/s on the bench corpus — the per-thread rate production hosts
+    multiply by their core count for narrow batches (this box has one
+    core, so only the 1-thread point is measurable here). Returns None
+    when the corpus has no restart segments (the decoder then defers to
+    libjpeg by design)."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.ops.jpeg_scan import parse_baseline
+
+    # the main corpus is restart-free; author restart variants the way
+    # the device-only roofline does (same pixels, DRI=8)
+    def reencode(b):
+        w, h, _ = native.jpeg_stat(bytes(b))
+        return native.jpeg_encode(native.jpeg_decode(bytes(b), 3, w, h),
+                                  85, restart=8)
+
+    rbufs = [reencode(b) for b in bufs[:4]]
+    infos = [parse_baseline(bytes(b)) for b in rbufs]
+    infos = [i for i in infos if i is not None and len(i.segments) > 1]
+    if not infos:
+        return None
+    native.jpeg_entropy_decode(infos[0], nthreads=1)  # warm
+
+    def window():
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for i in infos:
+                native.jpeg_entropy_decode(i, nthreads=1)
+        return len(infos) * iters, time.perf_counter() - t0
+
+    return best_window(window, windows=2)[0]
+
+
 def bench_png_e2e(bufs, out_w, out_h, n=10):
     """BASELINE config 1: PNG decode -> resize -> PNG encode.
 
@@ -1033,6 +1067,13 @@ def main():
         detail["host_entropy_mpix_s"] = round(entropy_ips * mpix, 1)
         log(f"host entropy decode: {entropy_ips:.1f} img/s "
             f"({entropy_ips * mpix:.0f} Mpix/s)")
+
+    nat_ips = stage("entropy-native", bench_entropy_native, bufs)
+    if nat_ips:
+        detail["host_entropy_native_1t_mpix_s"] = round(nat_ips * mpix, 1)
+        log(f"native segment decoder (1 thread, restart corpus): "
+            f"{nat_ips:.1f} img/s ({nat_ips * mpix:.0f} Mpix/s); "
+            f"scales ~linearly with threads x segments on wide hosts")
 
     host_ips = stage("host stage", bench_host_stage, bufs, batch, out_w, out_h)
     if host_ips:
