@@ -1019,7 +1019,7 @@ def main():
     log(f"generated {len(bufs)} jpegs, ~{len(bufs[0])//1024} KiB each")
 
     out_w, out_h = BENCH_OUT_W, BENCH_OUT_H
-    detail = {"host_cores": 1}
+    detail = {"host_cores": os.cpu_count() or 1}
     violations = []
     stage = run_stage
 

@@ -183,6 +183,30 @@ if "image/jpeg" in catalog:
     transcode_jpeg = transcodeJpeg
     __all__.extend(["transcodeJpeg", "transcodeJpegSync"])
 
+    def transformJpegSync(buf, opts: dict) -> bytes:
+        """Lossless coefficient-domain transform (beyond-reference API;
+        jpegtran's feature class): transpose / fliph / flipv / rot90 /
+        rot180 / rot270 without requantisation. See codecs/jpeg.py
+        transform and ops/jpeg_transform.py."""
+        from .codecs import jpeg as _jpeg
+        from .runtime import metrics
+
+        metrics.count("transform.jpeg")
+        metrics.count("bytes_in", len(buf))
+        with metrics.timer("transform.jpeg"):
+            out = _jpeg.transform(bytes(buf), opts)
+        metrics.count("bytes_out", len(out))
+        return out
+
+    def transformJpeg(buf, opts=None, cb=None):
+        if callable(opts):
+            cb, opts = opts, None
+        return run_async(lambda: transformJpegSync(buf, opts or {}), cb)
+
+    transform_jpeg_sync = transformJpegSync
+    transform_jpeg = transformJpeg
+    __all__.extend(["transformJpeg", "transformJpegSync"])
+
 
 # ---------------------------------------------------------------------------
 # Format sniffing (index.js:200-233)

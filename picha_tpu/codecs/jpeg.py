@@ -172,6 +172,32 @@ def transcode(buf: bytes, opts: dict) -> bytes:
                           "progressive": progressive})
 
 
+def transform(buf: bytes, opts: dict) -> bytes:
+    """Lossless coefficient-domain transform (beyond-reference API;
+    jpegtran's feature class — see ops/jpeg_transform.py for the math
+    and the trim semantics).
+
+    opts: op ('transpose' | 'fliph' | 'flipv' | 'rot90' | 'rot180' |
+    'rot270'), perfect (raise instead of iMCU-trimming, default False),
+    optimize (Huffman-optimized output scan), restartInterval."""
+    from ..ops.jpeg_transform import transform_coefficients
+
+    op = opts.get("op")
+    perfect = bool(opts.get("perfect", False))
+    try:
+        restart = int(opts.get("restartInterval",
+                               opts.get("restart_interval", 0)))
+    except (TypeError, ValueError) as e:
+        raise InvalidOptionsError("invalid transform options") from e
+    if restart < 0:
+        raise InvalidOptionsError("restartInterval must be >= 0")
+    co = native.jpeg_coefficients(bytes(buf))
+    w, h, comps = transform_coefficients(co, op, perfect)
+    return native.jpeg_coef_write(
+        w, h, comps, optimize_huffman=bool(opts.get("optimize", False)),
+        restart=restart)
+
+
 class JpegCodec:
     mimetype = "image/jpeg"
     encodes = ["rgb", "grey"]  # jpegcodec.cc:512-514

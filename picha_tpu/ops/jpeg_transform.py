@@ -1,0 +1,113 @@
+"""Lossless coefficient-domain JPEG transforms (the jpegtran feature
+class): transpose, horizontal/vertical flip, rot90/180/270 without
+dequantisation — the quantised DCT coefficients are rearranged, never
+recomputed, so pixel content is preserved exactly and only the entropy
+coding is regenerated.
+
+The reference has no equivalent (its jpegcodec.cc:100-106 always
+decodes to pixels); this falls out of the rebuild's coefficient
+infrastructure: host entropy decode (native.jpeg_coefficients, which
+uses the segment-parallel decoder when it can) -> block-domain numpy
+ops here -> coefficient re-encode (native.jpeg_coef_write).
+
+Math, for an 8x8 DCT block C[i, j] (i = vertical frequency, j =
+horizontal; natural order index i*8+j):
+  * transposing the pixels transposes each block AND the block grid
+    AND the sampling factors (the 2-D DCT basis is symmetric);
+  * mirroring pixels horizontally reverses the block COLUMNS and
+    negates odd horizontal frequencies — the basis satisfies
+    phi_j(7-x) = (-1)^j phi_j(x); vertical mirroring likewise on i.
+
+Edge semantics follow jpegtran's default trim: a flip needs full
+blocks on the reversed axis (partial edge blocks hold pixels past the
+image that a mirror would surface), so the image is first trimmed to
+the iMCU grid on that axis; `perfect=True` raises instead of
+trimming. transpose is always perfect; rot90/270 inherit the trim
+from their flip leg (on the transposed geometry, i.e. the ORIGINAL
+height — jpegtran's rule).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..errors import CodecError, InvalidOptionsError
+
+# natural-order permutation of a block transpose: i*8+j -> j*8+i
+_TRANS = np.arange(64).reshape(8, 8).T.reshape(-1).copy()
+# (-1)^j / (-1)^i per natural coefficient index
+_SIGN_H = np.where(np.arange(64) % 8 % 2 == 1, -1, 1).astype(np.int16)
+_SIGN_V = np.where(np.arange(64) // 8 % 2 == 1, -1, 1).astype(np.int16)
+
+# each op as a sequence of primitives (t = transpose, h/v = mirrors)
+OPS = {
+    "transpose": ("t",),
+    "fliph": ("h",),
+    "flipv": ("v",),
+    "rot90": ("t", "h"),    # clockwise
+    "rot180": ("h", "v"),
+    "rot270": ("t", "v"),   # counter-clockwise
+}
+
+
+def _trim(width, comps, axis, op, perfect):
+    """Trim `width` (extent along `axis`: 0 horizontal, 1 vertical) to
+    the iMCU grid so every stored block on that axis is full."""
+    key = "h_samp" if axis == 0 else "v_samp"
+    m = 8 * max(c[key] for c in comps)
+    new = width - width % m
+    if new == width:
+        return width
+    if perfect:
+        raise InvalidOptionsError(
+            f"{op} is not perfect for these dimensions: extent {width} "
+            f"is not a multiple of the {m}-pixel iMCU size "
+            f"(trim would drop {width - new} pixels)")
+    if new == 0:
+        raise CodecError("image smaller than one iMCU; cannot trim for flip")
+    return new
+
+
+def transform_coefficients(co, op: str, perfect: bool = False):
+    """co: JpegCoefficients-like (width, height, ncomp, comps dicts).
+    Returns (width, height, comps) ready for native.jpeg_coef_write."""
+    if op not in OPS:
+        raise InvalidOptionsError(
+            f"unknown transform op {op!r}; one of {sorted(OPS)}")
+    if co.ncomp not in (1, 3):
+        raise CodecError(
+            "lossless transform supports 1- or 3-component JPEGs")
+    width, height = co.width, co.height
+    comps = []
+    for c in co.comps:
+        comps.append({
+            # single-component scans: sampling factors don't shape the
+            # stored grid (MCU = 1 block), so normalize like the scan
+            # parser does — the iMCU trim granule is 8, not 8*samp
+            "h_samp": 1 if co.ncomp == 1 else c["h_samp"],
+            "v_samp": 1 if co.ncomp == 1 else c["v_samp"],
+            "coefs": np.asarray(c["coefs"], np.int16),
+            "qtable": np.asarray(c["qtable"], np.uint16),
+        })
+    for prim in OPS[op]:
+        if prim == "t":
+            width, height = height, width
+            for c in comps:
+                c["coefs"] = np.ascontiguousarray(
+                    c["coefs"].transpose(1, 0, 2)[:, :, _TRANS])
+                c["qtable"] = np.ascontiguousarray(c["qtable"][_TRANS])
+                c["h_samp"], c["v_samp"] = c["v_samp"], c["h_samp"]
+        elif prim == "h":
+            width = _trim(width, comps, 0, op, perfect)
+            hmax = max(c["h_samp"] for c in comps)
+            for c in comps:
+                bw = width * c["h_samp"] // (hmax * 8)
+                c["coefs"] = np.ascontiguousarray(
+                    c["coefs"][:, :bw][:, ::-1] * _SIGN_H)
+        else:  # "v"
+            height = _trim(height, comps, 1, op, perfect)
+            vmax = max(c["v_samp"] for c in comps)
+            for c in comps:
+                bh = height * c["v_samp"] // (vmax * 8)
+                c["coefs"] = np.ascontiguousarray(
+                    c["coefs"][:bh][::-1] * _SIGN_V)
+    return width, height, comps

@@ -1,0 +1,147 @@
+"""Lossless coefficient-domain JPEG transforms (ops/jpeg_transform.py,
+picha.transformJpegSync) — beyond-reference API; jpegtran's feature
+class built on the coefficient infrastructure.
+
+Oracles: (a) involution/composition identities asserted EXACTLY at the
+coefficient level (transform+inverse must reproduce the original
+quantised coefficients bit-for-bit — no tolerance); (b) decoded pixels
+of the transformed file vs the numpy transform of the decoded original
+(small tolerance: libjpeg's integer IDCT is not exactly symmetric
+under pixel-domain transposition); (c) jpegtran-style trim semantics
+on non-iMCU-aligned dims; (d) `perfect=True` raises."""
+import numpy as np
+import pytest
+
+import picha_tpu as picha
+from picha_tpu.errors import CodecError, InvalidOptionsError
+from picha_tpu.native import lib as native
+
+OPS = ["transpose", "fliph", "flipv", "rot90", "rot180", "rot270"]
+
+NP_OP = {
+    "transpose": lambda a: np.transpose(a, (1, 0, 2)),
+    "fliph": lambda a: a[:, ::-1],
+    "flipv": lambda a: a[::-1],
+    "rot90": lambda a: np.rot90(a, -1, (0, 1)),   # clockwise
+    "rot180": lambda a: a[::-1, ::-1],
+    "rot270": lambda a: np.rot90(a, 1, (0, 1)),
+}
+
+INVERSE = {"transpose": "transpose", "fliph": "fliph", "flipv": "flipv",
+           "rot90": "rot270", "rot180": "rot180", "rot270": "rot90"}
+
+
+def _photo(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    arr = np.stack([128 + 80 * np.sin(xx / 11) * np.cos(yy / 7),
+                    128 + 60 * np.cos((xx + yy) / 13),
+                    128 + 50 * np.sin(yy / 9)], axis=-1)
+    return np.clip(arr + rng.normal(0, 4, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def _coefs_of(buf):
+    co = native.JpegCoefficients(bytes(buf))
+    return [(c["h_samp"], c["v_samp"], c["qtable"].copy(),
+             c["coefs"].copy()) for c in co.comps]
+
+
+@pytest.mark.parametrize("op", OPS)
+def test_involution_exact_coefficients(op):
+    """op then its inverse reproduces the original quantised
+    coefficients EXACTLY (iMCU-aligned 4:2:0 so no trim occurs)."""
+    buf = picha.encodeJpegSync(
+        picha.Image.from_array(_photo(48, 64), "rgb"), {"quality": 90})
+    fwd = picha.transformJpegSync(buf, {"op": op, "perfect": True})
+    back = picha.transformJpegSync(fwd, {"op": INVERSE[op],
+                                         "perfect": True})
+    want, got = _coefs_of(buf), _coefs_of(back)
+    for (h0, v0, q0, c0), (h1, v1, q1, c1) in zip(want, got):
+        assert (h0, v0) == (h1, v1)
+        assert np.array_equal(q0, q1)
+        assert np.array_equal(c0, c1), op
+
+
+@pytest.mark.parametrize("op", OPS)
+def test_pixels_match_numpy_transform(op):
+    """Decoded pixels of the transformed file == numpy transform of the
+    decoded original (tolerance: libjpeg's integer IDCT is not exactly
+    transpose-symmetric, so rearranged blocks can round ±1)."""
+    buf = picha.encodeJpegSync(
+        picha.Image.from_array(_photo(48, 64, seed=3), "rgb"),
+        {"quality": 92})
+    base = np.asarray(picha.decodeJpegSync(buf).to_array())
+    out = picha.transformJpegSync(buf, {"op": op})
+    got = np.asarray(picha.decodeJpegSync(out).to_array())
+    want = NP_OP[op](base)
+    assert got.shape == want.shape, op
+    # lossless means exact CODED-domain preservation (the involution
+    # test asserts that bit-for-bit); decode pipelines are not exactly
+    # transform-equivariant (chroma upsample phase at block borders,
+    # integer IDCT asymmetry), so the pixel check only needs to catch
+    # orientation/sign mistakes, which diff by >>1 LSB
+    diff = np.abs(got.astype(int) - want.astype(int)).mean()
+    assert diff <= 0.5, (op, diff)
+
+
+def test_trim_semantics_and_perfect():
+    """Non-iMCU-aligned width: fliph trims to the 16-pixel 4:2:0 iMCU
+    grid (output = mirror of the kept left region, jpegtran -trim);
+    perfect=True raises instead. transpose never trims."""
+    buf = picha.encodeJpegSync(
+        picha.Image.from_array(_photo(50, 50, seed=5), "rgb"),
+        {"quality": 92})
+    base = np.asarray(picha.decodeJpegSync(buf).to_array())
+
+    out = picha.transformJpegSync(buf, {"op": "fliph"})
+    got = np.asarray(picha.decodeJpegSync(out).to_array())
+    assert got.shape == (50, 48, 3)
+    want = base[:, :48][:, ::-1]
+    assert np.abs(got.astype(int) - want.astype(int)).mean() <= 0.5
+
+    with pytest.raises(InvalidOptionsError):
+        picha.transformJpegSync(buf, {"op": "fliph", "perfect": True})
+    tr = picha.transformJpegSync(buf, {"op": "transpose", "perfect": True})
+    st = picha.statJpeg(tr)
+    assert (st["width"], st["height"]) == (50, 50)
+
+
+def test_grey_and_options_and_errors():
+    g = _photo(24, 40, seed=7)[..., :1]
+    buf = picha.encodeJpegSync(
+        picha.Image.from_array(np.ascontiguousarray(g), "grey"),
+        {"quality": 90})
+    # grey iMCU is 8x8: 40x24 is aligned, flips are perfect
+    out = picha.transformJpegSync(buf, {"op": "rot90", "perfect": True,
+                                        "optimize": True,
+                                        "restartInterval": 2})
+    base = np.asarray(picha.decodeJpegSync(buf).to_array())
+    got = np.asarray(picha.decodeJpegSync(out).to_array())
+    assert got.shape == (40, 24, 1)
+    assert np.abs(got.astype(int)
+                  - NP_OP["rot90"](base).astype(int)).mean() <= 0.5
+    assert b"\xff\xdd" in out[:700]  # DRI written
+
+    with pytest.raises(InvalidOptionsError):
+        picha.transformJpegSync(buf, {"op": "spin"})
+    with pytest.raises(CodecError):
+        from conftest import fixture_bytes
+        picha.transformJpegSync(fixture_bytes("test2cmyk.jpg"),
+                                {"op": "fliph"})  # 4 components
+
+
+def test_sync_async_identical():
+    buf = picha.encodeJpegSync(
+        picha.Image.from_array(_photo(32, 48, seed=11), "rgb"),
+        {"quality": 88})
+    want = picha.transformJpegSync(buf, {"op": "rot180"})
+    done = []
+    picha.transformJpeg(buf, {"op": "rot180"},
+                        lambda err, out: done.append((err, out)))
+    for _ in range(200):
+        if done:
+            break
+        import time
+        time.sleep(0.02)
+    err, out = done[0]
+    assert err is None and bytes(out) == bytes(want)
