@@ -178,9 +178,12 @@ def transform(buf: bytes, opts: dict) -> bytes:
     and the trim semantics).
 
     opts: op ('transpose' | 'fliph' | 'flipv' | 'rot90' | 'rot180' |
-    'rot270'), perfect (raise instead of iMCU-trimming, default False),
-    optimize (Huffman-optimized output scan), restartInterval."""
-    from ..ops.jpeg_transform import transform_coefficients
+    'rot270' | 'crop'), perfect (raise instead of iMCU-snapping,
+    default False), optimize (Huffman-optimized output scan),
+    restartInterval; crop additionally takes x, y, width, height
+    (origin snaps down to the iMCU grid, jpegtran -crop)."""
+    from ..ops.jpeg_transform import (crop_coefficients,
+                                      transform_coefficients)
 
     op = opts.get("op")
     perfect = bool(opts.get("perfect", False))
@@ -192,7 +195,18 @@ def transform(buf: bytes, opts: dict) -> bytes:
     if restart < 0:
         raise InvalidOptionsError("restartInterval must be >= 0")
     co = native.jpeg_coefficients(bytes(buf))
-    w, h, comps = transform_coefficients(co, op, perfect)
+    if op == "crop":
+        try:
+            x, y = int(opts.get("x", 0)), int(opts.get("y", 0))
+            w, h = int(opts["width"]), int(opts["height"])
+        except KeyError as e:
+            raise InvalidOptionsError("crop requires width and height") \
+                from e
+        except (TypeError, ValueError) as e:
+            raise InvalidOptionsError("invalid crop geometry") from e
+        w, h, comps = crop_coefficients(co, x, y, w, h, perfect)
+    else:
+        w, h, comps = transform_coefficients(co, op, perfect)
     return native.jpeg_coef_write(
         w, h, comps, optimize_huffman=bool(opts.get("optimize", False)),
         restart=restart)

@@ -67,6 +67,48 @@ def _trim(width, comps, axis, op, perfect):
     return new
 
 
+def crop_coefficients(co, x: int, y: int, w: int, h: int,
+                      perfect: bool = False):
+    """Lossless coefficient-domain crop (jpegtran -crop semantics):
+    the origin snaps DOWN to the nearest iMCU boundary (so the covered
+    region shifts up/left by the snap amount, size preserved);
+    `perfect=True` raises instead of snapping. The right/bottom edges
+    may fall mid-block — the partial blocks are kept and the declared
+    dimensions do the clipping, exactly like any non-multiple-of-8
+    JPEG. DC stays absolute here; the re-encoder re-differences.
+
+    Returns (w, h, comps) for native.jpeg_coef_write."""
+    if co.ncomp not in (1, 3):
+        raise CodecError("lossless crop supports 1- or 3-component JPEGs")
+    if w < 1 or h < 1 or x < 0 or y < 0 or x + w > co.width \
+            or y + h > co.height:
+        raise InvalidOptionsError(
+            f"crop {w}x{h}+{x}+{y} outside {co.width}x{co.height}")
+    comps = [{
+        "h_samp": 1 if co.ncomp == 1 else c["h_samp"],
+        "v_samp": 1 if co.ncomp == 1 else c["v_samp"],
+        "coefs": np.asarray(c["coefs"], np.int16),
+        "qtable": np.asarray(c["qtable"], np.uint16),
+    } for c in co.comps]
+    hmax = max(c["h_samp"] for c in comps)
+    vmax = max(c["v_samp"] for c in comps)
+    x0, y0 = x - x % (8 * hmax), y - y % (8 * vmax)
+    if perfect and (x0 != x or y0 != y):
+        raise InvalidOptionsError(
+            f"crop origin ({x},{y}) is not on the {8 * hmax}x{8 * vmax} "
+            f"iMCU grid (snap would move it to ({x0},{y0}))")
+    for c in comps:
+        hs, vs = c["h_samp"], c["v_samp"]
+        bx, by = x0 * hs // (hmax * 8), y0 * vs // (vmax * 8)
+        dw = -(-w * hs // hmax)   # component-pixel extents (ceil)
+        dh = -(-h * vs // vmax)
+        nbw = -(-dw // 8)
+        nbh = -(-dh // 8)
+        c["coefs"] = np.ascontiguousarray(
+            c["coefs"][by:by + nbh, bx:bx + nbw])
+    return w, h, comps
+
+
 def transform_coefficients(co, op: str, perfect: bool = False):
     """co: JpegCoefficients-like (width, height, ncomp, comps dicts).
     Returns (width, height, comps) ready for native.jpeg_coef_write."""

@@ -130,6 +130,51 @@ def test_grey_and_options_and_errors():
                                 {"op": "fliph"})  # 4 components
 
 
+def test_crop_semantics():
+    """Coefficient-domain crop: aligned grey crops are EXACT pixels;
+    4:2:0 matches except chroma-upsample edge effects; unaligned
+    origins snap down (jpegtran -crop) and perfect=True raises."""
+    g = _photo(64, 80, seed=13)[..., :1]
+    gbuf = picha.encodeJpegSync(
+        picha.Image.from_array(np.ascontiguousarray(g), "grey"),
+        {"quality": 90})
+    gbase = np.asarray(picha.decodeJpegSync(gbuf).to_array())
+    out = picha.transformJpegSync(gbuf, {"op": "crop", "x": 16, "y": 8,
+                                         "width": 33, "height": 22,
+                                         "perfect": True})
+    got = np.asarray(picha.decodeJpegSync(out).to_array())
+    # grey has no chroma resampling: block-aligned crop is bit-exact
+    assert np.array_equal(got, gbase[8:30, 16:49])
+
+    buf = picha.encodeJpegSync(
+        picha.Image.from_array(_photo(64, 80, seed=14), "rgb"),
+        {"quality": 92})
+    base = np.asarray(picha.decodeJpegSync(buf).to_array())
+    out = picha.transformJpegSync(buf, {"op": "crop", "x": 32, "y": 16,
+                                        "width": 30, "height": 25,
+                                        "perfect": True})
+    got = np.asarray(picha.decodeJpegSync(out).to_array())
+    want = base[16:41, 32:62]
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).mean() <= 0.5
+
+    # unaligned origin snaps down to the 16x16 iMCU grid, size kept
+    out = picha.transformJpegSync(buf, {"op": "crop", "x": 37, "y": 19,
+                                        "width": 30, "height": 25})
+    got = np.asarray(picha.decodeJpegSync(out).to_array())
+    want = base[16:41, 32:62]
+    assert np.abs(got.astype(int) - want.astype(int)).mean() <= 0.5
+    with pytest.raises(InvalidOptionsError):
+        picha.transformJpegSync(buf, {"op": "crop", "x": 37, "y": 19,
+                                      "width": 30, "height": 25,
+                                      "perfect": True})
+    with pytest.raises(InvalidOptionsError):
+        picha.transformJpegSync(buf, {"op": "crop", "x": 60, "y": 0,
+                                      "width": 30, "height": 10})
+    with pytest.raises(InvalidOptionsError):
+        picha.transformJpegSync(buf, {"op": "crop", "x": 0, "y": 0})
+
+
 def test_sync_async_identical():
     buf = picha.encodeJpegSync(
         picha.Image.from_array(_photo(32, 48, seed=11), "rgb"),
