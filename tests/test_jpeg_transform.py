@@ -175,6 +175,26 @@ def test_crop_semantics():
         picha.transformJpegSync(buf, {"op": "crop", "x": 0, "y": 0})
 
 
+def test_progressive_input():
+    """Progressive sources transform fine: libjpeg's coefficient reader
+    handles multi-scan files, and the output is a baseline scan of the
+    same (losslessly rearranged) coefficients."""
+    import io
+
+    from PIL import Image as PILImage
+
+    arr = _photo(48, 64, seed=17)
+    b = io.BytesIO()
+    PILImage.fromarray(arr).save(b, "JPEG", progressive=True, quality=90)
+    out = picha.transformJpegSync(b.getvalue(), {"op": "rot180",
+                                                 "perfect": True})
+    assert b"\xff\xc0" in out[:700] and b"\xff\xc2" not in out[:700]
+    got = np.asarray(picha.decodeJpegSync(out).to_array())
+    base = np.asarray(picha.decodeJpegSync(b.getvalue()).to_array())
+    assert np.abs(got.astype(int)
+                  - base[::-1, ::-1].astype(int)).mean() <= 0.5
+
+
 def test_sync_async_identical():
     buf = picha.encodeJpegSync(
         picha.Image.from_array(_photo(32, 48, seed=11), "rgb"),
