@@ -182,10 +182,15 @@ def transform(buf: bytes, opts: dict) -> bytes:
     default False), optimize (Huffman-optimized output scan),
     restartInterval; crop additionally takes x, y, width, height
     (origin snaps down to the iMCU grid, jpegtran -crop)."""
-    from ..ops.jpeg_transform import (crop_coefficients,
+    from ..ops.jpeg_transform import (OPS, crop_coefficients,
                                       transform_coefficients)
 
+    # validate the options BEFORE the entropy decode (the dominant
+    # cost) so invalid requests fail for free
     op = opts.get("op")
+    if op != "crop" and op not in OPS:
+        raise InvalidOptionsError(
+            f"unknown transform op {op!r}; one of {sorted(OPS) + ['crop']}")
     perfect = bool(opts.get("perfect", False))
     try:
         restart = int(opts.get("restartInterval",
@@ -194,7 +199,6 @@ def transform(buf: bytes, opts: dict) -> bytes:
         raise InvalidOptionsError("invalid transform options") from e
     if restart < 0:
         raise InvalidOptionsError("restartInterval must be >= 0")
-    co = native.jpeg_coefficients(bytes(buf))
     if op == "crop":
         try:
             x, y = int(opts.get("x", 0)), int(opts.get("y", 0))
@@ -204,12 +208,17 @@ def transform(buf: bytes, opts: dict) -> bytes:
                 from e
         except (TypeError, ValueError) as e:
             raise InvalidOptionsError("invalid crop geometry") from e
+    co = native.jpeg_coefficients(bytes(buf))
+    if op == "crop":
         w, h, comps = crop_coefficients(co, x, y, w, h, perfect)
     else:
         w, h, comps = transform_coefficients(co, op, perfect)
+    # preserve the source colorspace tag: RGB-tagged files (Adobe
+    # transform=0 / 'R','G','B' ids) must come back out RGB-tagged or
+    # decoders would apply the YCbCr matrix to untransformed planes
     return native.jpeg_coef_write(
         w, h, comps, optimize_huffman=bool(opts.get("optimize", False)),
-        restart=restart)
+        restart=restart, color_space=co.color_space)
 
 
 class JpegCodec:

@@ -121,6 +121,7 @@ def get_lib():
                 C.POINTER(C.c_int), C.POINTER(C.c_int),
                 C.POINTER(C.c_int), C.POINTER(C.c_int),
                 C.POINTER(C.POINTER(C.c_uint16)), C.c_int, C.c_int,
+                C.c_int,
                 C.POINTER(C.POINTER(C.c_uint8)), C.POINTER(C.c_size_t),
                 C.POINTER(C.c_char_p)]
             lib.picha_jpeg_coef_write.restype = C.c_int
@@ -616,9 +617,11 @@ def jpeg_coefficients(buf: bytes, nthreads: int = 0) -> JpegCoefficients:
 
 def jpeg_coef_write(width: int, height: int, comps: list,
                     optimize_huffman: bool = False,
-                    restart: int = 0) -> bytes:
+                    restart: int = 0, color_space: int = 0) -> bytes:
     """comps: list of dicts with coefs (bh, bw, 64) int16, qtable (64,)
-    uint16, h_samp, v_samp."""
+    uint16, h_samp, v_samp. color_space 2 (JCS_RGB) tags 3-component
+    output as untransformed RGB ('R','G','B' ids + Adobe APP14); other
+    values = default grayscale / JFIF YCbCr."""
     lib = get_lib()
     n = len(comps)
     coef_arrays = [np.ascontiguousarray(c["coefs"], dtype=np.int16) for c in comps]
@@ -635,7 +638,8 @@ def jpeg_coef_write(width: int, height: int, comps: list,
     outlen = C.c_size_t()
     err = C.c_char_p()
     rc = lib.picha_jpeg_coef_write(width, height, n, comp_ptrs, h_samp, v_samp,
-                                   bw, bh, q_ptrs, int(optimize_huffman),
+                                   bw, bh, q_ptrs, int(color_space),
+                                   int(optimize_huffman),
                                    restart, C.byref(out), C.byref(outlen),
                                    C.byref(err))
     if rc != 0:

@@ -467,6 +467,7 @@ PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
                                     const int* v_samp, const int* blocks_w,
                                     const int* blocks_h,
                                     const uint16_t** qtables,
+                                    int jpeg_color_space,
                                     int optimize_huffman, int restart_mcus,
                                     uint8_t** out,
                                     size_t* outlen, char** err) {
@@ -496,6 +497,13 @@ PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
   cinfo.input_components = ncomp;
   cinfo.in_color_space = ncomp == 1 ? JCS_GRAYSCALE : JCS_YCbCr;
   jpeg_set_defaults(&cinfo);
+  if (jpeg_color_space == JCS_RGB && ncomp == 3) {
+    // coefficients of an RGB-tagged source (Adobe transform=0 or
+    // 'R','G','B' ids) are stored untransformed — the output must say
+    // so (component ids 'R','G','B' + Adobe APP14, no JFIF) or every
+    // decoder would apply the YCbCr matrix to raw RGB planes
+    jpeg_set_colorspace(&cinfo, JCS_RGB);
+  }
   cinfo.optimize_coding = optimize_huffman ? TRUE : FALSE;
   if (restart_mcus > 0) cinfo.restart_interval = (unsigned)restart_mcus;
 

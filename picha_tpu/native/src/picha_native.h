@@ -91,12 +91,16 @@ PICHA_API void picha_jpeg_coef_close(PichaJpegCoefs* h);
 
 // Assemble a JPEG from quantised coefficients (TPU encode path).
 // comps: ncomp arrays of (blocks_h*blocks_w*64) int16; samp factors and
-// qtables per component; grey: ncomp==1.
+// qtables per component; grey: ncomp==1. jpeg_color_space 2 (JCS_RGB)
+// writes an RGB-tagged file ('R','G','B' ids + Adobe APP14) for
+// untransformed 3-component planes; anything else = default
+// (grayscale / JFIF YCbCr).
 PICHA_API int picha_jpeg_coef_write(int width, int height, int ncomp,
                                     const int16_t** comps,
                                     const int* h_samp, const int* v_samp,
                                     const int* blocks_w, const int* blocks_h,
                                     const uint16_t** qtables,
+                                    int jpeg_color_space,
                                     int optimize_huffman, int restart_mcus,
                                     uint8_t** out, size_t* outlen, char** err);
 

@@ -229,7 +229,10 @@ class ScanBatch:
         # through HBM (the expansion measured ~half the kernel time)
         tabs = [prep_tables(i) for i in infos]
         uniq = {}
-        uid_img = np.zeros((n_img, 6), np.uint8)
+        # build at int32 width, guard, THEN narrow: assigning id 256
+        # into a uint8 array would raise numpy's OverflowError before
+        # the intended ValueError below
+        uid_img = np.zeros((n_img, 6), np.int32)
         rows = []
         for img, (limit, delta, hv) in enumerate(tabs):
             for t in range(6):
@@ -248,6 +251,7 @@ class ScanBatch:
                 f"batch has {len(rows)} unique Huffman table rows "
                 f"(uint8 id space is 256); split the batch or use the "
                 f"host path")
+        uid_img = uid_img.astype(np.uint8)
         self.n_uniq = -(-len(rows) // 8) * 8  # bucket: bounds recompiles
         self.limit = np.zeros((self.n_uniq, 16), np.int32)
         self.delta = np.zeros((self.n_uniq, 17), np.int32)

@@ -190,7 +190,10 @@ def parse_baseline(buf: bytes) -> Optional[ScanInfo]:
                 qtables[tq] = nat
                 pos += 1 + n
         elif marker == 0xE0:  # APP0
-            if seg[:5] == b"JFIF\x00":
+            # libjpeg requires >= 14 data bytes before honouring a JFIF
+            # APP0 (jdmarker.c examine_app0) — a truncated one must not
+            # force YCbCr here while libjpeg ignores it
+            if len(seg) >= 14 and seg[:5] == b"JFIF\x00":
                 saw_jfif = True
         elif marker == 0xEE:  # APP14
             if len(seg) >= 12 and seg[:5] == b"Adobe":

@@ -67,13 +67,28 @@ def _trim(width, comps, axis, op, perfect):
     return new
 
 
+def _normalized_comps(co):
+    """Shared load step: copy the component dicts with int16/uint16
+    arrays; single-component scans get their sampling factors
+    normalized to 1x1 (MCU = 1 block regardless of the declared
+    factors, so the iMCU granule is 8, not 8*samp — same rule as the
+    scan parser)."""
+    return [{
+        "h_samp": 1 if co.ncomp == 1 else c["h_samp"],
+        "v_samp": 1 if co.ncomp == 1 else c["v_samp"],
+        "coefs": np.asarray(c["coefs"], np.int16),
+        "qtable": np.asarray(c["qtable"], np.uint16),
+    } for c in co.comps]
+
+
 def crop_coefficients(co, x: int, y: int, w: int, h: int,
                       perfect: bool = False):
     """Lossless coefficient-domain crop (jpegtran -crop semantics):
-    the origin snaps DOWN to the nearest iMCU boundary (so the covered
-    region shifts up/left by the snap amount, size preserved);
-    `perfect=True` raises instead of snapping. The right/bottom edges
-    may fall mid-block — the partial blocks are kept and the declared
+    the origin snaps DOWN to the nearest iMCU boundary and the size
+    GROWS by the snap remainder, so the requested region stays covered
+    (jpegtran transupp.c jtransform_request_workspace); `perfect=True`
+    raises instead of snapping. The right/bottom edges may fall
+    mid-block — the partial blocks are kept and the declared
     dimensions do the clipping, exactly like any non-multiple-of-8
     JPEG. DC stays absolute here; the re-encoder re-differences.
 
@@ -84,12 +99,7 @@ def crop_coefficients(co, x: int, y: int, w: int, h: int,
             or y + h > co.height:
         raise InvalidOptionsError(
             f"crop {w}x{h}+{x}+{y} outside {co.width}x{co.height}")
-    comps = [{
-        "h_samp": 1 if co.ncomp == 1 else c["h_samp"],
-        "v_samp": 1 if co.ncomp == 1 else c["v_samp"],
-        "coefs": np.asarray(c["coefs"], np.int16),
-        "qtable": np.asarray(c["qtable"], np.uint16),
-    } for c in co.comps]
+    comps = _normalized_comps(co)
     hmax = max(c["h_samp"] for c in comps)
     vmax = max(c["v_samp"] for c in comps)
     x0, y0 = x - x % (8 * hmax), y - y % (8 * vmax)
@@ -97,6 +107,7 @@ def crop_coefficients(co, x: int, y: int, w: int, h: int,
         raise InvalidOptionsError(
             f"crop origin ({x},{y}) is not on the {8 * hmax}x{8 * vmax} "
             f"iMCU grid (snap would move it to ({x0},{y0}))")
+    w, h = w + (x - x0), h + (y - y0)  # keep the requested region covered
     for c in comps:
         hs, vs = c["h_samp"], c["v_samp"]
         bx, by = x0 * hs // (hmax * 8), y0 * vs // (vmax * 8)
@@ -119,17 +130,7 @@ def transform_coefficients(co, op: str, perfect: bool = False):
         raise CodecError(
             "lossless transform supports 1- or 3-component JPEGs")
     width, height = co.width, co.height
-    comps = []
-    for c in co.comps:
-        comps.append({
-            # single-component scans: sampling factors don't shape the
-            # stored grid (MCU = 1 block), so normalize like the scan
-            # parser does — the iMCU trim granule is 8, not 8*samp
-            "h_samp": 1 if co.ncomp == 1 else c["h_samp"],
-            "v_samp": 1 if co.ncomp == 1 else c["v_samp"],
-            "coefs": np.asarray(c["coefs"], np.int16),
-            "qtable": np.asarray(c["qtable"], np.uint16),
-        })
+    comps = _normalized_comps(co)
     for prim in OPS[op]:
         if prim == "t":
             width, height = height, width

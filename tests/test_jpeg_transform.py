@@ -158,11 +158,14 @@ def test_crop_semantics():
     assert got.shape == want.shape
     assert np.abs(got.astype(int) - want.astype(int)).mean() <= 0.5
 
-    # unaligned origin snaps down to the 16x16 iMCU grid, size kept
+    # unaligned origin snaps down to the 16x16 iMCU grid and the size
+    # GROWS by the snap remainder so the requested region stays covered
+    # (jpegtran transupp.c): (37,19,30x25) -> (32,16,35x28)
     out = picha.transformJpegSync(buf, {"op": "crop", "x": 37, "y": 19,
                                         "width": 30, "height": 25})
     got = np.asarray(picha.decodeJpegSync(out).to_array())
-    want = base[16:41, 32:62]
+    want = base[16:44, 32:67]
+    assert got.shape == want.shape == (28, 35, 3)
     assert np.abs(got.astype(int) - want.astype(int)).mean() <= 0.5
     with pytest.raises(InvalidOptionsError):
         picha.transformJpegSync(buf, {"op": "crop", "x": 37, "y": 19,
@@ -173,6 +176,33 @@ def test_crop_semantics():
                                       "width": 30, "height": 10})
     with pytest.raises(InvalidOptionsError):
         picha.transformJpegSync(buf, {"op": "crop", "x": 0, "y": 0})
+
+
+def test_rgb_tagged_source_stays_rgb():
+    """Transforming an RGB-colorspace JPEG (Adobe transform=0 /
+    'R','G','B' ids) must write the output RGB-tagged too — re-tagging
+    as JFIF/YCbCr would make every decoder apply the YCbCr matrix to
+    the untransformed planes."""
+    from picha_tpu.ops.jpeg_tpu import quality_tables
+
+    rng = np.random.default_rng(19)
+    qluma, _ = quality_tables(90)
+    comps = [{"coefs": rng.integers(-8, 9, (4, 6, 64)).astype(np.int16),
+              "qtable": qluma, "h_samp": 1, "v_samp": 1}
+             for _ in range(3)]
+    buf = native.jpeg_coef_write(48, 32, comps, color_space=2)
+    assert b"Adobe" in bytes(buf)[:200]
+    co = native.JpegCoefficients(bytes(buf))
+    assert co.color_space == 2  # libjpeg reads it back as JCS_RGB
+
+    out = picha.transformJpegSync(buf, {"op": "rot180", "perfect": True})
+    assert b"Adobe" in bytes(out)[:200]
+    base = np.asarray(picha.decodeJpegSync(buf).to_array())
+    got = np.asarray(picha.decodeJpegSync(out).to_array())
+    # no chroma resampling, but libjpeg's integer IDCT rounds ±1 under
+    # the mirror's sign flips; a YCbCr mis-tag would diff by >>1
+    d = np.abs(got.astype(int) - base[::-1, ::-1].astype(int))
+    assert d.mean() <= 0.05 and d.max() <= 1, (d.mean(), d.max())
 
 
 def test_progressive_input():
