@@ -244,6 +244,31 @@ def test_native_segment_parallel_decoder_exact():
                                       want.comps[ci]["coefs"]), (k, ci, nth)
 
 
+def test_native_segment_decoder_corrupt_scans_never_crash():
+    """jpegentropy.cc consumes untrusted bitstreams in native code:
+    scan-body mutations that survive parse_baseline must decode to
+    SOMETHING (garbage-in-garbage-out, like the TPU kernel) without
+    crashing, raising, or writing out of bounds — any thread count.
+    (An 8000-mutant soak ran clean; this pins a 400-mutant sample.)"""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    base = bytearray(native.jpeg_encode(img, 85, restart=4))
+    parsed = 0
+    for i in range(400):
+        buf = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            p = rng.integers(len(buf) // 3, len(buf))
+            buf[p] = rng.integers(0, 256)
+        info = jpeg_scan.parse_baseline(bytes(buf))
+        if info is None:
+            continue
+        parsed += 1
+        co = native.jpeg_entropy_decode(info, nthreads=3)
+        for c in co.comps:
+            assert c["coefs"].shape == (c["blocks_h"], c["blocks_w"], 64)
+    assert parsed > 200  # the mutation scheme must actually reach the decoder
+
+
 def test_jpeg_coefficients_dispatch():
     """native.jpeg_coefficients picks the segment decoder only when it
     can win (restarts present, >1 thread) and falls back to libjpeg for
