@@ -500,6 +500,23 @@ def bench_train_ingest(bufs, batch, rounds=10):
     return batch * rounds / dt
 
 
+def bench_train_crop_ingest(bufs, batch, rounds=8):
+    """The TRUE config-5 shape: JPEG bytes -> random 224-crop -> resize
+    224 -> normalized device-resident batches via TrainingInput, whose
+    DCT-domain ROI pre-crop packs/uploads only the iMCU region around
+    each window (~25x fewer wire bytes on 1080p sources than the
+    decode-everything path)."""
+    from picha_tpu.pipeline.training import TrainingInput
+
+    ti = TrainingInput(list(bufs), batch=batch, crop=224, size=224, seed=0)
+    b = next(ti)
+    np.asarray(b[0, :2, 0])  # warm + force
+    t0 = time.perf_counter()
+    outs = [next(ti) for _ in range(rounds)]
+    np.asarray(outs[-1][0, :2, 0])  # dependent readback
+    return batch * rounds / (time.perf_counter() - t0)
+
+
 def bench_host_stage(bufs, batch, out_w, out_h, iters=3):
     """All host-side CPU work per batch (entropy decode + gap4 sparse
     pack + raw420 re-encode) — the serial-core roofline term."""
@@ -994,6 +1011,15 @@ def device_stages_main():
         detail["train_ingest_mpix_s"] = round(train_ips * mpix, 1)
         log(f"training-input ingest (decode+resize 224+normalize, on-device): "
             f"{train_ips:.1f} img/s ({train_ips * mpix:.0f} Mpix/s)")
+    snapshot()
+
+    crop_ips = stage("train crop ingest", bench_train_crop_ingest, bufs,
+                     batch)
+    if crop_ips:
+        detail["train_crop_ingest_mpix_s"] = round(crop_ips * mpix, 1)
+        log(f"training-input RANDOM-CROP ingest (TrainingInput, DCT-ROI "
+            f"pre-crop): {crop_ips:.1f} img/s "
+            f"({crop_ips * mpix:.0f} source Mpix/s)")
     snapshot()
 
     parity = stage("tpu parity", bench_tpu_parity, bufs)

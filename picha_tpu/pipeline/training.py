@@ -7,11 +7,15 @@ state is (epoch, position, seed) — save `state()`, rebuild with
 
 Stage split:
   host pool:   entropy decode -> coefficient tensors (per signature)
-  TPU graph:   dequant+IDCT+upsample+YCbCr -> random-crop -> resize ->
-               normalize (one jit per signature bucket)
-Random crops are applied on-device with dynamic slices driven by a
-counter-derived key, so the pixel pipeline stays a pure function of
-(bytes, step).
+               -> DCT-domain ROI pre-crop (default: pack/upload only
+               the iMCU-aligned region around each host-drawn crop
+               window — ~25x fewer wire bytes on 1080p -> 224 crops)
+  TPU graph:   dequant+IDCT+upsample+YCbCr -> residual-offset crop ->
+               resize -> normalize (one jit per signature bucket)
+Both the host window draw and the on-device residual/flip derive from
+(seed, epoch, pos), so the stream stays a deterministic, resumable
+function of (bytes, step); pre_crop=False restores the
+upload-everything on-device-window path.
 """
 from __future__ import annotations
 
@@ -30,7 +34,7 @@ from .jpeg_batch import bucket_by_signature, pad_group, signature
 @functools.lru_cache(maxsize=128)
 def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
                                fscale: float, gap4_ks=None,
-                               augment_cfg=None):
+                               augment_cfg=None, host_offsets=False):
     import jax
     import jax.numpy as jnp
 
@@ -41,15 +45,20 @@ def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
         raise ValueError("crop larger than image")
     base = _decode_graph(sig)
 
-    def fn(coef_args, key):
+    def fn(coef_args, key, xs=None, ys=None):
         if gap4_ks is not None:
             coefs, qtabs = unpack_gap4_wire(coef_args[0], gap4_ks, sig[3])
             coef_args = coefs + qtabs
         rgb = base(*coef_args)  # (N,H,W,C) int32
         n = rgb.shape[0]
         kx, ky, kf = jax.random.split(key, 3)
-        xs = jax.random.randint(kx, (n,), 0, width - crop + 1)
-        ys = jax.random.randint(ky, (n,), 0, height - crop + 1)
+        if not host_offsets:
+            # offsets drawn on-device: pure function of (bytes, step)
+            xs = jax.random.randint(kx, (n,), 0, width - crop + 1)
+            ys = jax.random.randint(ky, (n,), 0, height - crop + 1)
+        # host_offsets: the host drew the window and pre-cropped the
+        # coefficient region; xs/ys are the residuals inside it. The
+        # flip keeps the device key either way (kf).
         flip = jax.random.bernoulli(kf, 0.5, (n,))
 
         def crop_one(img, x, y, fl):
@@ -67,6 +76,60 @@ def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
         return f
 
     return jax.jit(fn)
+
+
+def _pre_crop_host(cos, crop: int, rng):
+    """DCT-domain ROI pre-crop (host side): slice each image's
+    coefficient block grid down to an iMCU-aligned region covering a
+    host-drawn random crop window, so the sparse pack and the upload
+    carry ~(crop+iMCU)^2 pixels instead of the full frame — on 1080p
+    sources feeding 224-crops that is ~25x fewer wire bytes. The
+    residual offset inside the region is applied on-device
+    (dynamic_slice), keeping sub-iMCU randomness.
+
+    Regions whose aligned span passes the stored block grid get
+    zero-padded edge block columns/rows; the fine crop never samples
+    those pixels (residual + crop <= valid extent), though — as with
+    any cropped decode — chroma upsampling may see replicated context
+    within ~2 px of a region border. Returns (region_cos, offsets
+    (N, 2) int32 [y, x] residuals)."""
+    out, offs = [], []
+    for co in cos:
+        if co.width < crop or co.height < crop:
+            raise ValueError("crop larger than image")
+        one = co.ncomp == 1  # MCU = 1 block: samp factors don't apply
+        hmax = 1 if one else max(c["h_samp"] for c in co.comps)
+        vmax = 1 if one else max(c["v_samp"] for c in co.comps)
+        ax, ay = 8 * hmax, 8 * vmax
+        x = int(rng.integers(0, co.width - crop + 1))
+        y = int(rng.integers(0, co.height - crop + 1))
+        w_reg = min(crop + ax, co.width)
+        h_reg = min(crop + ay, co.height)
+        x0 = x // ax * ax if w_reg == crop + ax else 0
+        y0 = y // ay * ay if h_reg == crop + ay else 0
+        comps = []
+        for c in co.comps:
+            hs = 1 if one else c["h_samp"]
+            vs = 1 if one else c["v_samp"]
+            bx, by = x0 * hs // (hmax * 8), y0 * vs // (vmax * 8)
+            dw, dh = -(-w_reg * hs // hmax), -(-h_reg * vs // vmax)
+            nbw, nbh = -(-dw // 8), -(-dh // 8)
+            take = np.asarray(c["coefs"], np.int16)[by:by + nbh,
+                                                    bx:bx + nbw]
+            if take.shape[:2] != (nbh, nbw):
+                take = np.pad(take, ((0, nbh - take.shape[0]),
+                                     (0, nbw - take.shape[1]), (0, 0)))
+            comps.append({"h_samp": hs, "v_samp": vs,
+                          "blocks_w": nbw, "blocks_h": nbh,
+                          "width": dw, "height": dh,
+                          "qtable": c["qtable"], "coefs": take})
+        nco = object.__new__(native.JpegCoefficients)
+        nco.width, nco.height = w_reg, h_reg
+        nco.ncomp, nco.color_space = co.ncomp, co.color_space
+        nco.comps = comps
+        out.append(nco)
+        offs.append((y - y0, x - x0))
+    return out, np.asarray(offs, np.int32)
 
 
 @functools.lru_cache(maxsize=128)
@@ -97,7 +160,8 @@ class TrainingInput:
     def __init__(self, items: Sequence[bytes], batch: int, crop: int,
                  size: int, seed: int = 0, filter: str = "cubic",
                  filter_scale: float = 1.0, state: Optional[dict] = None,
-                 num_threads: int = 8, augment: Optional[dict] = None):
+                 num_threads: int = 8, augment: Optional[dict] = None,
+                 pre_crop: bool = True):
         from concurrent.futures import ThreadPoolExecutor
 
         self.items = list(items)
@@ -106,6 +170,11 @@ class TrainingInput:
         self.size = size
         self.filter = filter
         self.fscale = filter_scale
+        # DCT-domain ROI pre-crop (see _pre_crop_host): host draws the
+        # window (seeded by (seed, epoch, pos) — still deterministic
+        # and resumable), packs/uploads only the iMCU-aligned region.
+        # False restores the upload-everything on-device-window path.
+        self.pre_crop = pre_crop
         # device-side augmentations (pipeline/augment.py), applied
         # inside the jit graph after resize — e.g. {"brightness_s": .2,
         # "contrast_s": .2, "saturation_s": .2, "cutout_size": 32}.
@@ -145,6 +214,7 @@ class TrainingInput:
         step_key = jax.random.fold_in(
             jax.random.fold_in(jax.random.PRNGKey(self.seed), self.epoch),
             self.pos)
+        host_rng = np.random.default_rng((self.seed, self.epoch, self.pos))
         self.pos += self.batch
 
         bufs = [self.items[i] for i in idx]
@@ -152,9 +222,12 @@ class TrainingInput:
             cos = [native.JpegCoefficients(b) for b in bufs]
         else:
             cos = list(self._pool.map(native.JpegCoefficients, bufs))
+        offs = None
+        if self.pre_crop:
+            cos, offs = _pre_crop_host(cos, self.crop, host_rng)
         groups = bucket_by_signature(cos)
         if len(groups) == 1:
-            return self._run_group(groups[0][2], step_key)
+            return self._run_group(groups[0][2], step_key, offs)
         # heterogeneous batch: per-signature sub-batches padded to a
         # size multiple (bounded XLA shape zoo), reassembled in the
         # permutation's order — deterministic across resume because
@@ -165,13 +238,18 @@ class TrainingInput:
         parts, order = [], []
         for gi, (sig, idxs, group) in enumerate(groups):
             padded, n = pad_group(group)
-            out = self._run_group(padded, jax.random.fold_in(step_key, gi))
+            goffs = None
+            if offs is not None:
+                goffs = np.zeros((len(padded), 2), np.int32)
+                goffs[:n] = offs[np.asarray(idxs)]
+            out = self._run_group(padded, jax.random.fold_in(step_key, gi),
+                                  goffs)
             parts.append(out[:n])
             order.extend(idxs)
         inv = np.argsort(np.asarray(order))
         return jnp.concatenate(parts, axis=0)[inv]
 
-    def _run_group(self, cos, key):
+    def _run_group(self, cos, key, offs=None):
         # gap4 nibble wire: ~4x fewer upload bytes than dense int16
         # coefficients, bit-exact — transfers steal host CPU on narrow
         # links, so wire bytes are host cost (docs/PERFORMANCE.md)
@@ -181,5 +259,8 @@ class TrainingInput:
         fn = _jit_crop_resize_normalize(sig, self.crop, self.size,
                                         self.filter, self.fscale,
                                         gap4_ks=ks,
-                                        augment_cfg=self.augment)
-        return fn((wire,), key)
+                                        augment_cfg=self.augment,
+                                        host_offsets=offs is not None)
+        if offs is None:
+            return fn((wire,), key)
+        return fn((wire,), key, offs[:, 1], offs[:, 0])

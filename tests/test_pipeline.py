@@ -120,6 +120,93 @@ def test_training_input_deterministic_and_resumable(jpeg_bufs):
     assert not np.array_equal(np.asarray(next(d)), second_a)
 
 
+def test_pre_crop_exact_vs_full_decode():
+    """DCT-domain ROI pre-crop must reproduce the full-decode pipeline
+    EXACTLY on 4:4:4 sources (no chroma resampling: per-block IDCT is
+    local, so region decode == full decode on the region): re-derive
+    the host window draw, crop the full libjpeg decode, apply the same
+    device flip and resize, and compare bit-for-bit."""
+    import io
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image as PILImage
+
+    from picha_tpu.ops.resize import resize_f32
+
+    rng = np.random.default_rng(21)
+    bufs = []
+    for i in range(3):
+        arr = rng.integers(0, 256, (96, 112, 3), np.uint8)
+        b = io.BytesIO()
+        PILImage.fromarray(arr).save(b, "JPEG", quality=92, subsampling=0)
+        bufs.append(b.getvalue())
+    crop, size, seed = 48, 24, 5
+    ti = TrainingInput(bufs, batch=3, crop=crop, size=size, seed=seed)
+    got = np.asarray(next(ti))
+
+    # expected: same draws in the same order as _pre_crop_host /
+    # _jit_crop_resize_normalize
+    perm = np.random.default_rng((seed, 0)).permutation(3)
+    host = np.random.default_rng((seed, 0, 0))
+    key = jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(seed), 0), 0)
+    kf = jax.random.split(key, 3)[2]
+    flips = np.asarray(jax.random.bernoulli(kf, 0.5, (3,)))
+    want = []
+    for j, i in enumerate(perm):
+        # backend="tpu" IS the training graph's decode stage
+        # (jpeg_tpu.build_decode_stage) — bit-identical by construction
+        full = np.asarray(
+            picha.decodeJpegSync(bufs[i], {"backend": "tpu"}).to_array())
+        x = int(host.integers(0, full.shape[1] - crop + 1))
+        y = int(host.integers(0, full.shape[0] - crop + 1))
+        c = full[y:y + crop, x:x + crop]
+        if flips[j]:
+            c = c[:, ::-1]
+        f = jnp.asarray(c[None]).astype(jnp.float32) / 255.0
+        want.append(np.asarray(jnp.clip(
+            resize_f32(f, size, size, "cubic", 1.0), 0.0, 1.0))[0])
+    # atol = a couple float32 ulps: the batched graph's contraction
+    # order differs from this per-image oracle; any crop/flip/decode
+    # mistake would be off by >=1/255
+    np.testing.assert_allclose(got, np.stack(want), rtol=0, atol=1e-6)
+
+
+def test_pre_crop_matches_legacy_when_identity(jpeg_bufs):
+    """When the source equals the crop size, the pre-crop region is the
+    whole image and the residual offsets are zero — the pre_crop and
+    legacy paths must then produce identical batches (same decode, same
+    flip key discipline)."""
+    from picha_tpu.native import lib as native
+
+    rng = np.random.default_rng(22)
+    bufs = [native.jpeg_encode(rng.integers(0, 256, (48, 48, 3), np.uint8),
+                               90) for _ in range(4)]
+    a = TrainingInput(bufs, batch=4, crop=48, size=32, seed=1,
+                      pre_crop=True)
+    b = TrainingInput(bufs, batch=4, crop=48, size=32, seed=1,
+                      pre_crop=False)
+    np.testing.assert_array_equal(np.asarray(next(a)), np.asarray(next(b)))
+
+
+def test_pre_crop_region_shrinks_wire(jpeg_bufs):
+    """The pre-crop region really is iMCU-sized, not the full frame."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.pipeline.training import _pre_crop_host
+
+    rng = np.random.default_rng(23)
+    bufs = [native.jpeg_encode(
+        rng.integers(0, 256, (256, 320, 3), np.uint8), 88)]
+    cos = [native.JpegCoefficients(b) for b in bufs]
+    region, offs = _pre_crop_host(cos, 64, np.random.default_rng(0))
+    assert (region[0].width, region[0].height) == (80, 80)
+    assert offs.shape == (1, 2) and (offs >= 0).all() and (offs < 16).all()
+    full = sum(c["coefs"].size for c in cos[0].comps)
+    small = sum(c["coefs"].size for c in region[0].comps)
+    assert small * 8 < full  # >8x fewer coefficients packed/uploaded
+
+
 def test_training_input_shapes(jpeg_bufs):
     ti = TrainingInput(jpeg_bufs * 2, batch=4, crop=48, size=24, seed=0)
     batch = np.asarray(next(ti))
