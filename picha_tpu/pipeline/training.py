@@ -218,10 +218,14 @@ class TrainingInput:
         self.pos += self.batch
 
         bufs = [self.items[i] for i in idx]
-        if (os.cpu_count() or 1) <= 1:  # pool threads convoy on 1 core
-            cos = [native.JpegCoefficients(b) for b in bufs]
-        else:
-            cos = list(self._pool.map(native.JpegCoefficients, bufs))
+        # shared dispatch policy (jpeg_batch.entropy_decode): libjpeg
+        # across images for wide batches, restart-segment-parallel
+        # native decode when threads outnumber images; serial on the
+        # 1-core box where pool threads only convoy on the GIL
+        from .jpeg_batch import entropy_decode
+
+        cos = entropy_decode(
+            bufs, self._pool if (os.cpu_count() or 1) > 1 else None)
         offs = None
         if self.pre_crop:
             cos, offs = _pre_crop_host(cos, self.crop, host_rng)
