@@ -475,6 +475,18 @@ class JpegCoefficients:
 
     __slots__ = ("width", "height", "ncomp", "color_space", "comps")
 
+    @classmethod
+    def from_parts(cls, width, height, color_space, comps):
+        """Alternate constructor for coefficient sets produced outside
+        libjpeg (the native segment decoder, DCT-domain ROI regions):
+        keeps forged-instance construction in one place so __init__
+        invariants can't silently diverge from it."""
+        co = object.__new__(cls)
+        co.width, co.height = width, height
+        co.ncomp, co.color_space = len(comps), color_space
+        co.comps = comps
+        return co
+
     def __init__(self, buf: bytes):
         lib = get_lib()
         src = np.frombuffer(buf, dtype=np.uint8)
@@ -582,17 +594,14 @@ def jpeg_entropy_decode(info, nthreads: int = 0):
     if rc != 0:
         raise CodecError("native entropy decode failed")
 
-    co = object.__new__(JpegCoefficients)
-    co.width, co.height, co.ncomp = info.width, info.height, ncomp
-    co.color_space = info.color_space
-    co.comps = [{
+    return JpegCoefficients.from_parts(info.width, info.height,
+                                       info.color_space, [{
         "h_samp": h, "v_samp": v,
         "blocks_w": bw, "blocks_h": bh,
         "width": -(-info.width * h // hmax),
         "height": -(-info.height * v // vmax),
         "qtable": q, "coefs": outs[ci],
-    } for ci, ((bh, bw, _, _), (h, v, q)) in enumerate(zip(sig, info.comps))]
-    return co
+    } for ci, ((bh, bw, _, _), (h, v, q)) in enumerate(zip(sig, info.comps))])
 
 
 def jpeg_coefficients(buf: bytes, nthreads: int = 0) -> JpegCoefficients:

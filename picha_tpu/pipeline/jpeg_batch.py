@@ -32,17 +32,24 @@ from ..ops import jpeg_tpu
 from ..ops.resize import parse_resize_options, resize_f32
 
 
-def entropy_decode(bufs: Sequence[bytes], pool: Optional[ThreadPoolExecutor] = None
+def entropy_decode(bufs: Sequence[bytes], pool: Optional[ThreadPoolExecutor] = None,
+                   max_threads: Optional[int] = None
                    ) -> List[native.JpegCoefficients]:
     """Parallel host entropy decode (ctypes releases the GIL).
 
-    Parallelism policy: a batch at least as wide as the core count
-    fills the cores with cross-image libjpeg decodes (fastest per
-    core). A NARROW batch on a wide host additionally splits each
-    image's restart segments over the idle cores
+    Parallelism policy: a batch at least as wide as the thread budget
+    fills it with cross-image libjpeg decodes (fastest per core). A
+    NARROW batch on a wide budget additionally splits each image's
+    restart segments over the idle threads
     (native.jpeg_coefficients -> jpegentropy.cc) — per-image
-    parallelism libjpeg cannot offer."""
+    parallelism libjpeg cannot offer.
+
+    max_threads caps the TOTAL host threads this call may burst
+    (callers with a user-sized pool pass its size so a num_threads=1
+    request never fans out to every core); default = core count."""
     cores = os.cpu_count() or 1
+    if max_threads is not None:
+        cores = max(1, min(cores, max_threads))
     if cores > 1 and 0 < len(bufs) < cores:
         # distribute the cores exactly (ceil for the first cores%len
         # images, floor for the rest) so concurrent decodes never
@@ -490,7 +497,8 @@ class JpegBatchPipeline:
         # operator — strict parity (~0.6 LSB of the staged cubic path)
         # at ~0.7x its cost; falls back per image on non-420 layouts
         self._host_raw = host_raw
-        self._pool = ThreadPoolExecutor(max_workers=num_threads or 8,
+        self._num_threads = num_threads or 8
+        self._pool = ThreadPoolExecutor(max_workers=self._num_threads,
                                         thread_name_prefix="picha-entropy")
 
     def close(self):
@@ -536,8 +544,9 @@ class JpegBatchPipeline:
                         i.src = b
                     return infos
         if (os.cpu_count() or 1) <= 1:
-            return entropy_decode(bufs, None)
-        return entropy_decode(bufs, self._pool)
+            return entropy_decode(bufs, None, max_threads=self._num_threads)
+        return entropy_decode(bufs, self._pool,
+                              max_threads=self._num_threads)
 
     def stack_bucket(self, cos):
         """Stack same-signature coefficient sets into batch tensors.

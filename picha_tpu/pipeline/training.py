@@ -123,11 +123,8 @@ def _pre_crop_host(cos, crop: int, rng):
                           "blocks_w": nbw, "blocks_h": nbh,
                           "width": dw, "height": dh,
                           "qtable": c["qtable"], "coefs": take})
-        nco = object.__new__(native.JpegCoefficients)
-        nco.width, nco.height = w_reg, h_reg
-        nco.ncomp, nco.color_space = co.ncomp, co.color_space
-        nco.comps = comps
-        out.append(nco)
+        out.append(native.JpegCoefficients.from_parts(
+            w_reg, h_reg, co.color_space, comps))
         offs.append((y - y0, x - x0))
     return out, np.asarray(offs, np.int32)
 
@@ -164,6 +161,7 @@ class TrainingInput:
                  pre_crop: bool = True):
         from concurrent.futures import ThreadPoolExecutor
 
+        self.num_threads = num_threads
         self.items = list(items)
         self.batch = batch
         self.crop = crop
@@ -225,7 +223,8 @@ class TrainingInput:
         from .jpeg_batch import entropy_decode
 
         cos = entropy_decode(
-            bufs, self._pool if (os.cpu_count() or 1) > 1 else None)
+            bufs, self._pool if (os.cpu_count() or 1) > 1 else None,
+            max_threads=self.num_threads)
         offs = None
         if self.pre_crop:
             cos, offs = _pre_crop_host(cos, self.crop, host_rng)

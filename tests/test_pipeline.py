@@ -190,6 +190,45 @@ def test_pre_crop_matches_legacy_when_identity(jpeg_bufs):
     np.testing.assert_array_equal(np.asarray(next(a)), np.asarray(next(b)))
 
 
+def test_pre_crop_420_region_pixels():
+    """4:2:0 pre-crop regions must decode to the same pixels as the
+    full decode on the region INTERIOR (>= 2 px inside the region
+    borders — outside that ring chroma upsampling sees replicated
+    context, the documented cropped-decode caveat). A chroma
+    block-indexing slip (off by one 16-px iMCU) would shift content
+    and blow the exact-interior assertion."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.ops import jpeg_tpu
+    from picha_tpu.pipeline.training import _pre_crop_host
+
+    rng = np.random.default_rng(33)
+    yy, xx = np.mgrid[0:160, 0:192].astype(np.float64)
+    arr = np.clip(np.stack([128 + 70 * np.sin(xx / 13) * np.cos(yy / 9),
+                            128 + 60 * np.cos((xx - yy) / 17),
+                            128 + 50 * np.sin(yy / 11)], axis=-1)
+                  + rng.normal(0, 4, (160, 192, 3)), 0, 255).astype(np.uint8)
+    buf = native.jpeg_encode(arr, 90)  # 4:2:0
+    co = native.JpegCoefficients(bytes(buf))
+    full = np.asarray(jpeg_tpu.decode_coefficients(co))
+
+    crop = 64
+    regions, offs = _pre_crop_host([co], crop, np.random.default_rng(7))
+    rco = regions[0]
+    got = np.asarray(jpeg_tpu.decode_coefficients(rco))
+    # re-derive the host window draw (x then y, same rng construction)
+    r2 = np.random.default_rng(7)
+    x = int(r2.integers(0, co.width - crop + 1))
+    y = int(r2.integers(0, co.height - crop + 1))
+    yres, xres = (int(v) for v in offs[0])
+    x0, y0 = x - xres, y - yres
+    want = full[y0:y0 + rco.height, x0:x0 + rco.width]
+    h, w = want.shape[:2]  # region may extend past the source (padded)
+    np.testing.assert_array_equal(got[2:h - 2, 2:w - 2],
+                                  want[2:h - 2, 2:w - 2])
+    # and the fine crop window itself stays inside the valid extent
+    assert xres + crop <= w and yres + crop <= h
+
+
 def test_pre_crop_region_shrinks_wire(jpeg_bufs):
     """The pre-crop region really is iMCU-sized, not the full frame."""
     from picha_tpu.native import lib as native
