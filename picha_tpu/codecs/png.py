@@ -100,9 +100,13 @@ def _parse_header(buf: bytes) -> _Header:
             raise CodecError("bad PNG bit depth")
         if h.width == 0 or h.height == 0:
             raise CodecError("bad PNG dimensions")
-        # libpng's default PNG_USER_{WIDTH,HEIGHT}_MAX: crafted headers
-        # must fail typed here, before any size-derived allocation
-        if h.width > 1_000_000 or h.height > 1_000_000:
+        # libpng's default PNG_USER_{WIDTH,HEIGHT}_MAX, plus a product
+        # cap (like the TIFF decoder's): crafted headers must fail
+        # typed here, before any size-derived allocation — a 10^6 x
+        # 10^6 interlaced claim would otherwise reserve terabytes on
+        # overcommit hosts before the IDAT check ran
+        if h.width > 1_000_000 or h.height > 1_000_000 \
+                or h.width * h.height > 2**31:
             raise CodecError("PNG dimensions exceed limit")
         return h
     raise CodecError("empty PNG")

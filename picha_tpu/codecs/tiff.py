@@ -191,6 +191,16 @@ def _expand_to_samples(rows: np.ndarray, width: int, spp: int,
     return ex.reshape(h, -1)[:, : width * spp].reshape(h, width, spp)
 
 
+def _rps(ifd: "_Ifd", height: int) -> int:
+    """RowsPerStrip with crafted-value hardening: a zero/negative or
+    signed-overflow value would make the strip loops run zero times and
+    silently return a blank canvas (libtiff rejects such files)."""
+    rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
+    if rps < 1:
+        raise CodecError("bad TIFF RowsPerStrip")
+    return rps
+
+
 def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
               planar, predictor, fillorder=1):
     """Decode strips or tiles into a (height, width, spp) sample array."""
@@ -211,7 +221,7 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
         counts = ifd.get(T_STRIP_COUNTS)
         if offsets is None or counts is None:
             raise CodecError("fax TIFF missing strip tables")
-        rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
+        rps = _rps(ifd, height)
         opts = int(ifd.one(T_T4OPTIONS if comp == C_G3 else T_T6OPTIONS, 0))
         out = np.zeros((height, width, 1), np.uint8)
         nstrips = math.ceil(height / rps)
@@ -273,7 +283,7 @@ def _segments(ifd: _Ifd, endian, buf, width, height, spp, bits, comp,
     offsets = ifd.get(T_STRIP_OFFSETS)
     if offsets is None:
         raise CodecError("TIFF missing strip offsets")
-    rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
+    rps = _rps(ifd, height)
     counts = ifd.get(T_STRIP_COUNTS)
     strips_per_plane = math.ceil(height / rps)
     planes = spp if planar == 2 else 1
@@ -341,7 +351,7 @@ def _decode_ycbcr_subsampled(ifd: _Ifd, buf: bytes, width: int, height: int,
     counts = ifd.get(T_STRIP_COUNTS)
     if offsets is None or counts is None:
         raise CodecError("subsampled YCbCr TIFF missing strip tables")
-    rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
+    rps = _rps(ifd, height)
     rps = -(-rps // vs) * vs  # strips cover whole subsampling rows
     nstrips = math.ceil(height / rps)
     if len(offsets) < nstrips or len(counts) < nstrips:
@@ -391,7 +401,7 @@ def _decode_jpeg_in_tiff(ifd: _Ifd, buf: bytes, width: int, height: int,
         counts = ifd.get(T_STRIP_COUNTS)
         if offsets is None or counts is None:
             raise CodecError("JPEG-compressed TIFF missing strip tables")
-        rps = int(ifd.one(T_ROWS_PER_STRIP, height)) or height
+        rps = _rps(ifd, height)
         parts = []
         for i, (o, c) in enumerate(zip(offsets, counts)):
             strip = buf[o : o + c]
@@ -452,16 +462,29 @@ def decode(buf: bytes, opts: dict) -> Image:
     if width > 1_000_000 or height > 1_000_000 or width * height > 2**31:
         raise CodecError("TIFF dimensions exceed limit")
     spp = itag(T_SPP, 1)
+    # bound samples too: a LONG SamplesPerPixel of 60000 over a tiny
+    # file would otherwise pass the pixel cap yet drive a multi-GB
+    # canvas allocation (width*height*spp*2 bytes)
+    if spp <= 0 or width * height * spp > 2**31:
+        raise CodecError("TIFF dimensions exceed limit")
     bits_list = ifd.get(T_BITS, [1])
     try:
         bits = int(bits_list[0])
     except (TypeError, ValueError) as e:
         raise CodecError("malformed TIFF BitsPerSample") from e
+    if bits not in (1, 2, 4, 8, 16):
+        # _expand_to_samples computes 8//bits (0 would divide-by-zero);
+        # >16 has no sample dtype here (no float TIFF support)
+        raise CodecError(f"unsupported TIFF BitsPerSample {bits}")
     comp = itag(T_COMPRESSION, C_NONE)
     fillorder = itag(T_FILLORDER, 1)
     photometric = itag(T_PHOTOMETRIC, 1)
     planar = itag(T_PLANAR, 1)
     predictor = itag(T_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        # 3 = floating-point differencing (GDAL float TIFFs): silently
+        # skipping the undo would return noise pixels; fail typed
+        raise CodecError(f"unsupported TIFF predictor {predictor}")
     orientation = itag(T_ORIENTATION, 1)
     maxv = (1 << bits) - 1
 
@@ -576,7 +599,13 @@ def encode(img: Image, opts: dict) -> bytes:
     for s in strips:
         offsets.append(pos)
         pos += len(s)
-    ifd_off = pos
+    # TIFF 6.0 requires the IFD (and value offsets) to begin on a word
+    # boundary; LZW/deflate strips routinely have odd lengths. One pad
+    # byte keeps strict readers (validators, some Windows components)
+    # happy; our external value blocks are all even-sized so aligning
+    # the IFD aligns them too.
+    pad = pos & 1
+    ifd_off = pos + pad
 
     entries = []
     external = b""
@@ -617,6 +646,7 @@ def encode(img: Image, opts: dict) -> bytes:
     out += struct.pack("<2sHI", b"II", 42, ifd_off)
     for s in strips:
         out += s
+    out += b"\0" * pad
     out += body
     out += external
     return bytes(out)

@@ -37,7 +37,7 @@ def _malformed_excs():
     import zlib
 
     return (ValueError, TypeError, IndexError, KeyError, struct.error,
-            zlib.error, OverflowError, MemoryError)
+            zlib.error, OverflowError, MemoryError, ZeroDivisionError)
 
 
 MALFORMED_EXCS = _malformed_excs()

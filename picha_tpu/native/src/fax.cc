@@ -210,6 +210,9 @@ static void paint(uint8_t* row, int width, const std::vector<int>& trans) {
   int col = 0, colour = 0;
   for (size_t i = 0; i < trans.size() && col < width; ++i) {
     int t = trans[i] < width ? trans[i] : width;
+    // crafted 2-D streams can code non-monotonic elements; a t < col
+    // here would cast a negative span to a near-SIZE_MAX memset
+    if (t < col) t = col;
     if (colour) memset(row + col, 1, (size_t)(t - col));
     else memset(row + col, 0, (size_t)(t - col));
     col = t;
@@ -264,8 +267,11 @@ static int decode_row_2d(Bits& br, int width, const std::vector<int>& ref,
         int r2 = decode_run(br, colour ^ 1);
         if (r1 < 0 || r2 < 0) return -1;
         int a1 = start + r1;
-        int a2 = a1 + r2;
         if (a1 > width) a1 = width;
+        // T.4 requires ascending changing elements; crafted streams
+        // can violate it (confirmed heap-corrupting memset in paint)
+        if (!trans.empty() && a1 < trans.back()) a1 = trans.back();
+        int a2 = a1 + r2;
         if (a2 > width) a2 = width;
         trans.push_back(a1);
         trans.push_back(a2);
@@ -282,6 +288,8 @@ static int decode_row_2d(Bits& br, int width, const std::vector<int>& ref,
         int a1 = b1 + d;
         if (a1 < 0) a1 = 0;
         if (a1 > width) a1 = width;
+        // keep the element list ascending under crafted VL moves
+        if (!trans.empty() && a1 < trans.back()) a1 = trans.back();
         trans.push_back(a1);
         a0 = a1;
         colour ^= 1;

@@ -87,7 +87,7 @@ PICHA_API int picha_lzw_decode(const uint8_t* src, size_t srclen, uint8_t* out,
     }
     if (old_code < 0) {
       if (code >= kFirst) return -1;
-      if (written >= outcap) return -2;
+      if (written >= outcap) break;  // full: ignore the rest (libtiff)
       out[written] = (uint8_t)code;
       w_old = written;
       len_old = 1;
@@ -107,13 +107,22 @@ PICHA_API int picha_lzw_decode(const uint8_t* src, size_t srclen, uint8_t* out,
       if (code < 256) {
         n = 1;
         sp = 0;
-        if (written >= outcap) return -2;
+        if (written >= outcap) break;  // full: truncate like libtiff
         out[written] = (uint8_t)code;
       } else {
         n = tlen[code];
         sp = tpos[code];
         if (n == 0) return -1;  // stale entry after a clear
-        if (written + n > outcap) return -2;
+        if (written + n > outcap) {
+          // libtiff LZWDecode fills exactly the requested bytes and
+          // ignores the remainder (strips padded to full RowsPerStrip
+          // are common) — hard-failing here rejected files libtiff
+          // reads fine
+          n = outcap - written;
+          for (size_t i = 0; i < n; ++i) out[written + i] = out[sp + i];
+          written += n;
+          break;
+        }
         if (sp + n <= written) {
           memcpy(out + written, out + sp, n);
         } else {  // KwKwK: the entry's last byte IS its first output byte
@@ -207,7 +216,16 @@ PICHA_API int picha_lzw_encode(const uint8_t* src, size_t srclen, uint8_t** out,
       cur = c;
     }
   }
-  if (cur >= 0) bw.write(cur, width);
+  if (cur >= 0) {
+    bw.write(cur, width);
+    // libtiff LZWPostEncode: the decoder ADDS a table entry for this
+    // final code (and may widen at (1<<w)-1) before it reads EOI, so
+    // the encoder must mirror the bump or streams whose insertion
+    // count lands exactly on a width boundary (253/765/1789 since the
+    // last clear) emit EOI one bit too narrow and fail to decode
+    ++next;
+    if (next == (1 << width) && width < 12) ++width;
+  }
   bw.write(kEoi, width);
   bw.flush();
 
@@ -224,17 +242,26 @@ PICHA_API int picha_packbits_decode(const uint8_t* src, size_t srclen,
   size_t i = 0, w = 0;
   while (i < srclen) {
     int8_t n = (int8_t)src[i++];
+    // output overruns clamp and stop (libtiff PackBitsDecode discards
+    // the excess with a warning — overlong padded strips are common);
+    // input truncation stays a hard error
     if (n >= 0) {
       size_t cnt = (size_t)n + 1;
-      if (i + cnt > srclen || w + cnt > outcap) return -1;
-      memcpy(out + w, src + i, cnt);
+      if (i + cnt > srclen) return -1;
+      size_t wr = cnt;
+      if (w + wr > outcap) wr = outcap - w;
+      memcpy(out + w, src + i, wr);
       i += cnt;
-      w += cnt;
+      w += wr;
+      if (wr < cnt) break;
     } else if (n != -128) {
       size_t cnt = (size_t)(1 - n);
-      if (i >= srclen || w + cnt > outcap) return -1;
-      memset(out + w, src[i++], cnt);
-      w += cnt;
+      if (i >= srclen) return -1;
+      size_t wr = cnt;
+      if (w + wr > outcap) wr = outcap - w;
+      memset(out + w, src[i++], wr);
+      w += wr;
+      if (wr < cnt) break;
     }
   }
   *outlen = w;

@@ -485,3 +485,83 @@ def test_corrupt_deflate_strip_is_typed():
             big[e + 8:e + 12] = struct.pack("<I", 60000)
     with pytest.raises(picha.CodecError):  # the decode_sync boundary
         picha.decodeTiffSync(bytes(big))   # converts parser leaks too
+
+
+def test_crafted_fax_2d_nonmonotonic_no_crash():
+    """A 6-byte G3 2-D stream whose H then VL3 moves code DECREASING
+    changing elements drove paint() into a negative-span memset cast to
+    size_t (confirmed SIGSEGV pre-fix). Must decode to something, never
+    crash."""
+    from picha_tpu.native import lib as native
+
+    out = native.fax_decode(bytes.fromhex("75eb00047182"), 16, 2, 3, 1)
+    assert out.shape == (2, 16)
+
+
+def test_lzw_width_boundary_roundtrip():
+    """Streams whose in-loop dictionary insertion count lands exactly
+    on a width boundary (253/765/1789 since the last clear) need
+    libtiff's post-final-code width bump before EOI — without it the
+    decoder misreads EOI one bit narrow (confirmed failure pre-fix).
+    Random data inserts ~1 entry/byte, so sweeping lengths across the
+    boundaries crosses them all."""
+    from picha_tpu.native import lib as native
+
+    rng = np.random.default_rng(0)
+    for lo, hi in ((248, 262), (758, 772), (1782, 1798)):
+        for n in range(lo, hi):
+            data = rng.integers(0, 256, n, np.uint8).tobytes()
+            assert native.lzw_decode(native.lzw_encode(data),
+                                     len(data)) == data, n
+
+
+def test_overlong_strips_truncate_like_libtiff():
+    """Output overruns clamp-and-succeed (libtiff fills exactly occ and
+    discards the excess — padded final strips are common), instead of
+    the hard error that rejected files libtiff reads fine."""
+    from picha_tpu.native import lib as native
+
+    data = bytes(range(256)) * 4
+    enc = native.lzw_encode(data)
+    assert native.lzw_decode(enc, 100) == data[:100]
+    # PackBits: a literal run crossing the cap
+    pb = b"\x7f" + bytes(128) + b"\x7f" + bytes(128)
+    assert native.packbits_decode(pb, 130) == bytes(130)
+
+
+def test_crafted_tag_values_fail_typed():
+    """BitsPerSample 0/32, predictor 3, RowsPerStrip 0 and a
+    SamplesPerPixel allocation bomb must all raise CodecError before
+    any giant allocation (or wrong-pixel output) happens."""
+    import struct as _s
+
+    base = np.arange(16, dtype=np.uint8).reshape(4, 4)
+
+    def craft(extra):
+        data_off = 8 + 2 + (6 + len(extra)) * 12 + 4
+        tags = [(256, 4, 1, 4), (257, 4, 1, 4), (259, 3, 1, 1),
+                (262, 3, 1, 1), (273, 4, 1, data_off),
+                (279, 4, 1, base.size)] + extra
+        return _craft_tiff(tags, base.tobytes())
+
+    for extra in ([(258, 3, 1, 0)],            # bits = 0 (ZeroDivision)
+                  [(258, 3, 1, 32)],           # bits = 32 (no dtype)
+                  [(258, 3, 1, 8), (317, 3, 1, 3)],   # float predictor
+                  # rps = -5 via SLONG (0 is benign: "whole image")
+                  [(258, 3, 1, 8), (278, 9, 1, 0xFFFFFFFB)],
+                  [(258, 3, 1, 8), (277, 3, 1, 60000)]):  # spp bomb
+        with pytest.raises(picha.CodecError):
+            picha.decodeTiffSync(craft(extra))
+
+
+def test_encoded_ifd_is_word_aligned():
+    """TIFF 6.0 requires the IFD on a word boundary; LZW strips have
+    odd lengths half the time, so the writer must pad."""
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        arr = rng.integers(0, 256, (13 + trial, 17, 3), np.uint8)
+        buf = picha.encodeTiffSync(picha.Image.from_array(arr, "rgb"),
+                                   {"compression": "lzw"})
+        (ifd_off,) = np.frombuffer(bytes(buf[4:8]), np.uint32)
+        assert ifd_off % 2 == 0
+        assert picha.decodeTiffSync(buf).width == 17
