@@ -107,6 +107,11 @@ class Image:
 
     def row(self, y: int) -> np.ndarray:
         """Payload bytes of row y (no padding), zero-copy."""
+        if not 0 <= y < self.height:
+            # a negative y would compute a negative offset and silently
+            # alias the buffer tail (the same wraparound sub_view
+            # rejects); y >= height would return an empty slice
+            raise InvalidImageError(f"row {y} out of range")
         off = y * self.stride
         return self.data[off : off + self.width * self.pixel_size()]
 
@@ -125,10 +130,13 @@ class Image:
     # -- numpy interop -----------------------------------------------------
 
     def to_array(self) -> np.ndarray:
-        """(H, W, C) channel-typed array. Contiguous copy."""
+        """(H, W, C) channel-typed array. Always a COPY: when there is
+        no row padding, rows() is already contiguous and
+        ascontiguousarray would alias the image buffer — mutating the
+        result would silently corrupt the Image (and the aliasing would
+        be shape-dependent: padded-stride images got real copies)."""
         fmt = self.format
-        rowbytes = self.width * fmt.bytes_per_pixel
-        out = np.ascontiguousarray(self.rows()).view(fmt.dtype)
+        out = np.array(self.rows(), copy=True).view(fmt.dtype)
         return out.reshape(self.height, self.width, fmt.channels)
 
     @classmethod
@@ -147,7 +155,9 @@ class Image:
                 f"array {arr.dtype}x{c} does not match pixel format {pixel}"
             )
         img = cls(width=w, height=h, pixel=pixel)
-        img.rows()[:] = np.ascontiguousarray(arr).view(np.uint8).reshape(h, -1)
+        if arr.size:  # reshape(h, -1) is ambiguous for 0-height arrays
+            img.rows()[:] = np.ascontiguousarray(arr).view(np.uint8) \
+                .reshape(h, -1)
         return img
 
     # -- views and copies --------------------------------------------------

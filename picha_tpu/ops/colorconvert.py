@@ -25,6 +25,7 @@ unpack/map/pack chain into a single elementwise kernel on TPU.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -36,10 +37,25 @@ DEFAULT_WEIGHTS = (0.299, 0.587, 0.114)  # reference colorconvert.h:12
 
 
 def normalize_weights(red=None, green=None, blue=None):
-    """Apply defaults then renormalise to sum 1 (cc:6-22)."""
-    r = DEFAULT_WEIGHTS[0] if red is None else float(red)
-    g = DEFAULT_WEIGHTS[1] if green is None else float(green)
-    b = DEFAULT_WEIGHTS[2] if blue is None else float(blue)
+    """Apply defaults then renormalise to sum 1 (cc:6-22). Mirrors the
+    reference's NaN handling exactly: getSettings keeps the default for
+    a NaN weight (`if (d == d) s.rFactor = d`, cc:8-14) — propagating
+    it would turn the luma (and the whole image) into NaN garbage.
+    Non-numeric values raise the library's typed error like every
+    other option path."""
+
+    def coerce(v, default):
+        if v is None:
+            return default
+        try:
+            v = float(v)
+        except (TypeError, ValueError) as e:
+            raise InvalidOptionsError("invalid colour weight") from e
+        return default if math.isnan(v) else v
+
+    r = coerce(red, DEFAULT_WEIGHTS[0])
+    g = coerce(green, DEFAULT_WEIGHTS[1])
+    b = coerce(blue, DEFAULT_WEIGHTS[2])
     if r + g + b == 0:
         raise InvalidOptionsError("colour weights must not sum to zero")
     n = 1.0 / (r + g + b)
@@ -61,16 +77,21 @@ def map_channels(x, src_channels: int, dst_channels: int, weights, xp):
         r, g, b = weights
         return t[..., 0] * r + t[..., 1] * g + t[..., 2] * b
 
-    ones = xp.ones_like(x[..., :1])
+    def ones():
+        # built lazily: on the numpy host path an unconditional
+        # (H, W, 1) float allocation is pure wasted bandwidth for the
+        # branches that never synthesize alpha (XLA would DCE it,
+        # numpy cannot)
+        return xp.ones_like(x[..., :1])
 
     if sc == 1:
         grey = x[..., 0:1]
         if dc == 2:
-            return xp.concatenate([grey, ones], axis=-1)
+            return xp.concatenate([grey, ones()], axis=-1)
         if dc == 3:
             return xp.concatenate([grey, grey, grey], axis=-1)
         if dc == 4:
-            return xp.concatenate([grey, grey, grey, ones], axis=-1)
+            return xp.concatenate([grey, grey, grey, ones()], axis=-1)
     elif sc == 2:
         grey, alpha = x[..., 0:1], x[..., 1:2]
         if dc == 1:
@@ -84,9 +105,9 @@ def map_channels(x, src_channels: int, dst_channels: int, weights, xp):
         if dc == 1:
             return luma(x)[..., None]
         if dc == 2:
-            return xp.concatenate([luma(x)[..., None], ones], axis=-1)
+            return xp.concatenate([luma(x)[..., None], ones()], axis=-1)
         if dc == 4:
-            return xp.concatenate([x, ones], axis=-1)
+            return xp.concatenate([x, ones()], axis=-1)
     elif sc == 4:
         if dc == 1:
             return luma(x[..., :3])[..., None]

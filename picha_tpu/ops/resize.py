@@ -111,7 +111,12 @@ def parse_resize_options(opts: dict):
         name = DEFAULT_FILTER
     fs = opts.get("filterScale", opts.get("filter_scale"))
     if fs is not None:
-        fs = float(fs)
+        try:
+            fs = float(fs)
+        except (TypeError, ValueError) as e:
+            # the reference coerces via NumberValue -> NaN -> the same
+            # 'invalid filter width' throw (resize.cc:187-191)
+            raise InvalidOptionsError("invalid filter width") from e
         if not (fs > 0) or math.isnan(fs):
             raise InvalidOptionsError("invalid filter width")
         scale = fs
@@ -215,47 +220,46 @@ BANDED_THRESHOLD = 512  # use the banded plan when src_size exceeds this
 BAND_TILE = 64
 
 
-def banded_plan_from_matrix(W: np.ndarray, tile: int):
-    """Tile any banded (dst, src) matrix into
-    (starts (T,) int32, weights (T, tile, in_len) f32, dst_pad).
-
-    Windows are clamped inside [0, src) for the XLA gather path.
-    (An `align` mode for lane-aligned window starts existed for the
-    Pallas kernels deleted in round 3 — removed with them.)"""
-    dst_size, src_size = W.shape
-    T = -(-dst_size // tile)
-    dst_pad = T * tile
-    if dst_pad != dst_size:
-        W = np.pad(W, ((0, dst_pad - dst_size), (0, 0)))
-    los, his = [], []
-    for t in range(T):
-        block = W[t * tile:(t + 1) * tile]
-        nz = np.nonzero(block.any(axis=0))[0]
-        if nz.size == 0:  # all-zero padding tile
-            los.append(0)
-            his.append(1)
-        else:
-            los.append(int(nz[0]))
-            his.append(int(nz[-1]) + 1)
-    in_len = min(src_size, max(h - l for l, h in zip(los, his)))
-    # clamp windows inside [0, src): starts[t] <= src - in_len and
-    # in_len <= src, so every slice below stays in range; coverage
-    # holds because window width <= in_len
-    starts = np.array([min(l, max(0, src_size - in_len)) for l in los],
-                      dtype=np.int32)
-    weights = np.stack([
-        W[t * tile:(t + 1) * tile, starts[t]:starts[t] + in_len]
-        for t in range(T)])
-    return starts, weights.astype(np.float32), dst_pad
-
-
 @functools.lru_cache(maxsize=256)
 def banded_resize_plan(dst_size: int, src_size: int, filter_name: str,
                        filter_scale: float, tile: int = BAND_TILE):
-    """Banded plan for the reference resize weights (see
-    banded_plan_from_matrix)."""
-    W = resize_weights(dst_size, src_size, filter_name, filter_scale)
-    return banded_plan_from_matrix(W, tile)
+    """Banded plan: (starts (T,) int32, weights (T, tile, in_len) f32,
+    dst_pad), built DIRECTLY from the contribution windows — never the
+    dense (dst, src) matrix, whose lru-cached src*dst floats would pin
+    gigabytes on gigapixel axes (the gigapixel-sharded resize routes
+    its horizontal pass through here). Windows are clamped inside
+    [0, src) for the XLA gather path.
+
+    _iter_contribs trims zero boundary taps, so each row's [left,
+    left+size) endpoints are nonzero and the per-tile extents equal the
+    dense matrix's nonzero-column extents exactly — bit-identical plan
+    to the old slice-the-dense-matrix construction (tests pin this
+    against the dense einsum)."""
+    T = -(-dst_size // tile)
+    dst_pad = T * tile
+    rows = list(_iter_contribs(dst_size, src_size, filter_name,
+                               filter_scale))
+    los, his = [], []
+    for t in range(T):
+        seg = rows[t * tile:(t + 1) * tile]
+        if not seg:  # all-zero padding tile
+            los.append(0)
+            his.append(1)
+        else:
+            los.append(min(left for _, left, _ in seg))
+            his.append(max(left + w.size for _, left, w in seg))
+    in_len = min(src_size, max(h - l for l, h in zip(los, his)))
+    # clamp windows inside [0, src): starts[t] <= src - in_len and
+    # in_len <= src, so every placement below stays in range; coverage
+    # holds because window width <= in_len
+    starts = np.array([min(l, max(0, src_size - in_len)) for l in los],
+                      dtype=np.int32)
+    weights = np.zeros((T, tile, in_len), np.float32)
+    for i, left, w in rows:
+        t, r = divmod(i, tile)
+        off = left - int(starts[t])
+        weights[t, r, off:off + w.size] = w
+    return starts, weights, dst_pad
 
 
 def _apply_axis(x, dst_size: int, src_size: int, filter_name: str,

@@ -137,3 +137,18 @@ def test_roundtrip_pairs_preserving():
         up = convert_array(arr, via)
         back = convert_array(up, src)
         np.testing.assert_array_equal(back, arr, err_msg=f"{src}->{via}->{src}")
+
+
+def test_nan_weight_keeps_default_like_reference():
+    """getSettings ignores NaN weights (`if (d == d)`,
+    colorconvert.cc:8-14); propagating NaN turned the luma into zeros."""
+    import numpy as np
+
+    from picha_tpu.ops.colorconvert import convert_array
+
+    grey = convert_array(np.full((2, 2, 3), 200, np.uint8), "grey",
+                         red_weight=float("nan"))
+    np.testing.assert_array_equal(grey, np.full((2, 2, 1), 200, np.uint8))
+    with pytest.raises(picha.InvalidOptionsError):
+        convert_array(np.full((2, 2, 3), 200, np.uint8), "grey",
+                      red_weight="abc")

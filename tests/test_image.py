@@ -136,3 +136,32 @@ def test_sub_view_out_of_bounds_raises():
                  (0, 3, 8, 4), (0, 0, 0, 4), (0, 0, 4, 0)]:
         with pytest.raises(InvalidImageError):
             img.sub_view(*rect)
+
+
+def test_to_array_is_a_copy():
+    """to_array documents a copy; for unpadded strides the rows() view
+    is already contiguous and a naive ascontiguousarray would alias the
+    image buffer (mutations corrupting the Image, shape-dependently)."""
+    import numpy as np
+
+    img = Image(width=4, height=2, pixel="rgba")
+    a = img.to_array()
+    assert not np.shares_memory(a, img.data)
+    a[0, 0, 0] = 123
+    assert img.data[0] == 0
+
+
+def test_row_bounds_checked():
+    img = Image(width=4, height=2, pixel="grey")
+    img.row(0)
+    img.row(1)
+    for y in (-1, 2, 100):
+        with pytest.raises(InvalidImageError):
+            img.row(y)
+
+
+def test_from_array_zero_height():
+    import numpy as np
+
+    img = Image.from_array(np.zeros((0, 4, 3), np.uint8), "rgb")
+    assert (img.width, img.height) == (4, 0)

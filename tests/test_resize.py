@@ -213,3 +213,11 @@ def test_i16_kernel_matches_f32_within_1():
     i = native.resize_u8(a, 160, 120, xs, xw, ys, yw, precision="i16")
     np.testing.assert_array_equal(f, i)
     np.testing.assert_array_equal(f, a)
+
+
+def test_non_numeric_filter_scale_typed():
+    img = picha.Image.from_array(
+        np.zeros((8, 8, 3), np.uint8), "rgb")
+    with pytest.raises(picha.InvalidOptionsError):
+        picha.resizeSync(img, {"width": 4, "height": 4,
+                               "filterScale": "abc"})
