@@ -23,7 +23,9 @@ from .ops.colorconvert import color_convert_image
 from .ops.resize import resize_image
 from .runtime.executor import run_async
 
-__version__ = "0.3.0"  # keep in sync with pyproject.toml
+__version__ = "0.4.0"  # keep in sync with pyproject.toml: this value
+# keys the stream_best race cache (pipeline/serving.py), so a stale
+# version would let new-kernel deployments inherit an old winner
 
 __all__ = [
     "Image", "catalog", "PichaError", "InvalidImageError",
@@ -227,6 +229,13 @@ def decode_sync(buf, opts: Optional[dict] = None) -> Image:
             img = codec.decode_sync(buf, opts or {})
             if img is not None:
                 return img
+        except InvalidOptionsError:
+            # deviation from the reference's fall-through (index.js:
+            # 214-220): a codec that RECOGNIZED the buffer but rejected
+            # the options must surface that, not be masked as
+            # 'unsupported image file' (unknown keys are ignored by
+            # every codec, so this only fires on genuinely bad values)
+            raise
         except Exception:  # noqa: BLE001 — sniffing falls through (index.js:214-220)
             continue
     raise UnsupportedFormatError("unsupported image file")

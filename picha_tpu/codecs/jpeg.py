@@ -54,7 +54,10 @@ def decode(buf: bytes, opts: dict) -> Image:
     if st is None:
         raise CodecError("not a JPEG file")
     w, h, ch = st
-    denom = int(opts.get("scaleDenom", opts.get("scale_denom", 1)))
+    try:
+        denom = int(opts.get("scaleDenom", opts.get("scale_denom", 1)))
+    except (TypeError, ValueError) as e:
+        raise InvalidOptionsError("scaleDenom must be 1, 2, 4 or 8") from e
     if denom not in (1, 2, 4, 8):
         raise InvalidOptionsError("scaleDenom must be 1, 2, 4 or 8")
     req = opts.get("pixel")
@@ -78,6 +81,14 @@ def decode(buf: bytes, opts: dict) -> Image:
         # restart markers and cores are available (single-image
         # latency; see native/src/jpegentropy.cc)
         co = native.jpeg_coefficients(buf)
+        if req == "grey" and co.color_space == 3:
+            # libjpeg's grayscale output from a YCbCr source is the raw
+            # Y plane (jdcolor grayscale passthrough) — converting via
+            # RGB would clip out-of-gamut chroma first and diverge by
+            # several LSBs on saturated content, breaking the <=1 LSB
+            # host-parity invariant for this option combination
+            co = native.JpegCoefficients.from_parts(
+                co.width, co.height, 1, [co.comps[0]])
         arr = jpeg_tpu.decode_coefficients(co)
         pixel = "grey" if arr.shape[-1] == 1 else "rgb"
         img = Image.from_array(arr, pixel)
@@ -96,13 +107,18 @@ def encode(img: Image, opts: dict) -> bytes:
     if img.pixel not in ("rgb", "grey"):
         raise InvalidOptionsError(
             f"jpeg encode supports rgb/grey, got {img.pixel}")
-    quality = int(opts.get("quality", DEFAULT_QUALITY))
+    try:
+        quality = int(opts.get("quality", DEFAULT_QUALITY))
+        restart = int(opts.get("restartInterval",
+                               opts.get("restart_interval", 0)))
+    except (TypeError, ValueError) as e:
+        raise InvalidOptionsError("invalid jpeg encode options") from e
     quality = max(0, min(100, quality))
-    restart = int(opts.get("restartInterval",
-                           opts.get("restart_interval", 0)))
     if restart < 0:
         raise InvalidOptionsError("restartInterval must be >= 0")
     progressive = bool(opts.get("progressive", False))
+    subsample = bool(opts.get("subsample", True))
+    optimize = bool(opts.get("optimize", False))
     arr = img.to_array()
     if opts.get("backend") == "tpu":
         from ..ops import jpeg_tpu
@@ -112,13 +128,16 @@ def encode(img: Image, opts: dict) -> bytes:
                 "progressive encode is host-only (backend='tpu' writes "
                 "baseline scans)")
         comps = jpeg_tpu.encode_to_coefficients(
-            arr, quality, subsample=bool(opts.get("subsample", True)))
+            arr, quality, subsample=subsample)
         return native.jpeg_coef_write(
             img.width, img.height, comps,
-            optimize_huffman=bool(opts.get("optimize", False)),
+            optimize_huffman=optimize,
             restart=restart)
+    # host path honors the same option set (same opts dict must not
+    # behave differently per backend)
     return native.jpeg_encode(arr, quality, restart=restart,
-                              progressive=progressive)
+                              progressive=progressive,
+                              optimize=optimize, subsample=subsample)
 
 
 def transcode(buf: bytes, opts: dict) -> bytes:

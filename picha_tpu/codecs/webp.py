@@ -52,10 +52,18 @@ def encode(img: Image, opts: dict) -> bytes:
     preset_name = opts.get("preset", "default")
     if preset_name not in _PRESETS:
         raise InvalidOptionsError("invalid preset")
-    quality = float(opts.get("quality", DEFAULT_QUALITY))
-    alpha_quality = int(opts.get("alphaQuality",
-                                 opts.get("alpha_quality",
-                                          DEFAULT_ALPHA_QUALITY)))
+    try:
+        quality = float(opts.get("quality", DEFAULT_QUALITY))
+        alpha_quality = int(opts.get("alphaQuality",
+                                     opts.get("alpha_quality",
+                                              DEFAULT_ALPHA_QUALITY)))
+    except (TypeError, ValueError) as e:
+        raise InvalidOptionsError("invalid webp encode options") from e
+    # clamp into libwebp's valid 0-100 range (like the jpeg codec's
+    # quality clamp) instead of surfacing WebPValidateConfig's opaque
+    # CodecError for an options mistake
+    quality = max(0.0, min(100.0, quality))
+    alpha_quality = max(0, min(100, alpha_quality))
     exact = bool(opts.get("exact", False))
     lossless = preset_name == "lossless"
     return native.webp_encode(img.to_array(), _PRESETS[preset_name], quality,

@@ -63,7 +63,7 @@ def get_lib():
             lib.picha_jpeg_decode.restype = C.c_int
             lib.picha_jpeg_encode.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int, C.c_int,
-                C.c_int, C.c_int, C.c_int,
+                C.c_int, C.c_int, C.c_int, C.c_int, C.c_int,
                 C.POINTER(C.POINTER(C.c_uint8)),
                 C.POINTER(C.c_size_t), C.POINTER(C.c_char_p)]
             lib.picha_jpeg_encode.restype = C.c_int
@@ -366,11 +366,14 @@ def jpeg_decode(buf: bytes, want_channels: int, width: int, height: int,
 
 
 def jpeg_encode(arr: np.ndarray, quality: int, restart: int = 0,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False, optimize: bool = False,
+                subsample: bool = True) -> bytes:
     """restart > 0 writes DRI + restart markers every `restart` MCUs,
     making the scan parallel-decodable (the TPU entropy decoder gets
     exactly known entry states per segment; ~2 bytes/MCU cost).
-    progressive emits libjpeg's stock spectral/successive script."""
+    progressive emits libjpeg's stock spectral/successive script;
+    optimize emits Huffman-optimized tables; subsample=False forces
+    4:4:4 (option parity with the TPU encode branch)."""
     lib = get_lib()
     arr = np.ascontiguousarray(arr)
     h, w, ch = arr.shape
@@ -379,6 +382,7 @@ def jpeg_encode(arr: np.ndarray, quality: int, restart: int = 0,
     err = C.c_char_p()
     rc = lib.picha_jpeg_encode(_u8ptr(arr.reshape(-1)), w, h, w * ch, ch,
                                quality, restart, int(progressive),
+                               int(optimize), int(not subsample),
                                C.byref(out), C.byref(outlen), C.byref(err))
     if rc != 0:
         raise CodecError(take_error(lib, err))

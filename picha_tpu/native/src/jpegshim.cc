@@ -145,6 +145,7 @@ PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
 PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
                                 int stride, int channels, int quality,
                                 int restart_mcus, int progressive,
+                                int optimize, int subsample444,
                                 uint8_t** out, size_t* outlen, char** err) {
   jpeg_compress_struct cinfo;
   ErrorTrap trap;
@@ -176,6 +177,15 @@ PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
   // libjpeg's stock spectral-selection/successive-approximation script
   // (beyond the reference, which wrote baseline only)
   if (progressive) jpeg_simple_progression(&cinfo);
+  // option parity with the TPU encode branch (codecs/jpeg.py): these
+  // must not silently depend on the backend
+  if (optimize) cinfo.optimize_coding = TRUE;
+  if (subsample444 && channels == 3) {
+    for (int c = 0; c < cinfo.num_components; ++c) {
+      cinfo.comp_info[c].h_samp_factor = 1;
+      cinfo.comp_info[c].v_samp_factor = 1;
+    }
+  }
   jpeg_start_compress(&cinfo, TRUE);
   for (int y = 0; y < height; ++y) {
     JSAMPROW p = (JSAMPROW)(src + (size_t)y * stride);

@@ -48,9 +48,13 @@ PICHA_API int picha_jpeg_decode(const uint8_t* src, size_t len,
 // restart_mcus > 0 writes DRI + restart markers every restart_mcus
 // MCUs — makes the scan parallel-decodable (the TPU entropy decoder
 // gets exactly known entry states per segment).
+// optimize: Huffman-optimized scan; subsample444: force 1x1 sampling
+// (colour default is libjpeg's 4:2:0) — option parity with the TPU
+// encode branch.
 PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
                                 int stride, int channels, int quality,
                                 int restart_mcus, int progressive,
+                                int optimize, int subsample444,
                                 uint8_t** out, size_t* outlen, char** err);
 
 // Segment-parallel baseline entropy decode (jpegentropy.cc): restart

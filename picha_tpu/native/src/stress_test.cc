@@ -119,7 +119,8 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
     } else {
       uint8_t* jout = nullptr;
       size_t jlen = 0;
-      if (picha_jpeg_encode(out.data(), w, h, w * 3, 3, 80, 4, seed & 1, &jout,
+      if (picha_jpeg_encode(out.data(), w, h, w * 3, 3, 80, 4, seed & 1,
+                            (seed >> 1) & 1, (seed >> 2) & 1, &jout,
                             &jlen, &err) != 0) {
         ++failures;
         picha_free(err);

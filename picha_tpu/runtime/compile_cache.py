@@ -22,7 +22,20 @@ from __future__ import annotations
 import os
 import pathlib
 
-_DEFAULT_DIR = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+def _default_dir() -> pathlib.Path:
+    """Source checkouts keep the cache at the repo root (existing dev
+    deployments must not lose their warmed cache); installed wheels —
+    where parents[2] is site-packages, often read-only — use the
+    user cache directory instead."""
+    root = pathlib.Path(__file__).resolve().parents[2]
+    if (root / ".jax_cache").exists() or (root / "pyproject.toml").exists():
+        return root / ".jax_cache"
+    base = pathlib.Path(os.environ.get("XDG_CACHE_HOME",
+                                       pathlib.Path.home() / ".cache"))
+    return base / "picha_tpu" / "jax_cache"
+
+
+_DEFAULT_DIR = _default_dir()
 _enabled = False
 
 

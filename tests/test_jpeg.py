@@ -185,3 +185,50 @@ def test_progressive_encode_roundtrip():
     assert picha.decodeJpegSync(prog).equal_pixels(picha.decodeJpegSync(base))
     with pytest.raises(picha.InvalidOptionsError):
         picha.encodeJpegSync(img, {"progressive": True, "backend": "tpu"})
+
+
+def test_encode_options_identical_across_backends():
+    """subsample/optimize must not silently depend on the backend: the
+    host path (libjpeg) honors them like the TPU branch does."""
+    from picha_tpu.ops.jpeg_scan import parse_baseline
+
+    rng = np.random.default_rng(41)
+    img = picha.Image.from_array(
+        rng.integers(0, 256, (64, 96, 3), np.uint8), "rgb")
+    b444 = picha.encodeJpegSync(img, {"quality": 90, "subsample": False})
+    b420 = picha.encodeJpegSync(img, {"quality": 90})
+    assert [(h, v) for h, v, _ in parse_baseline(bytes(b444)).comps] \
+        == [(1, 1)] * 3
+    assert parse_baseline(bytes(b420)).comps[0][:2] == (2, 2)
+    bopt = picha.encodeJpegSync(img, {"quality": 90, "optimize": True})
+    assert len(bopt) < len(b420)  # optimized tables shrink the scan
+
+
+def test_grey_request_is_y_passthrough_on_tpu_backend():
+    """libjpeg's grayscale output from a YCbCr source is the raw Y
+    plane; the TPU path must not round-trip through clipped RGB (which
+    diverges by several LSBs on out-of-gamut chroma)."""
+    sat = np.zeros((64, 64, 3), np.uint8)
+    sat[..., 0] = 255  # pure red: chroma far outside the RGB gamut
+    buf = picha.encodeJpegSync(picha.Image.from_array(sat, "rgb"),
+                               {"quality": 85})
+    host = picha.decodeJpegSync(buf, {"pixel": "grey"})
+    tpu = picha.decodeJpegSync(buf, {"pixel": "grey", "backend": "tpu"})
+    assert host.avg_channel_diff(tpu) <= 1.0
+
+
+def test_option_errors_are_typed_and_surface_through_sniffing():
+    rng = np.random.default_rng(43)
+    img = picha.Image.from_array(
+        rng.integers(0, 256, (16, 16, 3), np.uint8), "rgb")
+    buf = picha.encodeJpegSync(img, {"quality": 85})
+    with pytest.raises(picha.InvalidOptionsError):
+        picha.encodeJpegSync(img, {"quality": "high"})
+    with pytest.raises(picha.InvalidOptionsError):
+        picha.decodeJpegSync(buf, {"scaleDenom": None})
+    # a recognized buffer with bad options must NOT be masked as
+    # 'unsupported image file' by the sniffing fall-through
+    with pytest.raises(picha.InvalidOptionsError):
+        picha.decodeSync(buf, {"scaleDenom": 3})
+    with pytest.raises(picha.InvalidOptionsError):
+        picha.encodeWebPSync(img, {"quality": "best"})
