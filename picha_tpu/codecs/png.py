@@ -265,10 +265,10 @@ def _to_target(samples: np.ndarray, h: _Header, palette, trns,
         # resolve to black instead of raising — matches the batched
         # path (png_batch.py zero-pads tables to 256)
         pal = np.zeros((256, 3), dtype=np.uint8)
-        pal[: palette.shape[0]] = palette
+        pal[: min(256, palette.shape[0])] = palette[:256]
         rgb = pal[idx]  # (H, W, 3) uint8
         if trns is not None:
-            ta = np.frombuffer(trns, dtype=np.uint8)
+            ta = np.frombuffer(trns, dtype=np.uint8)[:256]
             lut = np.full(256, 255, dtype=np.uint8)
             lut[: len(ta)] = ta
             alpha = lut[idx]

@@ -173,6 +173,36 @@ def _iter_contribs(dst_size: int, src_size: int, filter_name: str,
         center = F32(center + scale)
 
 
+def window_bounds(dst_size: int, src_size: int, filter_name: str,
+                  filter_scale: float, rows) -> dict:
+    """UNTRIMMED analytic window [left, right) per requested output row
+    — the same F32 centre walk as _iter_contribs, before the zero-tap
+    trim. Untrimmed extents are monotone in the row index; the trimmed
+    ones are NOT (cubic kernels hit exact zeros at integer offsets), so
+    halo sizing from extreme rows must use these bounds."""
+    base_support, _ = FILTERS[filter_name]
+    s = F32(filter_scale)
+    support = F32(s * F32(base_support))
+    scale = F32(F32(src_size) / F32(dst_size))
+    fsc = F32(max(max(scale, F32(1.0)), F32(F32(1.0) / support)))
+    fsupport = F32(support * fsc)
+    want = sorted(set(rows))
+    out = {}
+    center = F32(F32(0.5) * scale)
+    wi = 0
+    for i in range(dst_size):
+        if wi >= len(want):
+            break
+        if i == want[wi]:
+            left = int(max(F32(0.0), F32(math.ceil(center - fsupport))))
+            right = int(min(F32(src_size - 1),
+                            F32(math.floor(center + fsupport))))
+            out[i] = (left, right + 1)
+            wi += 1
+        center = F32(center + scale)
+    return out
+
+
 @functools.lru_cache(maxsize=512)
 def resize_weights(dst_size: int, src_size: int, filter_name: str,
                    filter_scale: float) -> np.ndarray:

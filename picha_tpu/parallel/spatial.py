@@ -26,12 +26,23 @@ from ..ops.resize import parse_resize_options
 
 def _required_halo(src_h: int, dst_h: int, filter_name: str, fscale: float,
                    n: int, local_in: int, local_out: int) -> int:
-    """Exact halo: how far any shard's output windows reach outside its
-    input slab. Non-divisible sizes pad the tail, which skews output
-    slabs against input slabs — the extreme rows of each shard bound
-    the reach (windows are monotone in the row index)."""
-    from ..ops.resize import _iter_contribs
+    """Halo bound: how far any shard's output windows reach outside its
+    input slab. Uses the UNTRIMMED analytic window bounds of each
+    shard's extreme rows: those are monotone in the row index, so they
+    bound every interior row — the trimmed extents are NOT monotone
+    (kernels hit exact zeros), and sizing from trimmed extremes could
+    under-halo an interior row (a spurious coverage failure at build
+    time). The over-allocation is at most a couple of zero-weight
+    rows."""
+    from ..ops.resize import window_bounds
 
+    rows = []
+    for k in range(n):
+        r0 = k * local_out
+        if r0 >= dst_h:
+            break
+        rows += [r0, min((k + 1) * local_out, dst_h) - 1]
+    bounds = window_bounds(dst_h, src_h, filter_name, fscale, rows)
     halo = 0
     for k in range(n):
         r0 = k * local_out
@@ -39,10 +50,9 @@ def _required_halo(src_h: int, dst_h: int, filter_name: str, fscale: float,
             break
         r1 = min((k + 1) * local_out, dst_h) - 1
         for r in {r0, r1}:
-            for _, left, w in _iter_contribs(dst_h, src_h, filter_name,
-                                             fscale, r, 1):
-                halo = max(halo, k * local_in - left,
-                           (left + w.size - 1) - ((k + 1) * local_in - 1))
+            left, right = bounds[r]
+            halo = max(halo, k * local_in - left,
+                       (right - 1) - ((k + 1) * local_in - 1))
     return max(halo, 0)
 
 
@@ -79,26 +89,63 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
             f"count ({local_in}); use fewer shards, a narrower filter, or "
             f"shard-divisible sizes")
 
-    # per-shard vertical blocks, built windowed (never the dense
-    # (dst_h, src_h) matrix — gigapixel-safe); column j of block k maps
-    # to global row k*local_in - halo + j. resize_weight_rows raises if
-    # any tap falls outside the halo window (coverage assertion).
+    ext_len = local_in + 2 * halo
+    # per-shard vertical weights: dense (local_out, ext_len) blocks for
+    # small slabs; BANDED (T, tile, in_len) blocks + window starts for
+    # large ones — the dense form is still ~dst_h*src_h/n floats in
+    # total, which defeats the gigapixel goal (at 1e6->5e5 rows over 8
+    # shards it would be ~30 GB/shard; banded is ~50 MB). Column j of a
+    # shard's extended slab maps to global row k*local_in - halo + j.
     # Output rows >= dst_h are padding: zero weight rows, cropped after.
-    def block(k):
-        b = np.zeros((local_out, local_in + 2 * halo), dtype=np.float32)
-        real = min(local_out, max(0, dst_h - k * local_out))
-        if real > 0:
-            b[:real] = resize_weight_rows(
-                dst_h, src_h, filter_name, fscale,
-                row_start=k * local_out, row_count=real,
-                col_start=k * local_in - halo,
-                col_count=local_in + 2 * halo)
-        return b
+    from ..ops.resize import BAND_TILE, BANDED_THRESHOLD, _iter_contribs
 
-    blocks = np.stack([block(k) for k in range(n_shards)])
+    banded = ext_len > BANDED_THRESHOLD
+    if not banded:
+        def block(k):
+            b = np.zeros((local_out, ext_len), dtype=np.float32)
+            real = min(local_out, max(0, dst_h - k * local_out))
+            if real > 0:
+                b[:real] = resize_weight_rows(
+                    dst_h, src_h, filter_name, fscale,
+                    row_start=k * local_out, row_count=real,
+                    col_start=k * local_in - halo,
+                    col_count=ext_len)
+            return b
 
-    def local_fn(img, wv_block):
-        # img: (local_in, W, C) float32; wv_block: (1, local_out, ...)
+        blocks = np.stack([block(k) for k in range(n_shards)])
+        starts = np.zeros((n_shards, 1), np.int32)  # unused placeholder
+        tiles = in_len = 0
+    else:
+        tile = BAND_TILE
+        tiles = -(-local_out // tile)
+        shard_rows = []
+        los = np.zeros((n_shards, tiles), np.int64)
+        his = np.ones((n_shards, tiles), np.int64)
+        for k in range(n_shards):
+            e0 = k * local_in - halo
+            real = min(local_out, max(0, dst_h - k * local_out))
+            rows = list(_iter_contribs(dst_h, src_h, filter_name, fscale,
+                                       k * local_out, real))
+            shard_rows.append(rows)
+            for t in range(tiles):
+                seg = rows[t * tile:(t + 1) * tile]
+                if seg:
+                    los[k, t] = min(left for _, left, _ in seg) - e0
+                    his[k, t] = max(left + w.size for _, left, w in seg) - e0
+        in_len = int(min(ext_len, (his - los).max()))
+        starts = np.minimum(los, max(0, ext_len - in_len)).astype(np.int32)
+        blocks = np.zeros((n_shards, tiles, tile, in_len), np.float32)
+        for k, rows in enumerate(shard_rows):
+            e0 = k * local_in - halo
+            for i, left, w in rows:
+                r = i - k * local_out
+                t, rr = divmod(r, tile)
+                off = (left - e0) - int(starts[k, t])
+                blocks[k, t, rr, off:off + w.size] = w
+
+    def local_fn(img, wv_block, starts_blk):
+        # img: (local_in, W, C) float32; wv_block/starts_blk carry the
+        # leading 1-sized shard axis from shard_map
         if halo == 0:
             # every window fits inside the slab (e.g. box filter at
             # shard-aligned scales) — and img[-0:] would be the WHOLE
@@ -112,18 +159,28 @@ def _build(src_h: int, src_w: int, channels: int, dst_h: int, dst_w: int,
             ext = jnp.concatenate([prev_tail, img, next_head], axis=0)
         # horizontal pass: dense or banded per source width (ops.resize)
         tmp = _apply_axis(ext, dst_w, src_w, filter_name, fscale, axis=-2)
-        out = jnp.einsum("oh,hwc->owc", wv_block[0], tmp,
+        if not banded:
+            return jnp.einsum("oh,hwc->owc", wv_block[0], tmp,
+                              preferred_element_type=jnp.float32)
+
+        def slice_one(s):
+            return jax.lax.dynamic_slice_in_dim(tmp, s, in_len, axis=0)
+
+        g = jax.vmap(slice_one)(starts_blk[0])      # (T, in_len, W, C)
+        out = jnp.einsum("tik,tkwc->tiwc", wv_block[0], g,
                          preferred_element_type=jnp.float32)
-        return out
+        return out.reshape(tiles * BAND_TILE, *out.shape[2:])[:local_out]
 
     smapped = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None, None)),
+        in_specs=(P(axis, None, None),
+                  P(axis) if banded else P(axis, None, None),
+                  P(axis, None)),
         out_specs=P(axis, None, None))
 
     def fn(img_u8):
         f = img_u8.astype(jnp.float32) / jnp.float32(255.0)
-        out = smapped(f, jnp.asarray(blocks))
+        out = smapped(f, jnp.asarray(blocks), jnp.asarray(starts))
         return jnp.floor(jnp.clip(out * 255.0 + 0.5, 0, 255)).astype(jnp.uint8)
 
     sharding = NamedSharding(mesh, P(axis, None, None))

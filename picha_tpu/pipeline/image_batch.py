@@ -17,6 +17,7 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 
 from ..catalog import catalog as _codec_catalog
+from ..errors import InvalidImageError
 from ..image import Image
 from ..ops.colorconvert import map_channels, normalize_weights
 from ..ops.resize import parse_resize_options, resize_f32
@@ -103,10 +104,10 @@ class ImageBatchPipeline:
             return [fn(x) for x in seq]
         return list(self._pool.map(fn, seq))
 
-    def decode_batch(self, bufs: Sequence[bytes], opts: Optional[dict] = None,
-                     mimetype: Optional[str] = None) -> np.ndarray:
-        """Host decode on pool threads; all images must share one shape
-        and pixel format (shape-bucket upstream).
+    def _decode_images(self, bufs: Sequence[bytes],
+                       opts: Optional[dict] = None,
+                       mimetype: Optional[str] = None) -> list:
+        """Host decode on pool threads -> list of Images.
 
         `mimetype` dispatches straight to that codec — skipping the
         per-image sniffing loop and surfacing the codec's real error
@@ -118,7 +119,14 @@ class ImageBatchPipeline:
             from .. import decode_sync
 
             decode = lambda b: decode_sync(b, opts or {})  # noqa: E731
-        imgs = self._map(decode, bufs)
+        return self._map(decode, bufs)
+
+    def decode_batch(self, bufs: Sequence[bytes], opts: Optional[dict] = None,
+                     mimetype: Optional[str] = None) -> np.ndarray:
+        """Host decode; all images must share one shape and pixel
+        format (shape-bucket upstream, or use __call__ which buckets
+        heterogeneous batches itself)."""
+        imgs = self._decode_images(bufs, opts, mimetype)
         shapes = {(i.width, i.height, i.pixel) for i in imgs}
         if len(shapes) != 1:
             raise ValueError("mixed shapes/formats; bucket inputs first")
@@ -137,9 +145,23 @@ class ImageBatchPipeline:
 
         return jax.default_backend() == "cpu"
 
+    def _check_crop(self, height: int, width: int) -> None:
+        """Reject out-of-bounds crops like Image.sub_view does — Python
+        slicing would silently clamp (or wrap, for negative offsets)
+        and the resize would then stretch the truncated region to the
+        requested size: right shape, wrong pixels, no error."""
+        if self.crop is None:
+            return
+        x, y, w, h = self.crop
+        if x < 0 or y < 0 or w < 1 or h < 1 or x + w > width \
+                or y + h > height:
+            raise InvalidImageError(
+                f"crop {w}x{h}+{x}+{y} outside {width}x{height}")
+
     def transform(self, batch: np.ndarray):
         """(N, H, W, C) -> output of the fused op chain (device jit, or
         the native host path — see `backend`)."""
+        self._check_crop(batch.shape[1], batch.shape[2])
         if self._host_eligible(batch):
             return self._transform_host(batch)
         fn = _jit_transform(batch.shape[1:], batch.dtype.name, self.crop,
@@ -180,30 +202,25 @@ class ImageBatchPipeline:
 
     def __call__(self, bufs: Sequence[bytes], decode_opts: Optional[dict] = None,
                  mimetype: Optional[str] = None):
-        try:
-            batch = self.decode_batch(bufs, decode_opts, mimetype)
-        except ValueError:
-            # heterogeneous inputs (e.g. a PNG that decodes rgb next to
-            # a TIFF that always decodes rgba, or mixed dimensions):
-            # bucket by (shape, pixel), run per-bucket, reassemble in
-            # input order — the any-input decode contract
-            # (index.js:210-221) lifted to batches, same as
-            # JpegBatchPipeline._call_mixed
-            return self._call_mixed(bufs, decode_opts, mimetype)
-        out = self.transform(batch)
-        if self.encode is None:
-            return out
-        return self.encode_batch(np.asarray(out))
+        # decode ONCE, then route: the previous shape-check-by-raising
+        # flow re-decoded every buffer on heterogeneous batches — ~2x
+        # the dominant host cost on the expected mixed-corpus path
+        imgs = self._decode_images(bufs, decode_opts, mimetype)
+        shapes = {(i.width, i.height, i.pixel) for i in imgs}
+        if len(shapes) == 1:
+            out = self.transform(np.stack([i.to_array() for i in imgs]))
+            if self.encode is None:
+                return out
+            return self.encode_batch(np.asarray(out))
+        # heterogeneous inputs (e.g. a PNG that decodes rgb next to
+        # a TIFF that always decodes rgba, or mixed dimensions):
+        # bucket by (shape, pixel), run per-bucket, reassemble in
+        # input order — the any-input decode contract
+        # (index.js:210-221) lifted to batches, same as
+        # JpegBatchPipeline._call_mixed
+        return self._call_mixed(imgs)
 
-    def _call_mixed(self, bufs, decode_opts, mimetype):
-        if mimetype is not None:
-            codec = _codec_catalog[mimetype]
-            decode = lambda b: codec.decode_sync(b, decode_opts or {})  # noqa: E731
-        else:
-            from .. import decode_sync
-
-            decode = lambda b: decode_sync(b, decode_opts or {})  # noqa: E731
-        imgs = self._map(decode, bufs)
+    def _call_mixed(self, imgs):
         buckets: dict = {}
         for i, img in enumerate(imgs):
             buckets.setdefault((img.width, img.height, img.pixel),

@@ -131,9 +131,11 @@ class PngBatchPipeline:
             for i, (_, _, p, t) in enumerate(parts):
                 if p is None:
                     raise png_codec.CodecError("palette PNG missing PLTE")
-                pal[i, : p.shape[0]] = p
+                # crafted files can carry >256 PLTE entries / tRNS
+                # bytes; clamp instead of a raw broadcast ValueError
+                pal[i, : min(256, p.shape[0])] = p[:256]
                 if t is not None:
-                    tv = np.frombuffer(t, np.uint8)
+                    tv = np.frombuffer(t, np.uint8)[:256]
                     ta[i, : tv.size] = tv
             # per-image tables -> flat take via offset indices
             fn = _jit_transform(signature(h0), target, has_trns)

@@ -50,6 +50,12 @@ def _host_stage_parsed(buf, endian, ifd, index):
     if width <= 0 or height <= 0:
         raise CodecError("bad TIFF dimensions")
     spp = int(ifd.one(T.T_SPP, 1))
+    # same crafted-header caps as the single-image codec (tiff.py): a
+    # 200-byte file claiming giant dims must fail typed before the
+    # size-derived np.empty below
+    if width > 1_000_000 or height > 1_000_000 \
+            or spp <= 0 or width * height * spp > 2**31:
+        raise CodecError("TIFF dimensions exceed limit")
     bits = int(ifd.get(T.T_BITS, [1])[0])
     comp = int(ifd.one(T.T_COMPRESSION, T.C_NONE))
     fillorder = int(ifd.one(T.T_FILLORDER, 1))
@@ -66,6 +72,13 @@ def _host_stage_parsed(buf, endian, ifd, index):
         and photometric in (0, 1, 2, 3, 5, 6)
         and bits in (1, 2, 4, 8, 16)
         and (photometric != 6 or list(subs)[:2] == [1, 1])
+        # anything the device transform can't honor routes to the
+        # single-image codec, which validates and raises typed errors
+        # (predictor 3 would silently skip the undo; CMYK/RGB with too
+        # few samples would IndexError inside the jit graph)
+        and predictor in (1, 2)
+        and not (photometric == 5 and spp < 4)
+        and not (photometric == 2 and spp < 3)
     )
     if not device_ok:
         from ..codecs.tiff import decode as tiff_decode
@@ -77,6 +90,10 @@ def _host_stage_parsed(buf, endian, ifd, index):
     if offsets is None:
         raise CodecError("TIFF missing strip offsets")
     rps = int(ifd.one(T.T_ROWS_PER_STRIP, height)) or height
+    if rps < 1:
+        # signed-overflow crafted values would run the strip loop zero
+        # times and return the uninitialized np.empty canvas below
+        raise CodecError("bad TIFF RowsPerStrip")
     counts = ifd.get(T.T_STRIP_COUNTS)
     nstrips = math.ceil(height / rps)
     rowbytes = (width * spp * bits + 7) // 8

@@ -51,6 +51,22 @@ def test_spatial_halo_resize_matches_single_device(filter_name):
     np.testing.assert_array_equal(got, want)
 
 
+def test_spatial_banded_vertical_bit_equal():
+    """Per-shard slabs above BANDED_THRESHOLD take the banded vertical
+    weight blocks (the dense per-shard form is ~dst*src/n floats —
+    gigapixel-hostile); the banded plan must stay bit-equal to the
+    single-device resize."""
+    from picha_tpu.ops.resize import BANDED_THRESHOLD
+
+    rng = np.random.default_rng(3)
+    h = 8 * (BANDED_THRESHOLD + 88)  # local_in 600 > threshold
+    img = rng.integers(0, 256, (h, 24, 3), dtype=np.uint8)
+    want = resize_array(jnp.asarray(img), 16, h // 4)
+    mesh = make_mesh((("sp", 8),))
+    got = np.asarray(resize_sharded(jnp.asarray(img), 16, h // 4, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_spatial_upscale():
     rng = np.random.default_rng(2)
     img = rng.integers(0, 256, (32, 16, 4), dtype=np.uint8)

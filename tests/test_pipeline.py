@@ -882,3 +882,48 @@ def test_stream_best_cached_winner_failure_replays(tmp_path, monkeypatch):
                                      configs=("host", "host-raw")))
     assert len(outs2) == 4  # nothing dropped
     assert calls[0] >= 4
+
+
+def test_image_batch_crop_bounds_rejected():
+    """Out-of-bounds crops raise like Image.sub_view — Python slicing
+    would silently clamp and resize would stretch the wrong region."""
+    from picha_tpu.errors import InvalidImageError
+    from picha_tpu.pipeline import ImageBatchPipeline
+
+    rng = np.random.default_rng(3)
+    img = picha.Image.from_array(
+        rng.integers(0, 256, (32, 48, 3), np.uint8), "rgb")
+    buf = picha.encodePngSync(img)
+    ok = ImageBatchPipeline(crop=(8, 8, 16, 16))
+    assert np.asarray(ok([buf])).shape == (1, 16, 16, 3)
+    for rect in [(40, 0, 16, 16), (0, 24, 16, 16), (-1, 0, 8, 8),
+                 (0, 0, 0, 8)]:
+        with pytest.raises(InvalidImageError):
+            ImageBatchPipeline(crop=rect)([buf])
+
+
+def test_tiff_batch_crafted_tags_route_or_raise():
+    """The batched TIFF path must not reintroduce the single-image
+    codec's hardening gaps: predictor 3 routes to the codec's typed
+    error, giant-dimension claims fail before allocation, and negative
+    RowsPerStrip never returns uninitialized memory."""
+    import struct as _s
+
+    from picha_tpu.pipeline import TiffBatchPipeline
+    from test_tiff import _craft_tiff
+
+    base = np.arange(16, dtype=np.uint8).reshape(4, 4)
+
+    def craft(extra):
+        data_off = 8 + 2 + (7 + len(extra)) * 12 + 4
+        tags = [(256, 4, 1, 4), (257, 4, 1, 4), (258, 3, 1, 8),
+                (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, data_off),
+                (279, 4, 1, base.size)] + extra
+        return _craft_tiff(tags, base.tobytes())
+
+    p = TiffBatchPipeline()
+    for extra in ([(317, 3, 1, 3)],                 # float predictor
+                  [(278, 9, 1, 0xFFFFFFFB)],        # rps = -5 (SLONG)
+                  [(277, 3, 1, 60000)]):            # spp bomb
+        with pytest.raises(picha.CodecError):
+            p([craft(extra)])
