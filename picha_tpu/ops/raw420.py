@@ -108,6 +108,12 @@ def chroma_windows(dst_full: int, dst_pad: int, src_full: int,
     Output length ceil(dst_pad/2), input length ceil(src_full/2)."""
     src_half = -(-src_full // 2)
     dst_half = -(-dst_full // 2)
+    # NOTE: composes via dense factors — a transient ~src_full^2/2
+    # floats per uncached axis pair (~113 MB at 8K width). Acceptable
+    # for the photographic sizes this path serves (cached per
+    # geometry); gigapixel axes should use the banded ops/resize path.
+    # The three factors are banded, so a window-arithmetic composition
+    # is possible if this ever matters.
     U = fancy_upsample_matrix(src_full, src_half)
     R = resize_weights(dst_full, src_full, filter_name, fscale)
     D = box_downsample_matrix(dst_half, dst_full)

@@ -878,11 +878,18 @@ class JpegBatchPipeline:
                        for st in stats):
                     # denom=2 gets the draft-decode correction filter
                     # (ops/fastfix.py): ~1 ms/img to pull the draft
-                    # output 3-4x closer to the strict cubic path
+                    # output 3-4x closer to the strict cubic path —
+                    # ONLY when the pipeline actually targets the
+                    # filter the taps were fit against (correcting
+                    # toward cubic-0.70 under e.g. a triangle target
+                    # would move the output the wrong way)
                     fix = None
                     if denom == 2:
-                        from ..ops.fastfix import apply_correction
-                        fix = apply_correction
+                        from ..ops.fastfix import (FIT_FILTER, FIT_SCALE,
+                                                   apply_correction)
+                        if self._filter == FIT_FILTER \
+                                and abs(self._fscale - FIT_SCALE) < 1e-6:
+                            fix = apply_correction
                     outs = []
                     for b, st in zip(bufs, stats):
                         a = native.jpeg_decode(
