@@ -192,10 +192,15 @@ def forward(params, images, cfg: ViTConfig):
 
 
 def _switch_moe(y, blk, cfg: ViTConfig):
-    """Top-1 switch routing with static capacity, einsum dispatch (the
-    standard TPU formulation: all shapes static, dropped tokens pass
-    through the residual). Experts run expert-parallel under an 'ep'
-    mesh axis via the param sharding — no hand-written collectives."""
+    """Top-1 switch routing with static capacity (all shapes static,
+    dropped tokens pass through the residual). Dispatch is a SCATTER
+    into the (E, cap, d) expert buffers and combine is a GATHER — the
+    classic dense (t, E, cap) one-hot einsum dispatch is quadratic in
+    token count (t*cap ~ 1.5*t^2/E floats: ~240 TB at the 1024x224
+    config-5 scale) where scatter/gather stay linear. Slots are unique
+    per (expert, slot) by construction, so the scatter-add never
+    collides. Experts run expert-parallel under an 'ep' mesh axis via
+    the param sharding — no hand-written collectives."""
     import jax
     import jax.numpy as jnp
 
@@ -213,14 +218,15 @@ def _switch_moe(y, blk, cfg: ViTConfig):
     pos = (jnp.cumsum(oh, axis=0) - 1.0) * oh              # slot per token
     slot = jnp.sum(pos, axis=-1).astype(jnp.int32)
     keep = slot < cap
-    disp = (oh * keep[:, None].astype(jnp.float32))[:, :, None] \
-        * jax.nn.one_hot(slot, cap, dtype=jnp.float32)[:, None, :]
-    xe = jnp.einsum("tec,td->ecd", disp.astype(bf16), yt.astype(bf16))
+    eidx = jnp.where(keep, expert, E)      # dropped tokens -> trash row
+    sidx = jnp.where(keep, slot, 0)
+    xe = jnp.zeros((E + 1, cap, d), bf16).at[eidx, sidx].add(
+        yt.astype(bf16))[:E]
     he = jax.nn.gelu(jnp.einsum("ecd,edf->ecf", xe,
                                 blk["w_in"].astype(bf16)))
     ye = jnp.einsum("ecf,efd->ecd", he, blk["w_out"].astype(bf16))
-    comb = disp * gate[:, None, None]
-    out = jnp.einsum("tec,ecd->td", comb.astype(bf16), ye)
+    yep = jnp.concatenate([ye, jnp.zeros((1, cap, d), ye.dtype)], axis=0)
+    out = yep[eidx, sidx] * (gate * keep)[:, None].astype(bf16)
     return out.reshape(n, s, d).astype(y.dtype)
 
 

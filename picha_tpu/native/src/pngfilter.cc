@@ -225,6 +225,7 @@ PICHA_API int picha_png_filter(const uint8_t* in, uint8_t* out, int height,
   if (strategy > 4) strategy = -1;  // unknown strategies fall back to adaptive
   uint8_t* scratch =
       strategy < 0 ? (uint8_t*)malloc((size_t)rowbytes) : nullptr;
+  if (strategy < 0 && !scratch) return -1;  // OOM: error, don't deref null
   const uint8_t* prev = nullptr;
   for (int y = 0; y < height; ++y) {
     const uint8_t* src = in + (size_t)y * rowbytes;

@@ -175,6 +175,16 @@ class ScanBatch:
         word_starts = np.concatenate(
             [[0], np.cumsum(seg_words)]).astype(np.int64)
         total_words = int(word_starts[-1])
+        if total_words * 32 > 2**31 - C - 64:
+            # absolute bit positions in the kernel are int32
+            # (lane_word_base*32 + offsets); a ~256 MB+ padded wire
+            # would wrap them negative and decode GARBAGE with ok=True.
+            # Callers treat this like the table-overflow case: split
+            # the batch or take the host path.
+            raise ValueError(
+                f"batch scan data ({total_words * 4} bytes padded) "
+                f"exceeds the int32 bit-address space; split the batch "
+                f"or use the host path")
         byte_buf = np.full(total_words * 4, 0xFF, np.uint8)
         for s, seg in enumerate(seg_bytes):
             o = int(word_starts[s]) * 4

@@ -137,10 +137,10 @@ def _mcu_layout(comp_sig):
         Dummy blocks emit DC diff 0 (libjpeg jccoefct.c copies the
         previous block's DC into dummies), so the prediction chain
         passes through them."""
-    hmax = max(c[2] for c in comp_sig)
-    vmax = max(c[3] for c in comp_sig)
-    # MCU grid from the first component (libjpeg: image dims / MCU size;
-    # comp 0 spans hmax x vmax blocks per MCU)
+    # MCU grid from the first component. This is correct for ANY comp
+    # ordering, not just max-sampling-first: bh_i = ceil(H*v_i/(vmax*8))
+    # and ceil(bh_i / v_i) == ceil(H / (8*vmax)) for every legal
+    # integer-ratio v_i (verified exhaustively for H<=400, factors 1-4)
     bh0, bw0 = comp_sig[0][0], comp_sig[0][1]
     mcu_y = -(-bh0 // comp_sig[0][3])
     mcu_x = -(-bw0 // comp_sig[0][2])

@@ -539,7 +539,12 @@ class JpegBatchPipeline:
                     for t in range(6):
                         uniq.add((limit[t].tobytes(), delta[t].tobytes(),
                                   hv[t].tobytes()))
-                if len(uniq) <= 256:
+                # the decoder addresses bits as int32: gate the batch's
+                # scan volume well under 2^31 bits (the kernel also
+                # hard-raises; this pre-check routes to host instead)
+                scan_bytes = sum(
+                    sum(len(s) for s in i.segments) for i in infos)
+                if len(uniq) <= 256 and scan_bytes <= 2**27:
                     for i, b in zip(infos, bufs):
                         i.src = b
                     return infos

@@ -74,7 +74,14 @@ class DynamicBatcher:
             if self._closed:
                 fut.set_exception(RuntimeError("batcher closed"))
                 return fut
-        self._pipe._pool.submit(decode_and_enqueue)
+            # submit INSIDE the lock: a close() racing between the
+            # check and the submit would shut the executor down and
+            # raise a raw RuntimeError at the call site instead of
+            # delivering the error through the Future
+            try:
+                self._pipe._pool.submit(decode_and_enqueue)
+            except RuntimeError as e:
+                fut.set_exception(e)
         return fut
 
     def _take_ready(self):
@@ -110,8 +117,15 @@ class DynamicBatcher:
             cos = [b[1] for b in batch]
             futs = [b[2] for b in batch]
             try:
-                _, args = self._pipe.stack_bucket(cos)
-                out = np.asarray(self._pipe.run_bucket(sig, args))
+                # pad to a size multiple (jpeg_batch.pad_group): raw
+                # flush sizes (1, 3, 7, ...) would each retrace and pay
+                # a cold remote compile — minutes of request latency
+                # per distinct size on this platform
+                from .jpeg_batch import pad_group
+
+                padded, nreal = pad_group(cos)
+                _, args = self._pipe.stack_bucket(padded)
+                out = np.asarray(self._pipe.run_bucket(sig, args))[:nreal]
                 for i, fut in enumerate(futs):
                     # .copy(): don't pin the whole batch buffer through
                     # one client's retained view
@@ -150,8 +164,19 @@ class DynamicBatcher:
                 for f in pending:
                     _safe_set_exception(
                         f, RuntimeError("batcher closed before completion"))
-            if not self._worker.is_alive():
-                self._pipe.close()  # worker drained — release its pool
+        if self._worker.is_alive():
+            # the pipe must be released even when the worker outlives
+            # the join timeout (or wait=False): reap it in the
+            # background once the worker actually exits, else its
+            # 8-thread entropy pool leaks for the process lifetime
+            def _reap():
+                self._worker.join()
+                self._pipe.close()
+
+            threading.Thread(target=_reap, daemon=True,
+                             name="picha-batcher-reaper").start()
+        else:
+            self._pipe.close()  # worker drained — release its pool
 
 
 def _safe_set_result(fut: Future, value) -> None:
@@ -311,36 +336,56 @@ def stream_best(batches, *, width, height, quality=85,
                 yield b
 
         try:
-            for out in runner(tapped()):
-                if tap:
-                    tap.popleft()
-                yield out
-            pipe.close()
-            return
-        except GeneratorExit:
-            raise
-        except Exception:
-            # the cached winner no longer works in this deployment —
-            # forget it, replay its in-flight batches on the host path,
-            # and finish the rest of the stream there too
-            _race_cache_store(cache_key, None)
-            pipe.close()
-            hp, host_run = make("host")
-            from itertools import chain
-
             try:
-                for out in host_run(chain(list(tap), it)):
+                for out in runner(tapped()):
+                    if tap:
+                        tap.popleft()
                     yield out
-            finally:
-                hp.close()
-            return
+                return
+            except GeneratorExit:
+                # abandoned generator: the outer finally still closes
+                # the pipe (it used to leak its 8-thread pool here)
+                raise
+            except Exception:
+                # the cached winner no longer works in this deployment
+                # — forget it, replay its in-flight batches on the host
+                # path, and finish the rest of the stream there too
+                _race_cache_store(cache_key, None)
+                hp, host_run = make("host")
+                from itertools import chain
+
+                try:
+                    for out in host_run(chain(list(tap), it)):
+                        yield out
+                finally:
+                    hp.close()
+                return
+        finally:
+            pipe.close()
 
     host_pipe, host_runner = make("host")
     rates = {}
     winners = {"host": (host_pipe, host_runner)}
+    try:
+        yield from _race_and_run(it, configs, winners, rates, make,
+                                 host_runner, cache_key, use_cache,
+                                 probe_batches, depth)
+    finally:
+        # idempotent closes: losers were already closed after the race;
+        # this covers abandonment at ANY yield (the probe-phase yields
+        # used to leak every pipe's thread pool on GeneratorExit)
+        for p, _r in winners.values():
+            p.close()
+
+
+def _race_and_run(it, configs, winners, rates, make, host_runner,
+                  cache_key, use_cache, probe_batches, depth):
+    import time
+    from itertools import islice
+
     for config in configs:
         if config == "host":
-            pipe, runner = host_pipe, host_runner
+            pipe, runner = winners["host"]
         else:
             pipe, runner = make(config)
             winners[config] = (pipe, runner)
