@@ -619,7 +619,11 @@ def jpeg_coefficients(buf: bytes, nthreads: int = 0) -> JpegCoefficients:
 
     if nthreads <= 0:
         nthreads = os.cpu_count() or 1
-    if nthreads > 1:
+    # cheap DRI-marker scan before the full parse: restart-free files
+    # (most web-sourced JPEGs) would otherwise pay a marker walk plus a
+    # whole-scan unstuff copy per image just to fall back to libjpeg
+    # (0xFFDD cannot appear inside entropy data — 0xFF is stuffed)
+    if nthreads > 1 and b"\xff\xdd" in buf:
         from ..ops.jpeg_scan import parse_baseline
 
         info = parse_baseline(buf)

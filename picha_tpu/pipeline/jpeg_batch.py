@@ -33,7 +33,8 @@ from ..ops.resize import parse_resize_options, resize_f32
 
 
 def entropy_decode(bufs: Sequence[bytes], pool: Optional[ThreadPoolExecutor] = None,
-                   max_threads: Optional[int] = None
+                   max_threads: Optional[int] = None,
+                   force_libjpeg: bool = False
                    ) -> List[native.JpegCoefficients]:
     """Parallel host entropy decode (ctypes releases the GIL).
 
@@ -46,11 +47,14 @@ def entropy_decode(bufs: Sequence[bytes], pool: Optional[ThreadPoolExecutor] = N
 
     max_threads caps the TOTAL host threads this call may burst
     (callers with a user-sized pool pass its size so a num_threads=1
-    request never fans out to every core); default = core count."""
+    request never fans out to every core); default = core count.
+    force_libjpeg pins the libjpeg decoder (pathological-stream
+    fallbacks want its warn-and-pad recovery semantics, which the
+    clamping native decoder does not reproduce)."""
     cores = os.cpu_count() or 1
     if max_threads is not None:
         cores = max(1, min(cores, max_threads))
-    if cores > 1 and 0 < len(bufs) < cores:
+    if not force_libjpeg and cores > 1 and 0 < len(bufs) < cores:
         # distribute the cores exactly (ceil for the first cores%len
         # images, floor for the rest) so concurrent decodes never
         # oversubscribe the host
@@ -754,7 +758,8 @@ class JpegBatchPipeline:
         from ..ops.jpeg_scan import ScanInfo
 
         if isinstance(cos[0], ScanInfo):  # scan infos carry the bytes
-            cos = entropy_decode([i.src for i in cos], None)
+            cos = entropy_decode([i.src for i in cos], None,
+                                 max_threads=self._num_threads)
         return clone._finish(*clone._process(cos))
 
     def _process(self, cos):
@@ -762,7 +767,17 @@ class JpegBatchPipeline:
         from ..ops.jpeg_scan import ScanInfo
 
         if isinstance(cos[0], ScanInfo):
-            sig, ks, args = self.stack_bucket(cos)
+            try:
+                sig, ks, args = self.stack_bucket(cos)
+            except ValueError:
+                # ScanBatch's own capacity gates (unique-table id space,
+                # int32 bit-address space) are the single source of
+                # truth; the entropy_decode pre-check is only a fast
+                # approximate filter — anything it let through that the
+                # kernel rejects degrades to the host path here
+                return self._process(
+                    entropy_decode([i.src for i in cos], self._pool,
+                                   max_threads=self._num_threads))
             out = self.run_bucket(sig, args, scan_ks=ks)
             return sig, ("scan", out, [i.src for i in cos])
         if self._upload in ("sparse", "int8", "gap8", "gap4"):
@@ -797,7 +812,11 @@ class JpegBatchPipeline:
         return self.huffman_encode(out, sig)
 
     def _scan_fallback(self, bufs):
-        cos = entropy_decode(list(bufs), None)
+        # force_libjpeg: these streams already defeated the device
+        # decoder; the fallback must be the warn-and-pad reference
+        # decoder, not the clamping native one (whose output on
+        # pathological streams would vary with host core count)
+        cos = entropy_decode(list(bufs), None, force_libjpeg=True)
         sig, args = self.stack_bucket(cos)
         return self._finish(sig, self.run_bucket(sig, args))
 
