@@ -28,17 +28,27 @@ def build(force: bool = False) -> pathlib.Path:
     if not force and not is_stale():
         return LIB_PATH
     BUILD_DIR.mkdir(exist_ok=True)
-    subprocess.run(
-        ["cmake", "-G", "Ninja", "-S", str(HERE), "-B", str(BUILD_DIR)],
-        check=True, capture_output=True, text=True)
-    subprocess.run(["ninja", "-C", str(BUILD_DIR)], check=True,
-                   capture_output=True, text=True)
+    for cmd in (["cmake", "-G", "Ninja", "-S", str(HERE), "-B",
+                 str(BUILD_DIR)],
+                ["ninja", "-C", str(BUILD_DIR)]):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"native build needs {cmd[0]} on PATH "
+                f"(cmake+ninja; see picha_tpu/native/CMakeLists.txt)") from e
+        except subprocess.CalledProcessError as e:
+            # the auto-build-on-first-import path must surface the
+            # compiler diagnostics, not just "returned non-zero"
+            raise RuntimeError(
+                f"native build failed ({' '.join(cmd[:2])}):\n"
+                f"{e.stdout}\n{e.stderr}") from e
     return LIB_PATH
 
 
 if __name__ == "__main__":
     try:
         path = build(force=True)
-    except subprocess.CalledProcessError as e:
-        raise SystemExit(f"native build failed:\n{e.stdout}\n{e.stderr}")
+    except RuntimeError as e:
+        raise SystemExit(str(e))
     print(f"built {path}")

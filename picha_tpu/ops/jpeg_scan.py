@@ -318,9 +318,10 @@ def derive_tables(bits: List[int], vals: List[int]):
 
 
 def mcu_slot_tables(comp_sig):
-    """Per-MCU block-slot metadata: (comp_of (B,), tid (B,)) where B =
-    blocks per MCU, tid 0 = component 0's tables else 1 (the baseline
-    encoder/decoder convention for the scans this path accepts)."""
+    """Per-MCU block-slot metadata: comp_of (B,) int32, the component
+    index owning each of the B blocks in one MCU. Tables are indexed
+    per component by the consumers (each component names its own DC/AC
+    ids in the scan header)."""
     comp_of = []
     for ci, (_, _, hs, vs) in enumerate(comp_sig):
         comp_of += [ci] * (hs * vs)

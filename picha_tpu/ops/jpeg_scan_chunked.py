@@ -46,7 +46,6 @@ class _Tables:
         self.comp_of = mcu_slot_tables(sig)
         self.B = int(self.comp_of.size)
         self.ncomp = nc = info.ncomp
-        self.tid_of = self.comp_of.astype(np.int32)  # component per slot
         self.limit = np.zeros((2 * nc, 17), np.int64)
         self.mincode = np.zeros((2 * nc, 17), np.int64)
         self.valptr = np.zeros((2 * nc, 17), np.int64)
@@ -84,7 +83,7 @@ def _decode_chunk(bits: np.ndarray, start: int, end: int,
         return v
 
     while pos < end:
-        tid = int(tabs.tid_of[slot])
+        tid = int(tabs.comp_of[slot])  # tables index per component
         t = tid if z == 0 else tabs.ncomp + tid
         P = peek16(pos)
         # clamp at 16: an all-ones peek (stream padding, or garbage
@@ -138,6 +137,12 @@ def decode_chunked(info: ScanInfo, C: int = 256, max_passes: int = 64):
     blk_base = 0
     for si, seg in enumerate(info.segments):
         n_mcu = min(ri, mcus - si * ri)
+        if n_mcu <= 0:
+            # malformed stream: more RST-delimited segments than
+            # ceil(mcus/ri) — ignore the excess like the device
+            # kernel's ScanBatch does (a negative count would crash
+            # the DC integration's np.repeat below)
+            break
         nbits = len(seg) * 8
         nch = max(1, -(-nbits // C))
         bits = bits_of(seg, nch, C)
@@ -167,6 +172,15 @@ def decode_chunked(info: ScanInfo, C: int = 256, max_passes: int = 64):
             entries = new_entries
             if not changed:
                 break
+        else:
+            # hit max_passes with entries still changing: the block
+            # offsets below would come from pre-update entries while
+            # the emission re-decodes with post-update ones — silently
+            # inconsistent planes. This prototype is an oracle; fail
+            # loudly instead (the device kernel signals ok=False).
+            raise RuntimeError(
+                f"chunked decode did not converge in {max_passes} passes "
+                f"(segment {si})")
         passes_hist.append(used)
         # block prefix within the segment
         starts = np.zeros(nch, np.int64)

@@ -22,9 +22,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)
-_LUMA = _LUMA / _LUMA.sum()
+# plain numpy: a module-level jnp.array would run device work at
+# IMPORT time (pipeline/__init__ imports this module), initializing the
+# default backend through the tunnel and pinning the constant to a
+# backend the CPU-forcing recipe (CLAUDE.md) later clears
+_LUMA = np.array([0.299, 0.587, 0.114], np.float32)
+_LUMA = (_LUMA / _LUMA.sum()).astype(np.float32)
 
 
 def _factors(key, n, strength):

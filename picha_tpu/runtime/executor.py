@@ -40,18 +40,31 @@ def get_executor() -> ThreadPoolExecutor:
 
 
 def run_async(fn: Callable, cb: Optional[Callable] = None) -> Future:
-    """Run fn() on the pool; deliver (err, result) to cb; return a Future."""
-    def task():
-        return fn()
+    """Run fn() on the pool; deliver (err, result) to cb; return a Future.
 
-    fut = get_executor().submit(task)
-    if cb is not None:
-        def done(f: Future):
+    The callback runs INSIDE the worker task, never inline in the
+    submitting thread: add_done_callback would invoke it synchronously
+    when the task finishes before the callback attaches, deadlocking
+    callers that hold a lock across run_async and re-take it in cb
+    (libuv — the semantics this replaces — always delivers async)."""
+    if cb is None:
+        return get_executor().submit(fn)
+
+    fut: Future = Future()
+
+    def task():
+        try:
+            result = fn()
+        except Exception as e:  # noqa: BLE001 — error-callback convention
             try:
-                result = f.result()
-            except Exception as e:  # noqa: BLE001 — error-callback convention
                 cb(e, None)
-            else:
+            finally:
+                fut.set_exception(e)
+        else:
+            try:
                 cb(None, result)
-        fut.add_done_callback(done)
+            finally:
+                fut.set_result(result)
+
+    get_executor().submit(task)
     return fut
