@@ -1054,7 +1054,33 @@ def main():
     # (the subprocess snapshots DEVJSON after every stage; the last
     # snapshot carries everything measured before any hang)
     device_ok = False
-    if os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") != "0":
+    try_device = os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") != "0"
+    if try_device:
+        # cheap liveness probe first: when the tunnel is hard-down,
+        # backend init hangs (not errors) — without this the device
+        # subprocess would burn its whole 40-minute watchdog before the
+        # host rows even start
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                env=dict(os.environ), timeout=240, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        except Exception as e:  # noqa: BLE001 — timeout or rc != 0
+            log(f"device liveness probe failed ({type(e).__name__}) — "
+                f"tunnel down; skipping device stages, host rows only")
+            try_device = False
+            # keep the host paths off jax entirely: their cpu-device
+            # helpers would initialize the backend stack and hang
+            os.environ["PICHA_NO_DEVICE"] = "1"
+            detail["device_unavailable"] = True
+            # and pin every jit stage (png/webp/tiff/cmyk pipelines) to
+            # XLA:CPU — no backend has initialized in this process yet,
+            # so the switch is still possible; without it the first
+            # device-placed jit would hang on the dead tunnel
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+    if try_device:
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),

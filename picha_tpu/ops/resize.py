@@ -400,6 +400,11 @@ def _single_image_cpu_device(arr):
         return None
     if os.environ.get("PICHA_SYNC_ON_DEVICE") == "1":
         return None
+    if os.environ.get("PICHA_NO_DEVICE") == "1":
+        # link-outage escape hatch (bench sets it when the liveness
+        # probe fails): default_backend() below would INITIALIZE the
+        # tunnel backend, which hangs for minutes when the link is down
+        return None
     import jax
 
     if jax.default_backend() == "cpu":

@@ -941,7 +941,10 @@ class JpegBatchPipeline:
         arrs = [native.jpeg_decode(b, 3 if st[2] >= 3 else 1, st[0], st[1])
                 for b, st in zip(bufs, stats)]
         try:
-            cpu = jax.devices("cpu")[0]
+            # PICHA_NO_DEVICE: don't initialize the backend stack at
+            # all during a link outage (jax.devices hangs, not errors)
+            cpu = (None if os.environ.get("PICHA_NO_DEVICE") == "1"
+                   else jax.devices("cpu")[0])
         except Exception:  # noqa: BLE001 — cpu-only platform
             cpu = None
         # per-image resize, preferring the native C++ separable path
