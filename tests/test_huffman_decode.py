@@ -537,3 +537,33 @@ def test_device_kernel_dri_exceeds_mcus():
     info = jpeg_scan.parse_baseline(bytes(buf))
     assert info is not None
     _exact([bytes(buf)], chunk_bits=512)
+
+
+def test_narrow_batch_dispatch_multicore(monkeypatch):
+    """The narrow-batch branch of pipeline.entropy_decode (threads >
+    images) must produce libjpeg-identical coefficients through the
+    real dispatch path — gated off on this 1-core box, taken on every
+    production host."""
+    import os
+
+    from picha_tpu.pipeline.jpeg_batch import entropy_decode
+
+    rng = np.random.default_rng(12)
+    bufs = [native.jpeg_encode(
+        rng.integers(0, 256, (64, 96, 3), np.uint8), 85, restart=4)
+        for _ in range(2)]
+    want = [native.JpegCoefficients(bytes(b)) for b in bufs]
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)
+    got = entropy_decode(bufs, None)  # 2 bufs < 8 cores -> segment path
+    for g, w in zip(got, want):
+        for ci in range(3):
+            assert np.array_equal(g.comps[ci]["coefs"],
+                                  w.comps[ci]["coefs"])
+    # budget cap forces the wide-batch libjpeg path instead
+    got2 = entropy_decode(bufs, None, max_threads=1)
+    for g, w in zip(got2, want):
+        assert np.array_equal(g.comps[0]["coefs"], w.comps[0]["coefs"])
+    # force_libjpeg pins the reference decoder regardless of width
+    got3 = entropy_decode(bufs, None, force_libjpeg=True)
+    for g, w in zip(got3, want):
+        assert np.array_equal(g.comps[0]["coefs"], w.comps[0]["coefs"])
