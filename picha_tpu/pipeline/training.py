@@ -78,54 +78,86 @@ def _jit_crop_resize_normalize(sig, crop: int, out: int, filter_name: str,
     return jax.jit(fn)
 
 
+def _region_axis(pos: int, crop: int, dim: int, al: int, margin: int):
+    """One axis of the pre-crop region: an `al`-aligned start and a
+    region extent covering [pos, pos+crop) with at least `margin`
+    pixels of TRUE context on each side — except where the region
+    border coincides with a true image border, where cropped and
+    full-frame decodes edge-pin identically. Returns (start, extent).
+
+    The nominal extent is the fixed `crop + 2*al` (one sig per source
+    geometry); draws near the high edge snap the region to the true
+    image border (extent `crop + 2*al + dim%al` — a second sig only
+    for unaligned dims, handled by signature bucketing)."""
+    span = crop + 2 * al
+    if dim <= span:
+        return 0, dim
+    lo = max(0, (pos - margin) // al * al)
+    dim_al = dim // al * al
+    if lo + span >= dim_al:  # high border must be the true image edge
+        lo = max(0, dim_al - span)
+        return lo, dim - lo
+    return lo, span
+
+
+def _crop_region(co, crop: int, x: int, y: int):
+    """Slice one image's coefficient grid to the region for a crop
+    window at (x, y). Returns (region_co, y_residual, x_residual).
+
+    Invariant (tests/test_pipeline.py): decoding the region and taking
+    [y_res:y_res+crop, x_res:x_res+crop] is BIT-IDENTICAL to cropping
+    the full-frame decode — the margin keeps >= 1 chroma sample
+    (2*samp_ratio px) of true context around the window for the fancy
+    upsamplers, so region-border edge-pinning never reaches it."""
+    one = co.ncomp == 1  # MCU = 1 block: samp factors don't apply
+    hmax = 1 if one else max(c["h_samp"] for c in co.comps)
+    vmax = 1 if one else max(c["v_samp"] for c in co.comps)
+    ax, ay = 8 * hmax, 8 * vmax
+    x0, w_reg = _region_axis(x, crop, co.width, ax, 2 * hmax)
+    y0, h_reg = _region_axis(y, crop, co.height, ay, 2 * vmax)
+    comps = []
+    for c in co.comps:
+        hs = 1 if one else c["h_samp"]
+        vs = 1 if one else c["v_samp"]
+        bx, by = x0 * hs // (hmax * 8), y0 * vs // (vmax * 8)
+        dw, dh = -(-w_reg * hs // hmax), -(-h_reg * vs // vmax)
+        nbw, nbh = -(-dw // 8), -(-dh // 8)
+        take = np.asarray(c["coefs"], np.int16)[by:by + nbh,
+                                                bx:bx + nbw]
+        if take.shape[:2] != (nbh, nbw):
+            take = np.pad(take, ((0, nbh - take.shape[0]),
+                                 (0, nbw - take.shape[1]), (0, 0)))
+        comps.append({"h_samp": hs, "v_samp": vs,
+                      "blocks_w": nbw, "blocks_h": nbh,
+                      "width": dw, "height": dh,
+                      "qtable": c["qtable"], "coefs": take})
+    region = native.JpegCoefficients.from_parts(
+        w_reg, h_reg, co.color_space, comps)
+    return region, y - y0, x - x0
+
+
 def _pre_crop_host(cos, crop: int, rng):
     """DCT-domain ROI pre-crop (host side): slice each image's
     coefficient block grid down to an iMCU-aligned region covering a
     host-drawn random crop window, so the sparse pack and the upload
-    carry ~(crop+iMCU)^2 pixels instead of the full frame — on 1080p
-    sources feeding 224-crops that is ~25x fewer wire bytes. The
+    carry ~(crop+2*iMCU)^2 pixels instead of the full frame — on 1080p
+    sources feeding 224-crops that is ~20x fewer wire bytes. The
     residual offset inside the region is applied on-device
     (dynamic_slice), keeping sub-iMCU randomness.
 
-    Regions whose aligned span passes the stored block grid get
-    zero-padded edge block columns/rows; the fine crop never samples
-    those pixels (residual + crop <= valid extent), though — as with
-    any cropped decode — chroma upsampling may see replicated context
-    within ~2 px of a region border. Returns (region_cos, offsets
-    (N, 2) int32 [y, x] residuals)."""
+    The region keeps enough true context around the window (see
+    _crop_region) that the fine crop decodes bit-identically to a
+    full-frame decode on every sampling mode. Returns (region_cos,
+    offsets (N, 2) int32 [y, x] residuals)."""
     out, offs = [], []
     for co in cos:
         if co.width < crop or co.height < crop:
             raise ValueError("crop larger than image")
-        one = co.ncomp == 1  # MCU = 1 block: samp factors don't apply
-        hmax = 1 if one else max(c["h_samp"] for c in co.comps)
-        vmax = 1 if one else max(c["v_samp"] for c in co.comps)
-        ax, ay = 8 * hmax, 8 * vmax
         x = int(rng.integers(0, co.width - crop + 1))
         y = int(rng.integers(0, co.height - crop + 1))
-        w_reg = min(crop + ax, co.width)
-        h_reg = min(crop + ay, co.height)
-        x0 = x // ax * ax if w_reg == crop + ax else 0
-        y0 = y // ay * ay if h_reg == crop + ay else 0
-        comps = []
-        for c in co.comps:
-            hs = 1 if one else c["h_samp"]
-            vs = 1 if one else c["v_samp"]
-            bx, by = x0 * hs // (hmax * 8), y0 * vs // (vmax * 8)
-            dw, dh = -(-w_reg * hs // hmax), -(-h_reg * vs // vmax)
-            nbw, nbh = -(-dw // 8), -(-dh // 8)
-            take = np.asarray(c["coefs"], np.int16)[by:by + nbh,
-                                                    bx:bx + nbw]
-            if take.shape[:2] != (nbh, nbw):
-                take = np.pad(take, ((0, nbh - take.shape[0]),
-                                     (0, nbw - take.shape[1]), (0, 0)))
-            comps.append({"h_samp": hs, "v_samp": vs,
-                          "blocks_w": nbw, "blocks_h": nbh,
-                          "width": dw, "height": dh,
-                          "qtable": c["qtable"], "coefs": take})
-        out.append(native.JpegCoefficients.from_parts(
-            w_reg, h_reg, co.color_space, comps))
-        offs.append((y - y0, x - x0))
+        region, yr, xr = _crop_region(co, crop, x, y)
+        out.append(region)
+        offs.append((yr, xr))
     return out, np.asarray(offs, np.int32)
 
 

@@ -191,12 +191,13 @@ def test_pre_crop_matches_legacy_when_identity(jpeg_bufs):
 
 
 def test_pre_crop_420_region_pixels():
-    """4:2:0 pre-crop regions must decode to the same pixels as the
-    full decode on the region INTERIOR (>= 2 px inside the region
-    borders — outside that ring chroma upsampling sees replicated
-    context, the documented cropped-decode caveat). A chroma
+    """4:2:0 pre-crop: the fine crop window inside the region must
+    decode BIT-IDENTICALLY to the same window of the full-frame decode
+    (the _crop_region invariant — the region carries >= 1 chroma
+    sample of true context around the window, so the fancy upsampler's
+    region-border edge-pinning never reaches it). A chroma
     block-indexing slip (off by one 16-px iMCU) would shift content
-    and blow the exact-interior assertion."""
+    and blow the assertion."""
     from picha_tpu.native import lib as native
     from picha_tpu.ops import jpeg_tpu
     from picha_tpu.pipeline.training import _pre_crop_host
@@ -220,13 +221,63 @@ def test_pre_crop_420_region_pixels():
     x = int(r2.integers(0, co.width - crop + 1))
     y = int(r2.integers(0, co.height - crop + 1))
     yres, xres = (int(v) for v in offs[0])
-    x0, y0 = x - xres, y - yres
-    want = full[y0:y0 + rco.height, x0:x0 + rco.width]
-    h, w = want.shape[:2]  # region may extend past the source (padded)
-    np.testing.assert_array_equal(got[2:h - 2, 2:w - 2],
-                                  want[2:h - 2, 2:w - 2])
-    # and the fine crop window itself stays inside the valid extent
-    assert xres + crop <= w and yres + crop <= h
+    assert xres + crop <= rco.width and yres + crop <= rco.height
+    np.testing.assert_array_equal(
+        got[yres:yres + crop, xres:xres + crop],
+        full[y:y + crop, x:x + crop])
+
+
+def test_pre_crop_window_exact_all_positions():
+    """Sweep crop window positions — interior, image corners, the
+    aligned/unaligned right edge, the region-snap band — across
+    sampling modes (4:2:0 fancy, 4:2:2, 4:4:4, grey). Every position's
+    crop window must decode bit-identically to the full-frame decode;
+    this is what makes DCT-ROI pre-crop a pure wire-size optimization
+    rather than an approximation."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.ops import jpeg_tpu
+    from picha_tpu.pipeline.training import _crop_region
+
+    rng = np.random.default_rng(44)
+    yy, xx = np.mgrid[0:120, 0:152].astype(np.float64)
+    base = np.clip(np.stack(
+        [128 + 90 * np.sin(xx / 5) * np.cos(yy / 7),
+         128 + 80 * np.cos((xx + 2 * yy) / 9),
+         128 + 70 * np.sin((2 * xx - yy) / 6)], axis=-1)
+        + rng.normal(0, 6, (120, 152, 3)), 0, 255).astype(np.uint8)
+    crop = 48
+    import io
+
+    from PIL import Image as PILImage
+
+    b422 = io.BytesIO()
+    PILImage.fromarray(base).save(b422, "JPEG", quality=90, subsampling=1)
+    cases = [
+        ("420", native.jpeg_encode(base, 90)),
+        ("444", native.jpeg_encode(base, 90, subsample=False)),
+        ("422", b422.getvalue()),
+        ("grey", native.jpeg_encode(
+            np.ascontiguousarray(base[..., :1]), 90)),
+    ]
+    for name, buf in cases:
+        co = native.JpegCoefficients(bytes(buf))
+        full = np.asarray(jpeg_tpu.decode_coefficients(co))
+        w_max, h_max = co.width - crop, co.height - crop
+        # positions: corners, 1-px-in (margin clamp), mid, and the
+        # snap band near the high edge (both axes), odd offsets
+        xs = sorted({0, 1, 2, 17, w_max // 2, w_max - 9, w_max - 1,
+                     w_max})
+        ys = sorted({0, 1, h_max // 2, h_max - 1, h_max})
+        for x in xs:
+            for y in ys:
+                rco, yr, xr = _crop_region(co, crop, x, y)
+                assert xr + crop <= rco.width, (name, x, y)
+                assert yr + crop <= rco.height, (name, x, y)
+                got = np.asarray(jpeg_tpu.decode_coefficients(rco))
+                np.testing.assert_array_equal(
+                    got[yr:yr + crop, xr:xr + crop],
+                    full[y:y + crop, x:x + crop],
+                    err_msg=f"{name} window ({x},{y})")
 
 
 def test_pre_crop_region_shrinks_wire(jpeg_bufs):
@@ -239,8 +290,9 @@ def test_pre_crop_region_shrinks_wire(jpeg_bufs):
         rng.integers(0, 256, (256, 320, 3), np.uint8), 88)]
     cos = [native.JpegCoefficients(b) for b in bufs]
     region, offs = _pre_crop_host(cos, 64, np.random.default_rng(0))
-    assert (region[0].width, region[0].height) == (80, 80)
-    assert offs.shape == (1, 2) and (offs >= 0).all() and (offs < 16).all()
+    # fixed span crop + 2 iMCU (context margin for exact chroma)
+    assert (region[0].width, region[0].height) == (96, 96)
+    assert offs.shape == (1, 2) and (offs >= 0).all() and (offs < 33).all()
     full = sum(c["coefs"].size for c in cos[0].comps)
     small = sum(c["coefs"].size for c in region[0].comps)
     assert small * 8 < full  # >8x fewer coefficients packed/uploaded
