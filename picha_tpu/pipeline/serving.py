@@ -250,9 +250,40 @@ def _race_cache_store(key: str, entry) -> None:
         pass
 
 
+def _parity_vs_host(host_pipe, in_batches, out_batches, width, height):
+    """Mean per-image avg-channel diff (LSB) of a config's encoded
+    outputs vs the strict host path run on the SAME inputs. Both sides
+    are decoded with libjpeg; q-noise is common-mode between two
+    encodes of near-identical pixels, so the measure tracks the
+    pre-encode parity bench.py gates on."""
+    diffs = []
+    for bufs, outs in zip(in_batches, out_batches):
+        refs = host_pipe.host_encode_batch(list(bufs))
+        for got, ref in zip(outs, refs):
+            a = native.jpeg_decode(bytes(got), 3, width, height)
+            b = native.jpeg_decode(bytes(ref), 3, width, height)
+            diffs.append(float(np.abs(a.astype(np.int16)
+                                      - b.astype(np.int16)).mean()))
+    return float(np.mean(diffs)) if diffs else 0.0
+
+
+def _race_cache_key(width, height, quality, configs, depth, strict_lsb):
+    import os
+
+    # the library build is part of the deployment signature: a kernel
+    # speedup in a new version must re-race, not inherit a stale winner
+    from .. import __version__ as _ver
+
+    return "|".join(map(str, (width, height, quality,
+                              ",".join(sorted(configs)),
+                              os.cpu_count() or 1, depth, strict_lsb,
+                              _ver)))
+
+
 def stream_best(batches, *, width, height, quality=85,
                 configs=("host", "host-raw", "gap4+device", "scan+device"),
-                probe_batches=2, depth=2, use_cache=True):
+                probe_batches=2, depth=2, use_cache=True,
+                strict_lsb=None):
     """Self-tuning transcode stream: probe each deployable
     configuration on live traffic, then run the rest of the stream
     through the fastest.
@@ -282,14 +313,23 @@ def stream_best(batches, *, width, height, quality=85,
     filter (close on natural content, not on noise), so it is opt-in
     here; bench.py shows how to gate it on a measured quality check.
 
+    strict_lsb: when set (e.g. 1.0 — the BASELINE north-star clause),
+    every non-host config's probe outputs are additionally compared to
+    the strict host path run on the same inputs, and configs whose
+    measured parity exceeds the bound are disqualified from winning
+    regardless of speed — the bench.py quality gate enforced on LIVE
+    traffic, where it belongs (parity is content-dependent: host-raw
+    measures ~0.6 LSB on photographic corpora but ~1.4 on adversarial
+    out-of-gamut synthetics). A cached winner is spot-checked on its
+    first batch and demoted to a fresh race if the bound no longer
+    holds on current traffic.
+
     The probe's winner persists next to the XLA compile cache keyed by
-    the deployment signature (geometry, quality, configs, host cores),
-    so a process restart goes straight to the winning config instead of
-    re-paying the probe batches; the entry is invalidated if the cached
-    config later fails. Set use_cache=False (or delete
-    .jax_cache/stream_best.json) to force a fresh race."""
-    import os
-    import time
+    the deployment signature (geometry, quality, configs, host cores,
+    strict bound), so a process restart goes straight to the winning
+    config instead of re-paying the probe batches; the entry is
+    invalidated if the cached config later fails. Set use_cache=False
+    (or delete .jax_cache/stream_best.json) to force a fresh race."""
     from itertools import islice
 
     probe_batches = max(1, probe_batches)
@@ -309,59 +349,87 @@ def stream_best(batches, *, width, height, quality=85,
                               upload=upload, host_raw=True)
         return p, (lambda bs: p.stream_hybrid(bs, depth=depth))
 
-    # the library build is part of the deployment signature: a kernel
-    # speedup in a new version must re-race, not inherit a stale winner
-    from .. import __version__ as _ver
-
-    cache_key = "|".join(map(str, (width, height, quality,
-                                   ",".join(sorted(configs)),
-                                   os.cpu_count() or 1, depth, _ver)))
+    cache_key = _race_cache_key(width, height, quality, configs, depth,
+                                strict_lsb)
     cached = _race_cache_load(cache_key) if use_cache else None
     it = iter(batches)
     if cached and cached.get("best") in set(configs) | {"host"}:
         best = cached["best"]
-        pipe, runner = make(best)
-        # replay tap: remember batches handed to the runner but not yet
-        # yielded as results (all runners yield in input order), so a
-        # cached-winner failure replays its in-flight batches through
-        # the host path instead of dropping them — the same
-        # nothing-is-ever-dropped guarantee the race path gives
-        import collections
-
-        tap = collections.deque()
-
-        def tapped():
-            for b in it:
-                tap.append(b)
-                yield b
-
-        try:
-            try:
-                for out in runner(tapped()):
-                    if tap:
-                        tap.popleft()
-                    yield out
-                return
-            except GeneratorExit:
-                # abandoned generator: the outer finally still closes
-                # the pipe (it used to leak its 8-thread pool here)
-                raise
-            except Exception:
-                # the cached winner no longer works in this deployment
-                # — forget it, replay its in-flight batches on the host
-                # path, and finish the rest of the stream there too
-                _race_cache_store(cache_key, None)
-                hp, host_run = make("host")
-                from itertools import chain
-
+        if strict_lsb is not None and best != "host":
+            # spot-check the cached winner's parity on CURRENT traffic
+            # before trusting it for the whole stream: peek one batch,
+            # run it through both the winner and the strict host path,
+            # and demote to a fresh race on violation (the host outputs
+            # for the peeked batch are yielded — they are strict by
+            # definition, so nothing non-compliant ever leaves).
+            first = next(it, None)
+            if first is not None:
+                first = list(first)
+                wp, _wr = make(best)
+                hp, _hr = make("host")
                 try:
-                    for out in host_run(chain(list(tap), it)):
-                        yield out
+                    try:
+                        wouts = next(iter(wp.stream_host([first]))) \
+                            if "+" not in best else wp(first)
+                        houts = hp.host_encode_batch(first)
+                        lsb = _parity_vs_host(hp, [first], [wouts],
+                                              width, height)
+                    except Exception:  # noqa: BLE001 — winner broken
+                        lsb = float("inf")
+                        houts = hp.host_encode_batch(first)
                 finally:
+                    wp.close()
                     hp.close()
-                return
-        finally:
-            pipe.close()
+                yield houts
+                if lsb > strict_lsb:
+                    _race_cache_store(cache_key, None)
+                    cached = None
+        if cached:
+            pipe, runner = make(best)
+            # replay tap: remember batches handed to the runner but not
+            # yet yielded as results (all runners yield in input
+            # order), so a cached-winner failure replays its in-flight
+            # batches through the host path instead of dropping them —
+            # the same nothing-is-ever-dropped guarantee the race path
+            # gives
+            import collections
+
+            tap = collections.deque()
+
+            def tapped():
+                for b in it:
+                    tap.append(b)
+                    yield b
+
+            try:
+                try:
+                    for out in runner(tapped()):
+                        if tap:
+                            tap.popleft()
+                        yield out
+                    return
+                except GeneratorExit:
+                    # abandoned generator: the outer finally still
+                    # closes the pipe (it used to leak its 8-thread
+                    # pool here)
+                    raise
+                except Exception:
+                    # the cached winner no longer works in this
+                    # deployment — forget it, replay its in-flight
+                    # batches on the host path, and finish the rest of
+                    # the stream there too
+                    _race_cache_store(cache_key, None)
+                    hp, host_run = make("host")
+                    from itertools import chain
+
+                    try:
+                        for out in host_run(chain(list(tap), it)):
+                            yield out
+                    finally:
+                        hp.close()
+                    return
+            finally:
+                pipe.close()
 
     host_pipe, host_runner = make("host")
     rates = {}
@@ -369,7 +437,8 @@ def stream_best(batches, *, width, height, quality=85,
     try:
         yield from _race_and_run(it, configs, winners, rates, make,
                                  host_runner, cache_key, use_cache,
-                                 probe_batches, depth)
+                                 probe_batches, depth, strict_lsb,
+                                 width, height)
     finally:
         # idempotent closes: losers were already closed after the race;
         # this covers abandonment at ANY yield (the probe-phase yields
@@ -379,10 +448,12 @@ def stream_best(batches, *, width, height, quality=85,
 
 
 def _race_and_run(it, configs, winners, rates, make, host_runner,
-                  cache_key, use_cache, probe_batches, depth):
+                  cache_key, use_cache, probe_batches, depth,
+                  strict_lsb=None, width=None, height=None):
     import time
     from itertools import islice
 
+    parities = {}
     for config in configs:
         if config == "host":
             pipe, runner = winners["host"]
@@ -416,6 +487,15 @@ def _race_and_run(it, configs, winners, rates, make, host_runner,
                 # configs' probe chunks
                 rates[config] = sum(len(o) for o in outs) / max(
                     time.perf_counter() - t0, 1e-9)
+                if strict_lsb is not None and config != "host":
+                    # quality gate on LIVE traffic: measured outside
+                    # the timed window (one-time probe cost), a config
+                    # over the bound cannot win no matter how fast
+                    lsb = _parity_vs_host(winners["host"][0], chunk,
+                                          outs, width, height)
+                    parities[config] = round(lsb, 3)
+                    if lsb > strict_lsb:
+                        del rates[config]
         except Exception:  # noqa: BLE001 — config loses; replay on host
             if config == "host":
                 raise
@@ -429,10 +509,12 @@ def _race_and_run(it, configs, winners, rates, make, host_runner,
             break
     best = max(rates, key=rates.get) if rates else "host"
     if use_cache and rates:
-        _race_cache_store(cache_key, {
-            "best": best,
-            "rates": {k: round(v, 3) for k, v in rates.items()},
-            "saved_at": time.time()})
+        entry = {"best": best,
+                 "rates": {k: round(v, 3) for k, v in rates.items()},
+                 "saved_at": time.time()}
+        if parities:
+            entry["parity_lsb"] = parities
+        _race_cache_store(cache_key, entry)
     for config, (pipe, _r) in winners.items():
         if config != best:
             pipe.close()

@@ -292,6 +292,112 @@ def test_stream_best_persists_winner(tmp_path, monkeypatch):
     assert cache2[key]["saved_at"] == entry["saved_at"]  # not re-raced
 
 
+def _hostile_stream_bufs(n, w=192, h=160):
+    """Small version of bench._hostile_images: 32px block mosaics +
+    4px band-limited noise — content where the raw-domain transcode's
+    YCbCr resize measurably diverges (>1 LSB) from the staged path."""
+    from picha_tpu.native import lib as native
+
+    r = np.random.default_rng(1234)
+    out = []
+    for i in range(n):
+        if i % 2 == 0:
+            t = r.integers(0, 256, (h // 32, w // 32, 3)).astype(np.float32)
+            img = np.kron(t, np.ones((32, 32, 1), np.float32))
+        else:
+            g = r.normal(0, 1, (h // 4, w // 4, 3)).astype(np.float32)
+            img = 127 + 45 * np.kron(g, np.ones((4, 4, 1), np.float32))
+        out.append(bytes(native.jpeg_encode(
+            np.clip(img, 0, 255).astype(np.uint8), 85)))
+    return out
+
+
+def _natural_stream_bufs(n, w=192, h=160):
+    from picha_tpu.native import lib as native
+
+    r = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    out = []
+    for i in range(n):
+        img = np.clip(np.stack([128 + 70 * np.sin(xx / 11 + i),
+                                128 + 60 * np.cos(yy / 13),
+                                128 + 50 * np.sin((xx + yy) / 17)], -1)
+                      + r.normal(0, 4, (h, w, 3)), 0, 255).astype(np.uint8)
+        out.append(bytes(native.jpeg_encode(img, 85)))
+    return out
+
+
+def test_stream_best_strict_gate_disqualifies(tmp_path, monkeypatch):
+    """With strict_lsb set, a config whose live-traffic parity exceeds
+    the bound cannot win the race no matter how fast it probes: on the
+    hostile corpus host-raw measures ~1.35 LSB vs the staged path, so
+    the winner must be host and the measured parity must be recorded."""
+    import json
+
+    from picha_tpu.pipeline import serving
+
+    monkeypatch.setenv("PICHA_COMPILE_CACHE_DIR", str(tmp_path))
+    bufs = _hostile_stream_bufs(6)
+    batches = [bufs[i:i + 3] for i in range(0, 6, 3)] * 3
+    outs = list(serving.stream_best(
+        iter(batches), width=96, height=80, quality=85,
+        configs=("host", "host-raw"), probe_batches=1, strict_lsb=1.0))
+    assert len(outs) == len(batches)
+    assert sum(len(o) for o in outs) == sum(len(b) for b in batches)
+    cache = json.loads((tmp_path / "stream_best.json").read_text())
+    (_, entry), = cache.items()
+    assert entry["best"] == "host"
+    assert entry["parity_lsb"]["host-raw"] > 1.0
+    assert "host-raw" not in entry["rates"]  # disqualified, not slow
+
+
+def test_stream_best_strict_gate_admits_on_natural(tmp_path, monkeypatch):
+    """Same bound on photographic content: host-raw measures well
+    under 1 LSB and stays in the race (rates + parity recorded)."""
+    import json
+
+    from picha_tpu.pipeline import serving
+
+    monkeypatch.setenv("PICHA_COMPILE_CACHE_DIR", str(tmp_path))
+    bufs = _natural_stream_bufs(6)
+    batches = [bufs[i:i + 3] for i in range(0, 6, 3)] * 3
+    outs = list(serving.stream_best(
+        iter(batches), width=96, height=80, quality=85,
+        configs=("host", "host-raw"), probe_batches=1, strict_lsb=1.0))
+    assert len(outs) == len(batches)
+    cache = json.loads((tmp_path / "stream_best.json").read_text())
+    (_, entry), = cache.items()
+    assert entry["parity_lsb"]["host-raw"] < 1.0
+    assert "host-raw" in entry["rates"]
+
+
+def test_stream_best_cached_winner_spot_check(tmp_path, monkeypatch):
+    """A cached winner is parity-spot-checked on current traffic: seed
+    the cache with best=host-raw, stream the hostile corpus with
+    strict_lsb=1.0 — the spot check must demote it, the stream must
+    still deliver every batch, and the re-race must record host."""
+    import json
+
+    from picha_tpu.pipeline import serving
+
+    monkeypatch.setenv("PICHA_COMPILE_CACHE_DIR", str(tmp_path))
+    key = serving._race_cache_key(96, 80, 85, ("host", "host-raw"), 2, 1.0)
+    serving._race_cache_store(key, {"best": "host-raw",
+                                    "rates": {"host-raw": 999.0},
+                                    "saved_at": 0.0})
+    bufs = _hostile_stream_bufs(6)
+    batches = [bufs[i:i + 3] for i in range(0, 6, 3)] * 4
+    outs = list(serving.stream_best(
+        iter(batches), width=96, height=80, quality=85,
+        configs=("host", "host-raw"), probe_batches=1, strict_lsb=1.0))
+    assert len(outs) == len(batches)
+    assert sum(len(o) for o in outs) == sum(len(b) for b in batches)
+    cache = json.loads((tmp_path / "stream_best.json").read_text())
+    entry = cache[key]
+    assert entry["best"] == "host"          # re-raced after demotion
+    assert entry["saved_at"] != 0.0
+
+
 def test_dp_sharded_jpeg_batch_graph():
     """The fused decode+resize bucket graph under a dp-sharded
     coefficient batch equals the unsharded result."""
