@@ -20,16 +20,41 @@ constexpr int kMaxCode = 4094;  // encoder clears before table overflows
 struct BitReaderMSB {
   const uint8_t* p;
   size_t len, pos = 0;
-  uint32_t acc = 0;
+  uint64_t acc = 0;  // top `nbits` bits valid (left-aligned)
   int nbits = 0;
   BitReaderMSB(const uint8_t* d, size_t n) : p(d), len(n) {}
   int read(int width) {
-    while (nbits < width) {
-      if (pos >= len) return -1;
-      acc = (acc << 8) | p[pos++];
-      nbits += 8;
+    if (nbits < width) {
+      if (pos + 8 <= len) {
+        // bulk refill: one 8-byte byteswapped load tops the
+        // accumulator up to >= 56 bits (one load per ~6 codes instead
+        // of a bounds-checked byte per iteration — same trick as the
+        // jpegentropy refill)
+        uint64_t w;
+        memcpy(&w, p + pos, 8);
+#if defined(__GNUC__) || defined(__clang__)
+        w = __builtin_bswap64(w);
+#else
+        w = ((w & 0xffull) << 56) | ((w & 0xff00ull) << 40) |
+            ((w & 0xff0000ull) << 24) | ((w & 0xff000000ull) << 8) |
+            ((w >> 8) & 0xff000000ull) | ((w >> 24) & 0xff0000ull) |
+            ((w >> 40) & 0xff00ull) | (w >> 56);
+#endif
+        int take = (64 - nbits) >> 3;  // whole bytes that fit
+        uint64_t ins = (w >> nbits) & (~0ull << (64 - nbits - 8 * take));
+        acc |= ins;
+        nbits += 8 * take;
+        pos += (size_t)take;
+      } else {
+        while (nbits < width) {
+          if (pos >= len) return -1;
+          acc |= (uint64_t)p[pos++] << (56 - nbits);
+          nbits += 8;
+        }
+      }
     }
-    int v = (int)((acc >> (nbits - width)) & ((1u << width) - 1));
+    int v = (int)(acc >> (64 - width));
+    acc <<= width;
     nbits -= width;
     return v;
   }
