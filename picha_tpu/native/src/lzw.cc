@@ -191,11 +191,16 @@ PICHA_API int picha_lzw_decode_multi(const uint8_t* src,
 
 PICHA_API int picha_lzw_encode(const uint8_t* src, size_t srclen, uint8_t** out,
                                size_t* outlen) {
-  // hash-table keyed (prefix_code << 8 | byte) -> code
+  // hash-table keyed (prefix_code << 8 | byte) -> code; dictionary
+  // clears bump a generation stamp instead of memsetting the table
+  // (noise-heavy strips clear every ~4 KB — a 64 KB fill per clear
+  // dominated the encode)
   constexpr int kHashSize = 1 << 14;
   std::vector<int32_t> hash_key(kHashSize, -1);
   std::vector<int16_t> hash_val(kHashSize, 0);
-  auto clear_table = [&]() { std::fill(hash_key.begin(), hash_key.end(), -1); };
+  std::vector<uint32_t> hash_gen(kHashSize, 0);
+  uint32_t gen = 1;
+  auto clear_table = [&]() { ++gen; };
 
   BitWriterMSB bw;
   bw.out.reserve(srclen / 2 + 64);
@@ -203,7 +208,6 @@ PICHA_API int picha_lzw_encode(const uint8_t* src, size_t srclen, uint8_t** out,
   int next = kFirst;
 
   bw.write(kClear, width);
-  clear_table();
 
   size_t i = 0;
   int cur = -1;
@@ -216,7 +220,7 @@ PICHA_API int picha_lzw_encode(const uint8_t* src, size_t srclen, uint8_t** out,
     int32_t key = (cur << 8) | c;
     int slot = (int)((key * 0x9E3779B1u) >> 18) & (kHashSize - 1);
     int found = -1;
-    while (hash_key[slot] != -1) {
+    while (hash_gen[slot] == gen) {
       if (hash_key[slot] == key) {
         found = hash_val[slot];
         break;
@@ -229,6 +233,7 @@ PICHA_API int picha_lzw_encode(const uint8_t* src, size_t srclen, uint8_t** out,
       bw.write(cur, width);
       hash_key[slot] = key;
       hash_val[slot] = (int16_t)next;
+      hash_gen[slot] = gen;
       ++next;
       // see decoder note: encoder widens at (1<<w)
       if (next == (1 << width) && width < 12) ++width;
