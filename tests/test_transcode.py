@@ -36,6 +36,34 @@ def test_transcode_fast_path_close_to_staged():
     assert np.abs(a - b).mean() <= 1.0
 
 
+def test_transcode_progressive_source():
+    """Progressive (SOF2) INPUTS go through the raw-domain fast path —
+    libjpeg's raw mode handles them — with the same <=1 LSB parity vs
+    the staged decode->resize->encode as baseline sources."""
+    import io
+
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:160, 0:192].astype(np.float32)
+    base = 127 + 60 * np.sin(xx / 13) + 40 * np.cos(yy / 9)
+    arr = np.clip(np.stack([base, 255 - base, base * 0.6 + 40], -1)
+                  + rng.normal(0, 4, (160, 192, 3)), 0, 255).astype(np.uint8)
+    b = io.BytesIO()
+    PILImage.fromarray(arr).save(b, "JPEG", quality=88, progressive=True)
+    buf = b.getvalue()
+    assert b"\xff\xc2" in buf[:600]   # really progressive
+    out = picha.transcodeJpegSync(buf, {"width": 96, "height": 80})
+    st = picha.statJpeg(out)
+    assert (st["width"], st["height"]) == (96, 80)
+    staged = picha.encodeJpegSync(
+        picha.resizeSync(picha.decodeJpegSync(buf),
+                         {"width": 96, "height": 80}), {"quality": 85})
+    a = native.jpeg_decode(bytes(out), 3, 96, 80).astype(int)
+    c = native.jpeg_decode(bytes(staged), 3, 96, 80).astype(int)
+    assert np.abs(a - c).mean() <= 1.0
+
+
 def test_transcode_fallback_grey_matches_staged_path():
     buf = _jpeg(grey=True)
     out = picha.transcodeJpegSync(buf, {"width": 100, "height": 80,
