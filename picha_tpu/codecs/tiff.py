@@ -511,8 +511,16 @@ def decode(buf: bytes, opts: dict) -> Image:
         if bits == 16:
             return (x >> 8).astype(np.uint8)
         if bits == 8:
-            return x.astype(np.uint8)
+            # already uint8 — callers concatenate/stack (which copies),
+            # so no defensive copy here
+            return x if x.dtype == np.uint8 else x.astype(np.uint8)
         return ((x.astype(np.uint16) * 255) // maxv).astype(np.uint8)
+
+    if photometric == 2 and bits == 8 and spp == 4 \
+            and samples.dtype == np.uint8:
+        # common RGBA fast path: _segments already produced the exact
+        # (h, w, 4) uint8 canvas — skip the slice/concat copies
+        return Image.from_array(_orient(samples, orientation), "rgba")
 
     if photometric in (0, 1):  # grayscale
         grey = to8(samples[:, :, 0])
