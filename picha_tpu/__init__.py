@@ -188,8 +188,9 @@ if "image/jpeg" in catalog:
     def transformJpegSync(buf, opts: dict) -> bytes:
         """Lossless coefficient-domain transform (beyond-reference API;
         jpegtran's feature class): transpose / fliph / flipv / rot90 /
-        rot180 / rot270 without requantisation. See codecs/jpeg.py
-        transform and ops/jpeg_transform.py."""
+        rot180 / rot270 / transverse / crop / autoOrient (EXIF) without
+        requantisation; copyMarkers carries EXIF/ICC/XMP through. See
+        codecs/jpeg.py transform and ops/jpeg_transform.py."""
         from .codecs import jpeg as _jpeg
         from .runtime import metrics
 

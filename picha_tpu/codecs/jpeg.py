@@ -54,6 +54,20 @@ def decode(buf: bytes, opts: dict) -> Image:
     if st is None:
         raise CodecError("not a JPEG file")
     w, h, ch = st
+    if opts.get("autoOrient", opts.get("auto_orient", False)):
+        # pixel-domain EXIF auto-orient (extension; the TIFF codec
+        # already normalises orientations 1-8 the same way via
+        # TIFFReadRGBAImageOriented parity). Lossless alternative:
+        # transformJpeg op='autoOrient'.
+        from . import jpeg_markers
+        from .tiff import _orient
+
+        orient = jpeg_markers.exif_orientation(buf) or 1
+        if orient != 1:
+            img = decode(buf, {k: v for k, v in opts.items()
+                               if k not in ("autoOrient", "auto_orient")})
+            arr = np.ascontiguousarray(_orient(img.to_array(), orient))
+            return Image.from_array(arr, img.pixel)
     try:
         denom = int(opts.get("scaleDenom", opts.get("scale_denom", 1)))
     except (TypeError, ValueError) as e:
@@ -157,9 +171,14 @@ def transcode(buf: bytes, opts: dict) -> bytes:
     native path (ops/raw420.py — one crossing, int16 AVX2 banded
     resize, measured ≤1 LSB of the staged path on photographic
     content); anything else falls back to decode -> resize -> encode
-    with identical option semantics."""
+    with identical option semantics.
+
+    copyMarkers (default False): carry the source's COM/APP1..APP15
+    metadata segments (EXIF, ICC, XMP) into the output — jpegtran
+    -copy all semantics (codecs/jpeg_markers.py)."""
     from ..ops.raw420 import transcode_raw420
     from ..ops.resize import parse_resize_options
+    from . import jpeg_markers
 
     try:
         w, h = int(opts["width"]), int(opts["height"])
@@ -180,12 +199,21 @@ def transcode(buf: bytes, opts: dict) -> bytes:
     if restart < 0:  # same validation as encode(), path-independent
         raise InvalidOptionsError("restartInterval must be >= 0")
     progressive = bool(opts.get("progressive", False))
+    copy_markers = bool(opts.get("copyMarkers",
+                                 opts.get("copy_markers", False)))
+
+    def finish(out):
+        if copy_markers:
+            return jpeg_markers.splice_markers(
+                out, jpeg_markers.copyable_markers(bytes(buf)))
+        return out
+
     fname, fscale = parse_resize_options(opts)
     if not progressive:  # the raw-domain fast path emits baseline scans
         out = transcode_raw420(buf, w, h, fname, fscale, quality,
                                restart=restart)
         if out is not None:
-            return out
+            return finish(out)
     from ..ops.resize import resize_image
 
     img = decode(buf, {})
@@ -193,9 +221,9 @@ def transcode(buf: bytes, opts: dict) -> bytes:
                                **{k: opts[k] for k in
                                   ("filter", "filterScale", "filter_scale")
                                   if k in opts}})
-    return encode(small, {"quality": quality,
-                          "restartInterval": restart,
-                          "progressive": progressive})
+    return finish(encode(small, {"quality": quality,
+                                 "restartInterval": restart,
+                                 "progressive": progressive}))
 
 
 def transform(buf: bytes, opts: dict) -> bytes:
@@ -204,19 +232,38 @@ def transform(buf: bytes, opts: dict) -> bytes:
     and the trim semantics).
 
     opts: op ('transpose' | 'fliph' | 'flipv' | 'rot90' | 'rot180' |
-    'rot270' | 'crop'), perfect (raise instead of iMCU-snapping,
-    default False), optimize (Huffman-optimized output scan),
-    restartInterval; crop additionally takes x, y, width, height
-    (origin snaps down to the iMCU grid, jpegtran -crop)."""
+    'rot270' | 'transverse' | 'crop' | 'autoOrient'), perfect (raise
+    instead of iMCU-snapping, default False), optimize
+    (Huffman-optimized output scan), restartInterval; crop additionally
+    takes x, y, width, height (origin snaps down to the iMCU grid,
+    jpegtran -crop). 'autoOrient' reads the EXIF orientation and
+    applies the lossless transform that makes the image upright
+    (no-op passthrough when already upright or untagged).
+
+    copyMarkers (default False): carry the source's COM/APP1..APP15
+    metadata segments (EXIF, ICC, XMP) into the output, jpegtran
+    -copy all semantics; autoOrient additionally resets the copied
+    EXIF orientation tag to 1 so viewers don't rotate twice."""
     from ..ops.jpeg_transform import (OPS, crop_coefficients,
                                       transform_coefficients)
+    from . import jpeg_markers
 
     # validate the options BEFORE the entropy decode (the dominant
     # cost) so invalid requests fail for free
     op = opts.get("op")
+    copy_markers = bool(opts.get("copyMarkers",
+                                 opts.get("copy_markers", False)))
+    auto_oriented = False
+    if op in ("autoOrient", "auto_orient"):
+        orient = jpeg_markers.exif_orientation(bytes(buf))
+        op = jpeg_markers.ORIENT_OPS.get(orient or 1)
+        if op is None:
+            return bytes(buf)  # already upright: lossless passthrough
+        auto_oriented = True
     if op != "crop" and op not in OPS:
         raise InvalidOptionsError(
-            f"unknown transform op {op!r}; one of {sorted(OPS) + ['crop']}")
+            f"unknown transform op {op!r}; one of "
+            f"{sorted(OPS) + ['crop', 'autoOrient']}")
     perfect = bool(opts.get("perfect", False))
     try:
         restart = int(opts.get("restartInterval",
@@ -242,9 +289,15 @@ def transform(buf: bytes, opts: dict) -> bytes:
     # preserve the source colorspace tag: RGB-tagged files (Adobe
     # transform=0 / 'R','G','B' ids) must come back out RGB-tagged or
     # decoders would apply the YCbCr matrix to untransformed planes
-    return native.jpeg_coef_write(
+    out = native.jpeg_coef_write(
         w, h, comps, optimize_huffman=bool(opts.get("optimize", False)),
         restart=restart, color_space=co.color_space)
+    if copy_markers:
+        segs = jpeg_markers.copyable_markers(bytes(buf))
+        if auto_oriented:
+            segs = jpeg_markers.reset_exif_orientation(segs)
+        out = jpeg_markers.splice_markers(out, segs)
+    return out
 
 
 class JpegCodec:

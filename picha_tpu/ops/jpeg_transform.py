@@ -46,6 +46,7 @@ OPS = {
     "rot90": ("t", "h"),    # clockwise
     "rot180": ("h", "v"),
     "rot270": ("t", "v"),   # counter-clockwise
+    "transverse": ("t", "h", "v"),  # anti-diagonal mirror (jpegtran)
 }
 
 

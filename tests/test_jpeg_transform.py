@@ -16,7 +16,8 @@ import picha_tpu as picha
 from picha_tpu.errors import CodecError, InvalidOptionsError
 from picha_tpu.native import lib as native
 
-OPS = ["transpose", "fliph", "flipv", "rot90", "rot180", "rot270"]
+OPS = ["transpose", "fliph", "flipv", "rot90", "rot180", "rot270",
+       "transverse"]
 
 NP_OP = {
     "transpose": lambda a: np.transpose(a, (1, 0, 2)),
@@ -25,10 +26,12 @@ NP_OP = {
     "rot90": lambda a: np.rot90(a, -1, (0, 1)),   # clockwise
     "rot180": lambda a: a[::-1, ::-1],
     "rot270": lambda a: np.rot90(a, 1, (0, 1)),
+    "transverse": lambda a: np.transpose(a, (1, 0, 2))[::-1, ::-1],
 }
 
 INVERSE = {"transpose": "transpose", "fliph": "fliph", "flipv": "flipv",
-           "rot90": "rot270", "rot180": "rot180", "rot270": "rot90"}
+           "rot90": "rot270", "rot180": "rot180", "rot270": "rot90",
+           "transverse": "transverse"}
 
 
 def _photo(h, w, seed=0):
@@ -240,3 +243,130 @@ def test_sync_async_identical():
         time.sleep(0.02)
     err, out = done[0]
     assert err is None and bytes(out) == bytes(want)
+
+
+# ---------------------------------------------------------------------------
+# EXIF auto-orient + metadata marker preservation (codecs/jpeg_markers.py)
+# ---------------------------------------------------------------------------
+
+def _exif_jpeg(arr, orientation, quality=90, **save_kw):
+    import io
+
+    from PIL import Image as PILImage
+
+    exif = PILImage.Exif()
+    exif[0x0112] = orientation
+    b = io.BytesIO()
+    PILImage.fromarray(arr).save(b, "JPEG", quality=quality,
+                                 exif=exif.tobytes(), **save_kw)
+    return b.getvalue()
+
+
+@pytest.mark.parametrize("orient", list(range(1, 9)))
+def test_auto_orient_lossless(orient):
+    """op='autoOrient' reads the EXIF tag and applies the lossless
+    transform that makes the image upright — pixel oracle is the TIFF
+    codec's _orient (the same orientation enumeration)."""
+    from picha_tpu.codecs.tiff import _orient
+
+    arr = _photo(48, 64, seed=7)  # iMCU-aligned: no trim on any op
+    buf = _exif_jpeg(arr, orient)
+    out = picha.transformJpegSync(buf, {"op": "autoOrient",
+                                        "perfect": True})
+    if orient == 1:
+        assert bytes(out) == bytes(buf)  # upright: exact passthrough
+        return
+    got = np.asarray(picha.decodeJpegSync(out).to_array())
+    base = np.asarray(picha.decodeJpegSync(buf).to_array())
+    want = _orient(base, orient)
+    assert got.shape == want.shape, orient
+    assert np.abs(got.astype(int) - want.astype(int)).mean() <= 0.5
+
+
+def test_auto_orient_matches_pil_exif_transpose():
+    """Cross-oracle: PIL.ImageOps.exif_transpose agrees on the final
+    geometry and content."""
+    import io
+
+    from PIL import Image as PILImage, ImageOps
+
+    arr = _photo(48, 64, seed=8)
+    buf = _exif_jpeg(arr, 6)
+    out = picha.transformJpegSync(buf, {"op": "autoOrient"})
+    got = np.asarray(picha.decodeJpegSync(out).to_array())
+    want = np.asarray(ImageOps.exif_transpose(
+        PILImage.open(io.BytesIO(buf))))
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).mean() <= 1.5
+
+
+def test_copy_markers_and_orientation_reset():
+    """copyMarkers carries EXIF/ICC through transform and transcode;
+    autoOrient resets the copied orientation tag to 1 (viewers must
+    not rotate twice); default behavior still strips metadata."""
+    from picha_tpu.codecs import jpeg_markers
+
+    arr = _photo(48, 64, seed=9)
+    icc = b"\x00\x01fake-profile-bytes" * 3
+    buf = _exif_jpeg(arr, 6, icc_profile=icc)
+    assert jpeg_markers.exif_orientation(buf) == 6
+
+    out = picha.transformJpegSync(buf, {"op": "autoOrient",
+                                        "copyMarkers": True})
+    assert jpeg_markers.exif_orientation(out) == 1  # reset after rotate
+    kinds = [m for m, _s, _t in jpeg_markers.iter_segments(bytes(out))]
+    assert 0xE2 in kinds  # ICC APP2 survived
+
+    t = picha.transcodeJpegSync(buf, {"width": 32, "height": 24,
+                                      "copyMarkers": True})
+    assert jpeg_markers.exif_orientation(t) == 6  # copied verbatim
+    kinds = [m for m, _s, _t in jpeg_markers.iter_segments(bytes(t))]
+    assert 0xE1 in kinds and 0xE2 in kinds
+    st = picha.statJpeg(t)
+    assert (st["width"], st["height"]) == (32, 24)
+
+    # defaults unchanged: metadata stripped
+    t2 = picha.transcodeJpegSync(buf, {"width": 32, "height": 24})
+    assert jpeg_markers.exif_orientation(t2) is None
+    out2 = picha.transformJpegSync(buf, {"op": "rot90"})
+    assert jpeg_markers.exif_orientation(out2) is None
+
+
+def test_auto_orient_decode_option():
+    """decodeJpeg autoOrient applies the EXIF orientation in the pixel
+    domain — bit-exact vs orienting the plain decode."""
+    from picha_tpu.codecs.tiff import _orient
+
+    arr = _photo(48, 64, seed=10)
+    buf = _exif_jpeg(arr, 8)
+    img = picha.decodeJpegSync(buf, {"autoOrient": True})
+    base = np.asarray(picha.decodeJpegSync(buf).to_array())
+    np.testing.assert_array_equal(np.asarray(img.to_array()),
+                                  _orient(base, 8))
+    assert (img.width, img.height) == (48, 64)  # axes swapped
+    plain = picha.decodeJpegSync(buf)
+    assert (plain.width, plain.height) == (64, 48)
+
+
+def test_malformed_exif_never_crashes():
+    """Corrupted EXIF payloads: orientation reads as None/int, never an
+    exception; autoOrient degrades to passthrough or a valid output."""
+    from picha_tpu.codecs import jpeg_markers
+
+    arr = _photo(32, 32, seed=11)
+    buf = bytearray(_exif_jpeg(arr, 6))
+    segs = [(m, s, t) for m, s, t in jpeg_markers.iter_segments(bytes(buf))
+            if m == 0xE1]
+    assert segs
+    _m, s, t = segs[0]
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        mut = bytearray(buf)
+        for _k in range(int(rng.integers(1, 6))):
+            mut[int(rng.integers(s + 4, s + t))] = int(rng.integers(0, 256))
+        o = jpeg_markers.exif_orientation(bytes(mut))
+        assert o is None or 1 <= o <= 8
+        try:
+            picha.transformJpegSync(bytes(mut), {"op": "autoOrient"})
+        except picha.errors.CodecError:
+            pass  # scan corruption is allowed to fail typed
