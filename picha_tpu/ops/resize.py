@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 
@@ -366,16 +367,24 @@ def resize_array(arr: np.ndarray, width: int, height: int,
     name, fscale = parse_resize_options(opts)
     if _host_cheap(arr, width, height) and not _is_jax_array(arr):
         return _resize_numpy(np.asarray(arr), width, height, name, fscale)
-    cpu_dev = _single_image_cpu_device(arr)
-    if cpu_dev is not None:
-        # single host image on an accelerator platform: the per-call
-        # transfer (6 MB at ~25 MB/s on this tunnel) dwarfs the compute;
-        # use the native C++ separable resize (reference resizeSync is a
-        # single-threaded host call, resize.cc:367-403), falling back to
-        # the identical jitted graph on XLA:CPU
+    if not _is_jax_array(arr) and arr.ndim == 3 \
+            and os.environ.get("PICHA_SYNC_ON_DEVICE") != "1":
+        # single host image: the native C++ separable resize (the
+        # reference resizeSync's own architecture, resize.cc:367-403)
+        # beats the jitted graph on EVERY backend — XLA:CPU measured
+        # ~13x slower per image, and an accelerator behind this tunnel
+        # pays a ~350 ms transfer round trip. Regression note: this
+        # used to be reachable only when a separate CpuDevice existed,
+        # so CPU-default platforms (and the PICHA_NO_DEVICE outage
+        # mode) silently took the slow graph — p50 16 -> 70 ms.
         out = _resize_native(np.asarray(arr), width, height, name, fscale)
         if out is not None:
             return out
+    cpu_dev = _single_image_cpu_device(arr)
+    if cpu_dev is not None:
+        # accelerator platform, native lib unavailable: run the
+        # identical jitted graph on XLA:CPU rather than paying the
+        # device transfer
         import jax
 
         with jax.default_device(cpu_dev):
