@@ -324,26 +324,55 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         violations.append(
             f"host-raw parity {diffs['host-raw']:.3f} LSB > 1.0")
 
-    # hostile-content parity, REPORTED not gated: block mosaics + 4px
-    # noise put heavy spectral energy at the half-grid Nyquist and many
-    # out-of-gamut colours. Measured (LSB): host-fast ~2.7 (the 4x4
-    # draft IDCT truncates what no filter can recover) and host-raw
-    # ~1.4 (structural: the raw-domain chain resizes YCbCr without the
-    # staged path's intermediate RGB clipping, so on out-of-gamut
-    # synthetic colours the two references genuinely diverge — neither
-    # is "wrong", but the staged path is the parity oracle). This row
-    # is exactly why the headline gate measures parity on the actual
-    # corpus every run instead of trusting any fast path blindly.
+    # hostile-content parity, REPORTED not gated, WITH ATTRIBUTION:
+    # block mosaics + 4px noise put heavy spectral energy at the
+    # half-grid Nyquist and many out-of-gamut colours. host-fast
+    # measures ~2.7 LSB there (the 4x4 draft IDCT truncates what no
+    # filter can recover). host-raw measures ~1.4 — which is AT/BELOW
+    # the dust-control floor published next to it: the SAME staged
+    # pre-encode image perturbed by sub-LSB dust and re-encoded at q85
+    # lands 1.1-2.2 LSB from the un-dusted encode on this content
+    # (quantisation amplification any non-bit-identical pipeline pays;
+    # the raw path tracks the pure linear composition to <=0.25 LSB in
+    # the plane domain — tests/test_raw420.py pins both). The gamut
+    # guard (rawguard.cc) separately bounds the one mechanism that
+    # grows without bound (out-of-gamut clamp divergence); it must
+    # never trip on the headline corpus.
     hostile_parity = {}
+    guard_fallbacks = {}
+    hostile_floor = None
     try:
+        from picha_tpu.ops.raw420 import transcode_raw420
+        from picha_tpu.ops.resize import (_resize_native,
+                                          parse_resize_options)
+        fname, fscale = parse_resize_options({})
         hb = _hostile_images(6)
         hrefs = [native.jpeg_decode(bytes(b), 3, out_w, out_h)
                  for b in pn.host_encode_batch(hb)]
         for hc in ("host-raw", "host-fast"):
             hostile_parity[hc] = round(
                 config_parity(hb, out_w, out_h, hc, hrefs), 3)
+        rng = np.random.default_rng(0)
+        floors = []
+        for b, ref in zip(hb, hrefs):
+            st = _resize_native(native.jpeg_decode(bytes(b), 3, 1920, 1088),
+                                out_w, out_h, fname, fscale)
+            dust = np.clip(st.astype(np.int16)
+                           + rng.integers(0, 2, st.shape),
+                           0, 255).astype(np.uint8)
+            got = native.jpeg_decode(native.jpeg_encode(
+                np.ascontiguousarray(dust), 85), 3, out_w, out_h)
+            floors.append(np.abs(got.astype(int) - ref.astype(int)).mean())
+        hostile_floor = round(float(np.mean(floors)), 3)
+        for name, corpus in (("hostile", hb), ("corpus", bufs)):
+            guard_fallbacks[name] = sum(
+                transcode_raw420(bytes(b), out_w, out_h, fname, fscale,
+                                 85) is None for b in corpus)
         log(f"hostile-content parity (LSB, reported not gated): "
-            f"{hostile_parity}")
+            f"{hostile_parity}; sub-LSB-dust re-encode floor "
+            f"{hostile_floor}; gamut-guard fallbacks: "
+            f"{guard_fallbacks['hostile']}/{len(hb)} hostile, "
+            f"{guard_fallbacks['corpus']}/{len(bufs)} corpus")
     except Exception as e:  # noqa: BLE001
         log(f"hostile parity check failed: {e}")
     if diffs.get("host-fast", 99.0) >= 2.0:
@@ -382,7 +411,12 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     if not strict:
         violations.append("no strict-parity config available")
         return 0.0, {"config_probes_img_s": probes}, violations
-    winner = max(strict, key=strict.get)
+    # among configs within probe noise (2%) of the fastest, prefer the
+    # one with the tighter measured parity — a 0.1% probe-speed edge is
+    # not worth publishing the config with more corpus divergence
+    best_ips = max(strict.values())
+    near = [c for c in strict if strict[c] >= 0.98 * best_ips]
+    winner = min(near, key=lambda c: (diffs.get(c, 0.0), -strict[c]))
     # device winners: 3 windows x 20 rounds + warmup = 61 dispatches,
     # below the 96-window pool's distinct ring positions. Host winners
     # use SHORT windows, many of them: a 20-round (~1.8 s) window on
@@ -400,6 +434,15 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     d["config_parity_lsb"] = {k: round(v, 3) for k, v in diffs.items()}
     if hostile_parity:
         d["hostile_parity_lsb"] = hostile_parity
+    if hostile_floor is not None:
+        d["hostile_reencode_floor_lsb"] = hostile_floor
+    if guard_fallbacks:
+        d["raw_guard_fallbacks"] = guard_fallbacks
+        if guard_fallbacks.get("corpus", 0) > 0:
+            violations.append(
+                f"gamut guard tripped on {guard_fallbacks['corpus']} "
+                f"bench-corpus images — host-raw would quietly run the "
+                f"staged path")
     fastest_any = max(probes, key=probes.get)
     d["fastest_any_config"] = fastest_any
     d["fastest_any_img_s"] = probes[fastest_any]

@@ -90,9 +90,15 @@ def get_lib():
             lib.picha_jpeg_transcode_raw420.argtypes = (
                 [C.POINTER(C.c_uint8), C.c_size_t, C.c_int, C.c_int,
                  C.c_int, C.c_int] + _wins * 4
-                + [C.c_int, C.c_int, C.POINTER(C.POINTER(C.c_uint8)),
+                + [C.c_int, C.c_int, C.c_double,
+                   C.POINTER(C.POINTER(C.c_uint8)),
                    C.POINTER(C.c_size_t), C.POINTER(C.c_char_p)])
             lib.picha_jpeg_transcode_raw420.restype = C.c_int
+
+            lib.picha_raw420_clip_mass.argtypes = [
+                C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+                C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int]
+            lib.picha_raw420_clip_mass.restype = C.c_double
 
             lib.picha_jpeg_encode_raw420.argtypes = [
                 C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
@@ -441,13 +447,16 @@ def jpeg_encode_raw420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
 
 def jpeg_transcode_raw420(buf: bytes, src_w: int, src_h: int, dst_w: int,
                           dst_h: int, ywin_x, ywin_y, cwin_x, cwin_y,
-                          quality: int, restart: int = 0):
+                          quality: int, restart: int = 0,
+                          gamut_guard: float = 0.0):
     """One native call: raw 4:2:0 decode -> banded resize (i16 kernel,
     f32 fallback) -> raw re-encode, GIL released throughout. Window
     tuples are (starts int32, taps float32 (n, k)) in the
     picha_resize_u8 layout (ops/raw420.py builds and caches them).
     Returns encoded bytes, or None for layouts the raw path doesn't
-    take."""
+    take — including, when gamut_guard > 0, sources whose implied-RGB
+    clip mass exceeds the guard (the raw path's only real divergence
+    from the staged exact path; callers fall back to it)."""
     lib = get_lib()
     src = np.frombuffer(buf, dtype=np.uint8)
     out = C.POINTER(C.c_uint8)()
@@ -462,12 +471,26 @@ def jpeg_transcode_raw420(buf: bytes, src_w: int, src_h: int, dst_w: int,
     rc = lib.picha_jpeg_transcode_raw420(
         _u8ptr(src), src.size, src_w, src_h, dst_w, dst_h,
         *wargs(ywin_x), *wargs(ywin_y), *wargs(cwin_x), *wargs(cwin_y),
-        quality, restart, C.byref(out), C.byref(outlen), C.byref(err))
-    if rc == 1:
+        quality, restart, float(gamut_guard),
+        C.byref(out), C.byref(outlen), C.byref(err))
+    if rc in (1, 2):
         return None
     if rc != 0:
         raise CodecError(take_error(lib, err))
     return take_buffer(lib, out, outlen.value)
+
+
+def raw420_clip_mass(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                     width: int, height: int) -> float:
+    """Mean per-channel LSB by which the implied RGB of padded 4:2:0
+    planes exceeds [0,255] (rawguard.cc; even rows sampled)."""
+    lib = get_lib()
+    y = np.ascontiguousarray(y)
+    cb = np.ascontiguousarray(cb)
+    cr = np.ascontiguousarray(cr)
+    return float(lib.picha_raw420_clip_mass(
+        _u8ptr(y.reshape(-1)), _u8ptr(cb.reshape(-1)),
+        _u8ptr(cr.reshape(-1)), width, height, y.shape[1]))
 
 
 class JpegCoefficients:

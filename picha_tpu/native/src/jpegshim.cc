@@ -338,13 +338,17 @@ PICHA_API int picha_jpeg_encode_raw420(const uint8_t* y, const uint8_t* cb,
 // whole transcode concurrently. Window tables arrive from Python
 // (ops/raw420.py caches them per geometry). Returns 1 (no error
 // string) for layouts the raw path doesn't take — caller falls back.
+// gamut_guard > 0 enables the clip-mass check (rawguard.cc): sources
+// whose implied RGB clips more than `gamut_guard` LSB on average —
+// the regime where the raw path's linearity diverges from the staged
+// path's mid-pipeline clamp — return 2 so callers take the exact path.
 PICHA_API int picha_jpeg_transcode_raw420(
     const uint8_t* src, size_t len, int src_w, int src_h, int dst_w,
     int dst_h, const int32_t* yxs, const float* yxw, int yxk,
     const int32_t* yys, const float* yyw, int yyk, const int32_t* cxs,
     const float* cxw, int cxk, const int32_t* cys, const float* cyw,
-    int cyk, int quality, int restart_mcus, uint8_t** out,
-    size_t* outlen, char** err) {
+    int cyk, int quality, int restart_mcus, double gamut_guard,
+    uint8_t** out, size_t* outlen, char** err) {
   // the decode writes rows per the bitstream's header dims; buffers
   // here are sized from the caller's src_w/src_h, so the two MUST
   // agree or the plane writes run off the heap — verify, don't trust
@@ -361,6 +365,11 @@ PICHA_API int picha_jpeg_transcode_raw420(
   int rc = picha_jpeg_decode_raw420(src, len, y.data(), cbp.data(),
                                     crp.data(), err);
   if (rc != 0) return rc;
+  if (gamut_guard > 0.0 &&
+      picha_raw420_clip_mass(y.data(), cbp.data(), crp.data(), src_w,
+                             src_h, wpi) > gamut_guard) {
+    return 2;  // gamut risk: caller takes the staged exact path
+  }
   std::vector<uint8_t> yo((size_t)hpo * wpo), cbo((size_t)hpo * wpo / 4),
       cro((size_t)hpo * wpo / 4);
   auto rsz = [](const uint8_t* s, int sh, int sw, uint8_t* d, int dh,

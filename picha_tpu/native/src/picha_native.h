@@ -129,17 +129,26 @@ PICHA_API int picha_jpeg_encode_raw420(const uint8_t* y, const uint8_t* cb,
 // 0 ok, 1 unsupported-layout (fall back), -1 error (err set).
 // one-call raw-domain transcode (decode raw -> banded resize -> raw
 // re-encode, GIL-free): windows in the picha_resize_u8 layout; returns
-// 1 for unsupported layouts (caller falls back to the RGB path)
+// 1 for unsupported layouts and 2 when gamut_guard > 0 trips (source
+// clip mass > guard, see rawguard.cc) — caller falls back to the RGB
+// path either way
 PICHA_API int picha_jpeg_transcode_raw420(
     const uint8_t* src, size_t len, int src_w, int src_h, int dst_w,
     int dst_h, const int32_t* yxs, const float* yxw, int yxk,
     const int32_t* yys, const float* yyw, int yyk, const int32_t* cxs,
     const float* cxw, int cxk, const int32_t* cys, const float* cyw,
-    int cyk, int quality, int restart_mcus, uint8_t** out,
-    size_t* outlen, char** err);
+    int cyk, int quality, int restart_mcus, double gamut_guard,
+    uint8_t** out, size_t* outlen, char** err);
 PICHA_API int picha_jpeg_decode_raw420(const uint8_t* src, size_t len,
                                        uint8_t* y, uint8_t* cb, uint8_t* cr,
                                        char** err);
+// Mean per-channel LSB by which the implied RGB of padded 4:2:0 planes
+// exceeds [0,255] (even rows sampled; arithmetic identical between the
+// AVX2 and scalar builds — see rawguard.cc). The raw transcode path's
+// divergence from the staged path is bounded by this nonlinearity.
+PICHA_API double picha_raw420_clip_mass(const uint8_t* y, const uint8_t* cb,
+                                        const uint8_t* cr, int w, int h,
+                                        int wpad);
 
 // ---- host separable resize (native single-image fast path) ----------------
 // Uniform tap windows per output index (start + k zero-padded float32

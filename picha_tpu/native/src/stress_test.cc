@@ -195,7 +195,7 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
           shared_jpeg, jpeg_len, w, h, dw, dh, yx.first.data(),
           yx.second.data(), 2, yy.first.data(), yy.second.data(), 2,
           cx.first.data(), cx.second.data(), 2, cy.first.data(),
-          cy.second.data(), 2, 80, 0, &tout, &tlen, &terr);
+          cy.second.data(), 2, 80, 0, 0.25, &tout, &tlen, &terr);
       if (trc == 0) {
         picha_free(tout);
       } else if (trc < 0) {

@@ -146,17 +146,43 @@ def resize_raw420(planes, src_w: int, src_h: int, dst_w: int, dst_h: int,
     return yo[..., 0], cbo[..., 0], cro[..., 0]
 
 
+# Default gamut guard (LSB of mean implied-RGB clip, rawguard.cc): the
+# raw path's only SYSTEMATIC divergence from the staged exact path is
+# the staged path's mid-pipeline RGB clamp, a nonlinearity bounded by
+# the source's clip mass. Calibration (1080p -> 960x544 q85, final-
+# output avgChannelDiff vs the staged path, unguarded):
+#
+#   bench corpus / photographic   mass 0.00       parity 0.52-0.58
+#   hostile mosaics / band noise  mass 0.002-0.03 parity 0.74-1.98 (*)
+#   saturated gradients           mass 0.34-0.43  parity 0.73-0.84
+#   red/blue 2px checkerboard     mass ~3.8       (clamp-dominated)
+#
+# (*) the >1 entries are NOT clamp divergence: a dust control (the
+# same staged image +-1 LSB, re-encoded) measures 1.1-2.2 LSB on that
+# content — re-encode quantisation amplification that ANY
+# non-bit-identical pipeline pays (bench publishes the floor next to
+# the hostile row). The clamp contribution stays <=~0.8 up to mass
+# 0.43, so the default guard sits above the measured-safe envelope
+# and trips only on content beyond everything tested (e.g. large
+# saturated out-of-gamut fields), where it routes to the staged path.
+GAMUT_GUARD_LSB = 0.5
+
+
 def transcode_raw420(buf: bytes, dst_w: int, dst_h: int, filter_name: str,
-                     fscale: float, quality: int, restart: int = 0):
+                     fscale: float, quality: int, restart: int = 0,
+                     gamut_guard: float = None):
     """One-shot raw-domain transcode: JPEG bytes -> resized JPEG bytes
     in a single native call (decode raw -> banded i16 resize -> raw
     re-encode, GIL released end to end — pool threads on multi-core
     hosts run whole transcodes concurrently). Returns None when the
     source isn't plain 4:2:0 YCbCr (progressive sources are fine —
-    libjpeg's raw mode handles them) so callers fall back to the RGB
-    path."""
+    libjpeg's raw mode handles them) or when its gamut-clip mass
+    exceeds `gamut_guard` (pass 0 to disable) so callers fall back to
+    the RGB path."""
     from ..native import lib as native
 
+    if gamut_guard is None:  # resolve at call time (tunable/patchable)
+        gamut_guard = GAMUT_GUARD_LSB
     st = native.jpeg_stat(buf)
     if st is None:
         return None
@@ -169,4 +195,4 @@ def transcode_raw420(buf: bytes, dst_w: int, dst_h: int, filter_name: str,
     return native.jpeg_transcode_raw420(
         buf, src_w, src_h, dst_w, dst_h,
         (yxs, yxw), (yys, yyw), (cxs, cxw), (cys, cyw),
-        quality, restart=restart)
+        quality, restart=restart, gamut_guard=gamut_guard)

@@ -330,12 +330,17 @@ def _natural_stream_bufs(n, w=192, h=160):
 def test_stream_best_strict_gate_disqualifies(tmp_path, monkeypatch):
     """With strict_lsb set, a config whose live-traffic parity exceeds
     the bound cannot win the race no matter how fast it probes: on the
-    hostile corpus host-raw measures ~1.35 LSB vs the staged path, so
-    the winner must be host and the measured parity must be recorded."""
+    hostile corpus host-raw measures ~1.35 LSB vs the staged path
+    (re-encode quantisation amplification — see test_raw420's dust-
+    floor attribution; the gamut guard is pinned off so this stays
+    true if its default ever changes), so the winner must be host and
+    the measured parity must be recorded."""
     import json
 
+    from picha_tpu.ops import raw420
     from picha_tpu.pipeline import serving
 
+    monkeypatch.setattr(raw420, "GAMUT_GUARD_LSB", 0.0)
     monkeypatch.setenv("PICHA_COMPILE_CACHE_DIR", str(tmp_path))
     bufs = _hostile_stream_bufs(6)
     batches = [bufs[i:i + 3] for i in range(0, 6, 3)] * 3
@@ -380,6 +385,9 @@ def test_stream_best_cached_winner_spot_check(tmp_path, monkeypatch):
 
     from picha_tpu.pipeline import serving
 
+    from picha_tpu.ops import raw420
+
+    monkeypatch.setattr(raw420, "GAMUT_GUARD_LSB", 0.0)
     monkeypatch.setenv("PICHA_COMPILE_CACHE_DIR", str(tmp_path))
     key = serving._race_cache_key(96, 80, 85, ("host", "host-raw"), 2, 1.0)
     serving._race_cache_store(key, {"best": "host-raw",
