@@ -878,7 +878,7 @@ def gap4_pack(coefs: np.ndarray):
 
 
 def gap4_pack_batch(planes, k1_granule: int = 8192, k2_granule: int = 4096,
-                    kc_granule: int = 1024):
+                    kc_granule: int = 1024, k_floor=None):
     """Pack a batch of same-shape int16 coefficient planes straight
     into the padded gap4 wire rows (sparsepack.cc batch entry points):
     a count pass sizes the rows, the pack pass writes each image's
@@ -911,6 +911,16 @@ def gap4_pack_batch(planes, k1_granule: int = 8192, k2_granule: int = 4096,
     k1 = bucket(np1.max(), k1_granule)
     k2 = bucket(np2.max(), k2_granule)
     kc = bucket(max(1, int(np3.sum())), kc_granule)
+    if k_floor is not None:
+        # caller-provided high-water sizes (e.g. TrainingInput's
+        # per-signature monotone ks): content-dependent sizes feed jit
+        # static keys, and draws that land in a SMALLER bucket would
+        # otherwise mint a fresh graph — minutes each through this
+        # environment's remote compile service. Padding rows are no-op
+        # encoded, so a larger k only costs wire bytes.
+        k1 = max(k1, k_floor[0])
+        k2 = max(k2, k_floor[1])
+        kc = max(kc, k_floor[2])
     prim = np.empty((nb, k1), np.uint8)
     sgaps = np.empty((nb, k2), np.uint8)
     svals = np.empty((nb, k2), np.int8)

@@ -180,16 +180,23 @@ def unpack_gap4_wire(buf, gap4_ks, comp_sig):
     return coefs, qtabs
 
 
-def stack_gap4_wire(cos):
+def stack_gap4_wire(cos, ks_floor=None):
     """Host side: same-signature coefficient sets -> (gap4_ks, wire
-    uint8 buffer) via the single-scan native batch packer."""
+    uint8 buffer) via the single-scan native batch packer.
+
+    ks_floor: a previously returned gap4_ks to use as a per-component
+    size floor — callers whose batch content varies per step (e.g.
+    TrainingInput's random ROI regions) keep a monotone high-water ks
+    per signature so the jit static key converges instead of flipping
+    between buckets (each flip is a fresh remote compile)."""
     sig = signature(cos[0])
     n = len(cos[0].comps)
     nb = len(cos)
     ks, sections = [], []
     for i in range(n):
         k1, k2, kc, prim, sgaps, svals, ci, cv = native.gap4_pack_batch(
-            [co.comps[i]["coefs"] for co in cos])
+            [co.comps[i]["coefs"] for co in cos],
+            k_floor=None if ks_floor is None else ks_floor[1][i])
         sections += [prim.reshape(-1), sgaps.reshape(-1),
                      svals.view(np.uint8).reshape(-1),
                      ci.view(np.uint8).reshape(-1),

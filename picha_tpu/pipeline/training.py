@@ -212,6 +212,8 @@ class TrainingInput:
         self.augment = tuple(sorted((augment or {}).items())) or None
         self._pool = ThreadPoolExecutor(max_workers=num_threads,
                                         thread_name_prefix="picha-train")
+        # per-(signature, batch-size) high-water gap4 ks (see _run_group)
+        self._ks_high: dict = {}
         if state is not None:
             self.seed = state["seed"]
             self.epoch = state["epoch"]
@@ -287,10 +289,17 @@ class TrainingInput:
     def _run_group(self, cos, key, offs=None):
         # gap4 nibble wire: ~4x fewer upload bytes than dense int16
         # coefficients, bit-exact — transfers steal host CPU on narrow
-        # links, so wire bytes are host cost (docs/PERFORMANCE.md)
-        from .jpeg_batch import stack_gap4_wire
+        # links, so wire bytes are host cost (docs/PERFORMANCE.md).
+        # Monotone per-signature high-water ks: random ROI regions vary
+        # in packed size per draw, and every fresh (k1,k2,kc) bucket
+        # would mint a new jit graph (minutes through the remote
+        # compile service — measured 6.8 vs ~64 img/s steady state);
+        # growing-only ks converges to a handful of graphs per corpus.
+        from .jpeg_batch import signature, stack_gap4_wire
 
-        sig, ks, wire = stack_gap4_wire(cos)
+        sig0 = (signature(cos[0]), len(cos))
+        sig, ks, wire = stack_gap4_wire(cos, self._ks_high.get(sig0))
+        self._ks_high[sig0] = ks
         fn = _jit_crop_resize_normalize(sig, self.crop, self.size,
                                         self.filter, self.fscale,
                                         gap4_ks=ks,

@@ -120,6 +120,34 @@ def test_training_input_deterministic_and_resumable(jpeg_bufs):
     assert not np.array_equal(np.asarray(next(d)), second_a)
 
 
+def test_training_input_ks_high_water(jpeg_bufs):
+    """The per-signature gap4 ks must be MONOTONE across steps (random
+    ROI draws vary in packed size; a ks that shrinks or oscillates
+    mints a fresh jit graph per bucket — minutes each via the remote
+    compile service), and inflating it must not change values (padding
+    rows are no-op encoded)."""
+    files = jpeg_bufs * 4
+    a = TrainingInput(files, batch=4, crop=40, size=32, seed=7)
+    hist = []
+    for _ in range(4):
+        out_a = np.asarray(next(a))
+        hist.append({k: v for k, v in a._ks_high.items()})
+    # monotone per-component k growth across steps
+    for prev, cur in zip(hist, hist[1:]):
+        for key, (_nb, ks) in prev.items():
+            assert key in cur
+            for old, new in zip(ks, cur[key][1]):
+                assert all(n >= o for n, o in zip(new, old)), (old, new)
+    # seeding inflated floors changes only padding, never values
+    b = TrainingInput(files, batch=4, crop=40, size=32, seed=7)
+    b._ks_high = {key: (nb, tuple((k1 * 2, k2 * 2, kc * 2)
+                                  for (k1, k2, kc) in ks))
+                  for key, (nb, ks) in hist[0].items()}
+    first_b = np.asarray(next(b))
+    c = TrainingInput(files, batch=4, crop=40, size=32, seed=7)
+    np.testing.assert_array_equal(first_b, np.asarray(next(c)))
+
+
 def test_pre_crop_exact_vs_full_decode():
     """DCT-domain ROI pre-crop must reproduce the full-decode pipeline
     EXACTLY on 4:4:4 sources (no chroma resampling: per-block IDCT is
