@@ -128,15 +128,27 @@ def measure_link():
     return up, down
 
 
-def bench_tpu_stage(p, sig, dargs, batch, mpix, iters=20, fused=False):
+def bench_tpu_stage(p, sig, dargs, batch, mpix, iters=6, fused=False,
+                    inner=8):
     """Device-only throughput.
 
     This environment's platform does not reliably block in
-    block_until_ready, and may memoize identical dispatches — so every
-    iteration perturbs its input with a salt (distinct executions) and
+    block_until_ready, and may memoize identical dispatches — so
     completion is forced by a small readback of the LAST output (TPU
     executes a single in-order stream, so the last completing implies
-    all completed)."""
+    all completed). Two further tunnel artifacts are handled:
+
+    * per-dispatch RPC enqueue cost: at ~2.4 ms/batch of real device
+      time, 20 dispatches measured mostly the tunnel (observed 13.1 vs
+      3.4 GPix/s between runs for the SAME graph). Each dispatch now
+      runs `inner` chained executions in one lax.fori_loop, the input
+      of each perturbed by the previous carry (data dependence defeats
+      both XLA CSE and any platform memoization, and amortises the
+      enqueue 8x);
+    * the fixed readback latency (~0.3 s+, worse on bad days): a
+      second readback of an ALREADY-complete output right after the
+      timed one measures the empty-stream RPC cost, which is
+      subtracted (floored at half the window)."""
     import jax
     import jax.numpy as jnp
 
@@ -147,18 +159,26 @@ def bench_tpu_stage(p, sig, dargs, batch, mpix, iters=20, fused=False):
 
     @jax.jit
     def step(salt, *args):
-        perturbed = args[0] + (salt % 2).astype(args[0].dtype)
-        return base(perturbed, *args[1:])
+        def body(_k, carry):
+            perturbed = args[0] + (carry & 1).astype(args[0].dtype)
+            o = base(perturbed, *args[1:])
+            # full reduction: every output element feeds the carry, so
+            # XLA can neither slice-propagate the dependence down to a
+            # corner of the graph nor dead-code any of the work
+            return carry + o.astype(jnp.int32).sum()
+
+        return jax.lax.fori_loop(0, inner, body, salt)
 
     out = step(jnp.int32(0), *dargs)
-    np.asarray(out[0, :2, 0])  # warm + force
+    np.asarray(out)  # warm + force
     t0 = time.perf_counter()
-    outs = []
-    for i in range(iters):
-        outs.append(step(jnp.int32(i), *dargs))
-    np.asarray(outs[-1][0, :2, 0])  # dependent readback: forces the stream
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    outs = [step(jnp.int32(1 + i), *dargs) for i in range(iters)]
+    np.asarray(outs[-1])  # dependent readback: forces the stream
+    t1 = time.perf_counter()
+    np.asarray(outs[-2])  # stream now empty: pure readback RPC cost
+    t_rb = time.perf_counter() - t1
+    dt = max(t1 - t0 - t_rb, (t1 - t0) / 2)
+    return batch * iters * inner / dt
 
 
 _POOL_CACHE = {}
