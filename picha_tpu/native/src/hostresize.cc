@@ -370,42 +370,56 @@ int resize_avx2_i16(const uint8_t* src, int sh, int sw, int ch,
 namespace {
 
 #ifndef __AVX2__
-// scalar reference: horizontal pass (sh, sw, ch) T -> (sh, dw, ch)
-// f32 in 1/max-scaled space, then vertical accumulate + pack
-// (reference resize.cc order; see the cross-arch note in
-// picha_native.h)
+// scalar fallback (non-x86 builds): BIT-IDENTICAL to the AVX2 kernel.
+// Same raw 0..max space, same vertical-then-horizontal order, and the
+// same rounding events per output: the AVX2 vertical pass accumulates
+// taps with single-rounded FMAs over the 8-wide column body but plain
+// double-rounded multiply-adds over the <8 tail columns, and the
+// horizontal pass is FMA throughout — so this fallback uses std::fmaf
+// over the same column split. Verified bit-for-bit against the AVX2
+// build by native/check_scalar_parity.sh (compiles this leg on an x86
+// host, where fmaf is the hardware FMA both paths share).
 template <typename T>
 int resize_scalar(const T* src, int sh, int sw, int ch, T* dst, int dh,
                   int dw, const int32_t* xstart, const float* xw, int xk,
                   const int32_t* ystart, const float* yw, int yk) {
+  (void)sh;
   const float maxv = (float)(T)~(T)0;
-  std::vector<float> tmp((size_t)sh * dw * ch);
-  const float inv = 1.0f / maxv;
-  for (int y = 0; y < sh; ++y) {
-    const T* row = src + (size_t)y * sw * ch;
-    float* out = tmp.data() + (size_t)y * dw * ch;
-    for (int ox = 0; ox < dw; ++ox) {
-      const float* w = xw + (size_t)ox * xk;
-      const T* p = row + (size_t)xstart[ox] * ch;
-      for (int c = 0; c < ch; ++c) {
-        float acc = 0.0f;
-        for (int k = 0; k < xk; ++k)
-          acc += w[k] * ((float)p[(size_t)k * ch + c] * inv);
-        out[(size_t)ox * ch + c] = acc;
+  const size_t rowlen = (size_t)sw * ch;
+  const size_t orow = (size_t)dw * ch;
+  const size_t body = rowlen & ~(size_t)7;  // AVX2 8-wide column body
+  std::vector<float> tmpv((size_t)dh * rowlen);
+  for (int oy = 0; oy < dh; ++oy) {
+    const float* w = yw + (size_t)oy * yk;
+    float* out = tmpv.data() + (size_t)oy * rowlen;
+    for (size_t j = 0; j < rowlen; ++j) {
+      float acc = 0.0f;
+      if (j < body) {
+        for (int k = 0; k < yk; ++k)
+          acc = std::fmaf(w[k],
+                          (float)src[(size_t)(ystart[oy] + k) * rowlen + j],
+                          acc);
+      } else {  // tail columns: the AVX2 build double-rounds here
+        for (int k = 0; k < yk; ++k)
+          acc += w[k] * (float)src[(size_t)(ystart[oy] + k) * rowlen + j];
       }
+      out[j] = acc;
     }
   }
   for (int oy = 0; oy < dh; ++oy) {
-    const float* w = yw + (size_t)oy * yk;
-    const float* base = tmp.data() + (size_t)ystart[oy] * dw * ch;
-    T* out = dst + (size_t)oy * dw * ch;
-    for (int i = 0; i < dw * ch; ++i) {
-      float acc = 0.0f;
-      for (int k = 0; k < yk; ++k)
-        acc += w[k] * base[(size_t)k * dw * ch + i];
-      float v = acc * maxv + 0.5f;
-      v = v < 0.0f ? 0.0f : (v > maxv ? maxv : v);
-      out[i] = (T)(int)std::floor(v);
+    const float* rowp = tmpv.data() + (size_t)oy * rowlen;
+    T* out = dst + (size_t)oy * orow;
+    for (int ox = 0; ox < dw; ++ox) {
+      const float* w = xw + (size_t)ox * xk;
+      const float* p = rowp + (size_t)xstart[ox] * ch;
+      for (int c = 0; c < ch; ++c) {
+        float acc = 0.0f;
+        for (int k = 0; k < xk; ++k)
+          acc = std::fmaf(w[k], p[(size_t)k * ch + c], acc);
+        float v = acc + 0.5f;
+        v = v < 0.0f ? 0.0f : (v > maxv ? maxv : v);
+        out[(size_t)ox * ch + c] = (T)(int)std::floor(v);
+      }
     }
   }
   return 0;

@@ -153,11 +153,11 @@ PICHA_API double picha_raw420_clip_mass(const uint8_t* y, const uint8_t* cb,
 // ---- host separable resize (native single-image fast path) ----------------
 // Uniform tap windows per output index (start + k zero-padded float32
 // taps, the reference resize.cc weight numerics built in Python).
-// NOTE: the AVX2 build accumulates in raw 0-255 space, vertical pass
-// first; the scalar (non-x86) fallback keeps the reference's
-// 1/255-scaled horizontal-then-vertical order. Both are inside the <2
-// golden tolerance but may differ by up to 1 LSB from each other, so
-// host-path bytes are reproducible per-architecture, not across.
+// The scalar (non-x86) fallback replicates the AVX2 kernel's exact
+// rounding events (raw 0-255 space, vertical pass first, FMA over the
+// 8-wide column body, double-rounded tail columns), so host-path bytes
+// are reproducible ACROSS architectures — verified bit-for-bit by
+// native/check_scalar_parity.sh (both legs compiled on one x86 host).
 PICHA_API int picha_resize_u8(const uint8_t* src, int sh, int sw, int ch,
                               uint8_t* dst, int dh, int dw,
                               const int32_t* xstart, const float* xw,
