@@ -362,7 +362,6 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     guard_fallbacks = {}
     hostile_floor = None
     try:
-        from picha_tpu.ops.raw420 import transcode_raw420
         from picha_tpu.ops.resize import (_resize_native,
                                           parse_resize_options)
         fname, fscale = parse_resize_options({})
@@ -375,26 +374,47 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         rng = np.random.default_rng(0)
         floors = []
         for b, ref in zip(hb, hrefs):
-            st = _resize_native(native.jpeg_decode(bytes(b), 3, 1920, 1088),
-                                out_w, out_h, fname, fscale)
-            dust = np.clip(st.astype(np.int16)
-                           + rng.integers(0, 2, st.shape),
+            st = native.jpeg_stat(bytes(b))
+            src = native.jpeg_decode(bytes(b), 3, st[0], st[1])
+            pre = _resize_native(src, out_w, out_h, fname, fscale)
+            dust = np.clip(pre.astype(np.int16)
+                           + rng.integers(0, 2, pre.shape),
                            0, 255).astype(np.uint8)
             got = native.jpeg_decode(native.jpeg_encode(
                 np.ascontiguousarray(dust), 85), 3, out_w, out_h)
             floors.append(np.abs(got.astype(int) - ref.astype(int)).mean())
         hostile_floor = round(float(np.mean(floors)), 3)
-        for name, corpus in (("hostile", hb), ("corpus", bufs)):
-            guard_fallbacks[name] = sum(
-                transcode_raw420(bytes(b), out_w, out_h, fname, fscale,
-                                 85) is None for b in corpus)
         log(f"hostile-content parity (LSB, reported not gated): "
             f"{hostile_parity}; sub-LSB-dust re-encode floor "
-            f"{hostile_floor}; gamut-guard fallbacks: "
-            f"{guard_fallbacks['hostile']}/{len(hb)} hostile, "
-            f"{guard_fallbacks['corpus']}/{len(bufs)} corpus")
+            f"{hostile_floor}")
     except Exception as e:  # noqa: BLE001
         log(f"hostile parity check failed: {e}")
+    # the guard-count tripwire runs in its OWN try: an incidental
+    # failure above must not silently skip the corpus check, and a
+    # failure here is recorded in the JSON rather than swallowed
+    try:
+        from picha_tpu.ops.raw420 import transcode_raw420
+        from picha_tpu.ops.resize import parse_resize_options
+        fname, fscale = parse_resize_options({})
+        for name, corpus in (("hostile", _hostile_images(6)),
+                             ("corpus", bufs)):
+            # None means EITHER unsupported layout (rc=1) or the gamut
+            # guard (rc=2) — count a guard trip only when the same
+            # source succeeds with the guard disabled
+            n = 0
+            for b in corpus:
+                if transcode_raw420(bytes(b), out_w, out_h, fname,
+                                    fscale, 85) is None and \
+                   transcode_raw420(bytes(b), out_w, out_h, fname,
+                                    fscale, 85, gamut_guard=0.0) \
+                   is not None:
+                    n += 1
+            guard_fallbacks[name] = n
+        log(f"gamut-guard fallbacks: {guard_fallbacks['hostile']}/6 "
+            f"hostile, {guard_fallbacks['corpus']}/{len(bufs)} corpus")
+    except Exception as e:  # noqa: BLE001
+        log(f"gamut-guard tripwire failed: {e}")
+        guard_fallbacks = {"error": f"{type(e).__name__}: {e}"}
     if diffs.get("host-fast", 99.0) >= 2.0:
         probes.pop("host-fast", None)  # outside even the golden tolerance
 
@@ -432,11 +452,14 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         violations.append("no strict-parity config available")
         return 0.0, {"config_probes_img_s": probes}, violations
     # among configs within probe noise (2%) of the fastest, prefer the
-    # one with the tighter measured parity — a 0.1% probe-speed edge is
-    # not worth publishing the config with more corpus divergence
+    # one with the tighter MEASURED parity — a 0.1% probe-speed edge is
+    # not worth publishing the config with more corpus divergence.
+    # Configs without a parity measurement this run (device chains,
+    # whose ≤1 LSB is held by tests) rank at the admissibility bound
+    # 1.0, so the absence of a measurement never wins a tie-break.
     best_ips = max(strict.values())
     near = [c for c in strict if strict[c] >= 0.98 * best_ips]
-    winner = min(near, key=lambda c: (diffs.get(c, 0.0), -strict[c]))
+    winner = min(near, key=lambda c: (diffs.get(c, 1.0), -strict[c]))
     # device winners: 3 windows x 20 rounds + warmup = 61 dispatches,
     # below the 96-window pool's distinct ring positions. Host winners
     # use SHORT windows, many of them: a 20-round (~1.8 s) window on

@@ -367,8 +367,7 @@ def resize_array(arr: np.ndarray, width: int, height: int,
     name, fscale = parse_resize_options(opts)
     if _host_cheap(arr, width, height) and not _is_jax_array(arr):
         return _resize_numpy(np.asarray(arr), width, height, name, fscale)
-    if not _is_jax_array(arr) and arr.ndim == 3 \
-            and os.environ.get("PICHA_SYNC_ON_DEVICE") != "1":
+    if _is_single_host_image(arr):
         # single host image: the native C++ separable resize (the
         # reference resizeSync's own architecture, resize.cc:367-403)
         # beats the jitted graph on EVERY backend — XLA:CPU measured
@@ -399,15 +398,22 @@ def _is_jax_array(arr) -> bool:
     return type(arr).__module__.startswith("jax")
 
 
+def _is_single_host_image(arr) -> bool:
+    """The single-image host routing predicate, shared by the native
+    fast path and the XLA:CPU fallback so the two can't disagree about
+    which arrays are 'single host images'. Batched inputs and
+    jax-resident arrays stay on the accelerator; forced off with
+    PICHA_SYNC_ON_DEVICE=1."""
+    return (not _is_jax_array(arr) and arr.ndim == 3
+            and os.environ.get("PICHA_SYNC_ON_DEVICE") != "1")
+
+
 def _single_image_cpu_device(arr):
     """CpuDevice to run a single host image on, or None to use the
-    default backend. Batched inputs and jax-resident arrays stay on the
-    accelerator; forced off with PICHA_SYNC_ON_DEVICE=1."""
+    default backend."""
     import os
 
-    if _is_jax_array(arr) or arr.ndim != 3:
-        return None
-    if os.environ.get("PICHA_SYNC_ON_DEVICE") == "1":
+    if not _is_single_host_image(arr):
         return None
     if os.environ.get("PICHA_NO_DEVICE") == "1":
         # link-outage escape hatch (bench sets it when the liveness

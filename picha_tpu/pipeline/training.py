@@ -161,6 +161,14 @@ def _pre_crop_host(cos, crop: int, rng):
     return out, np.asarray(offs, np.int32)
 
 
+def _tuplify(v):
+    """Recursively lists -> tuples: state() round-trips through JSON
+    (checkpoint meta), which turns the ks_high tuple keys into lists."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_tuplify(x) for x in v)
+    return v
+
+
 @functools.lru_cache(maxsize=128)
 def _decode_graph(sig):
     """coefficients -> (N,H,W,3) int32 RGB decode stage (traceable);
@@ -212,12 +220,17 @@ class TrainingInput:
         self.augment = tuple(sorted((augment or {}).items())) or None
         self._pool = ThreadPoolExecutor(max_workers=num_threads,
                                         thread_name_prefix="picha-train")
-        # per-(signature, batch-size) high-water gap4 ks (see _run_group)
+        # per-(signature, batch-size) high-water gap4 ks (see _run_group);
+        # carried through state() so a resumed process starts from the
+        # converged jit-key floors instead of re-paying the remote
+        # compiles of every smaller bucket it re-discovers
         self._ks_high: dict = {}
         if state is not None:
             self.seed = state["seed"]
             self.epoch = state["epoch"]
             self.pos = state["pos"]
+            self._ks_high = {_tuplify(k): _tuplify(v)
+                             for k, v in state.get("ks_high", [])}
         else:
             self.seed = seed
             self.epoch = 0
@@ -225,7 +238,12 @@ class TrainingInput:
         self._perm = self._epoch_perm()
 
     def state(self) -> dict:
-        return {"seed": self.seed, "epoch": self.epoch, "pos": self.pos}
+        # ks_high as [key, value] pairs: checkpoint meta round-trips
+        # through JSON (models/checkpoint.py), which has no tuple type —
+        # __init__ re-tuplifies. Values never affect outputs (padding is
+        # no-op encoded), only which jit graphs get minted.
+        return {"seed": self.seed, "epoch": self.epoch, "pos": self.pos,
+                "ks_high": [[k, v] for k, v in self._ks_high.items()]}
 
     def _epoch_perm(self):
         rng = np.random.default_rng((self.seed, self.epoch))

@@ -138,6 +138,13 @@ def test_training_input_ks_high_water(jpeg_bufs):
             assert key in cur
             for old, new in zip(ks, cur[key][1]):
                 assert all(n >= o for n, o in zip(new, old)), (old, new)
+    # the converged floors survive a checkpoint resume (state() round-
+    # trips through JSON in models/checkpoint.py: tuples become lists)
+    import json
+
+    saved = json.loads(json.dumps(a.state()))
+    r = TrainingInput(files, batch=4, crop=40, size=32, state=saved)
+    assert r._ks_high == a._ks_high
     # seeding inflated floors changes only padding, never values
     b = TrainingInput(files, batch=4, crop=40, size=32, seed=7)
     b._ks_high = {key: (nb, tuple((k1 * 2, k2 * 2, kc * 2)
