@@ -217,11 +217,12 @@ def bench_e2e(bufs, batch, out_w, out_h, rounds=12, config="host",
     caches / zlib state never land inside the window."""
     from picha_tpu.pipeline import JpegBatchPipeline
 
-    if config in ("host", "host-fast", "host-raw"):
+    if config in ("host", "host-fast", "host-raw", "host-draft"):
         p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
                               encode_backend="host", upload="gap4",
                               host_fast_scale=(config == "host-fast"),
-                              host_raw=(config == "host-raw"))
+                              host_raw=(config == "host-raw"),
+                              host_draft=(config == "host-draft"))
         runner = p.stream_host
         up_b = down_b = 0.0
     else:
@@ -289,7 +290,8 @@ def config_parity(bufs, out_w, out_h, config, refs):
     p = JpegBatchPipeline(width=out_w, height=out_h, encode_quality=85,
                           encode_backend="host",
                           host_fast_scale=(config == "host-fast"),
-                          host_raw=(config == "host-raw"))
+                          host_raw=(config == "host-raw"),
+                          host_draft=(config == "host-draft"))
     diffs = []
     for b, ref in zip(p.host_encode_batch(bufs), refs):
         got = native.jpeg_decode(bytes(b), 3, out_w, out_h)
@@ -318,7 +320,7 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
 
     violations = []
     probes = {}
-    for hc in ("host", "host-raw", "host-fast"):
+    for hc in ("host", "host-raw", "host-draft", "host-fast"):
         ips, _ = bench_e2e(bufs, batch, out_w, out_h, rounds=6, config=hc,
                            windows=2)
         probes[hc] = round(ips, 1)
@@ -329,7 +331,7 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     refs = [native.jpeg_decode(bytes(b), 3, out_w, out_h)
             for b in pn.host_encode_batch(bufs)]
     diffs = {"host": 0.0}
-    for hc in ("host-raw", "host-fast"):
+    for hc in ("host-raw", "host-draft", "host-fast"):
         try:
             diffs[hc] = config_parity(bufs, out_w, out_h, hc, refs)
             log(f"{hc} vs cubic avg diff (full corpus, n={len(bufs)}): "
@@ -368,7 +370,7 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         hb = _hostile_images(6)
         hrefs = [native.jpeg_decode(bytes(b), 3, out_w, out_h)
                  for b in pn.host_encode_batch(hb)]
-        for hc in ("host-raw", "host-fast"):
+        for hc in ("host-raw", "host-draft", "host-fast"):
             hostile_parity[hc] = round(
                 config_parity(hb, out_w, out_h, hc, hrefs), 3)
         rng = np.random.default_rng(0)

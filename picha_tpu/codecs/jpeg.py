@@ -201,6 +201,7 @@ def transcode(buf: bytes, opts: dict) -> bytes:
     progressive = bool(opts.get("progressive", False))
     copy_markers = bool(opts.get("copyMarkers",
                                  opts.get("copy_markers", False)))
+    draft = bool(opts.get("draft", False))
 
     def finish(out):
         if copy_markers:
@@ -210,6 +211,17 @@ def transcode(buf: bytes, opts: dict) -> bytes:
 
     fname, fscale = parse_resize_options(opts)
     if not progressive:  # the raw-domain fast path emits baseline scans
+        if draft:
+            # opt-in (like decode's scaleDenom): for exact 2:1 targets,
+            # the scale_denom=2 raw decode + fitted Y correction —
+            # chroma stays exact; ~0.6-0.9 LSB of the exact path at the
+            # lowest cost of any config (ops/raw420.py)
+            from ..ops.raw420 import transcode_raw420_draft
+
+            out = transcode_raw420_draft(buf, w, h, fname, fscale,
+                                         quality, restart=restart)
+            if out is not None:
+                return finish(out)
         out = transcode_raw420(buf, w, h, fname, fscale, quality,
                                restart=restart)
         if out is not None:

@@ -82,14 +82,14 @@ def get_lib():
 
             lib.picha_jpeg_decode_raw420.argtypes = [
                 C.POINTER(C.c_uint8), C.c_size_t, C.POINTER(C.c_uint8),
-                C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+                C.POINTER(C.c_uint8), C.POINTER(C.c_uint8), C.c_int,
                 C.POINTER(C.c_char_p)]
             lib.picha_jpeg_decode_raw420.restype = C.c_int
 
             _wins = [C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int]
             lib.picha_jpeg_transcode_raw420.argtypes = (
                 [C.POINTER(C.c_uint8), C.c_size_t, C.c_int, C.c_int,
-                 C.c_int, C.c_int] + _wins * 4
+                 C.c_int, C.c_int, C.c_int] + _wins * 4
                 + [C.c_int, C.c_int, C.c_double,
                    C.POINTER(C.POINTER(C.c_uint8)),
                    C.POINTER(C.c_size_t), C.POINTER(C.c_char_p)])
@@ -191,6 +191,12 @@ def get_lib():
             lib.picha_resize_u8.restype = C.c_int
             lib.picha_resize_u8_i16.argtypes = lib.picha_resize_u8.argtypes
             lib.picha_resize_u8_i16.restype = C.c_int
+            lib.picha_resize_u8_i16_same.argtypes = [
+                C.POINTER(C.c_uint8), C.c_int, C.c_int,
+                C.POINTER(C.c_uint8),
+                C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int,
+                C.POINTER(C.c_int32), C.POINTER(C.c_float), C.c_int]
+            lib.picha_resize_u8_i16_same.restype = C.c_int
             lib.picha_resize_u16.argtypes = [
                 C.POINTER(C.c_uint16), C.c_int, C.c_int, C.c_int,
                 C.POINTER(C.c_uint16), C.c_int, C.c_int,
@@ -395,12 +401,17 @@ def jpeg_encode(arr: np.ndarray, quality: int, restart: int = 0,
     return take_buffer(lib, out, outlen.value)
 
 
-def jpeg_decode_raw420(buf: bytes, width: int, height: int):
+def jpeg_decode_raw420(buf: bytes, width: int, height: int,
+                       scale_denom: int = 1):
     """Huffman + IDCT only: decode a 4:2:0 YCbCr JPEG to padded planes
     (y (ceil16(h), ceil16(w)) u8, cb/cr half that) without the upsample
-    and colour-convert stages. Returns None for layouts the raw path
-    doesn't take (grayscale, CMYK, 4:4:4/4:2:2) — callers fall back to
-    jpeg_decode."""
+    and colour-convert stages. scale_denom in {2,4,8} decodes Y through
+    libjpeg's scaled IDCT: all plane dims become ceil(dim/denom)
+    (padded) — chroma comes out on the SAME grid as Y (libjpeg scales
+    only the luma IDCT; for 4:2:0 the chroma planes are the exact 8x8
+    IDCT of the native-resolution chroma, so only Y is a draft).
+    Returns None for layouts the raw path doesn't take (grayscale,
+    CMYK, 4:4:4/4:2:2) — callers fall back to jpeg_decode."""
     lib = get_lib()
     src = np.frombuffer(buf, dtype=np.uint8)
     # the C decode writes rows per the BITSTREAM's dims; the buffers
@@ -409,14 +420,17 @@ def jpeg_decode_raw420(buf: bytes, width: int, height: int):
     st = jpeg_stat(buf)
     if st is None or st[0] != width or st[1] != height:
         raise CodecError("raw420 dims disagree with JPEG header")
-    wpad, hpad = (width + 15) & ~15, (height + 15) & ~15
+    denom = scale_denom if scale_denom in (2, 4, 8) else 1
+    ow, oh = -(-width // denom), -(-height // denom)
+    wpad, hpad = (ow + 15) & ~15, (oh + 15) & ~15
+    ch, cw = (hpad, wpad) if denom > 1 else (hpad // 2, wpad // 2)
     y = np.empty((hpad, wpad), np.uint8)
-    cb = np.empty((hpad // 2, wpad // 2), np.uint8)
-    cr = np.empty((hpad // 2, wpad // 2), np.uint8)
+    cb = np.empty((ch, cw), np.uint8)
+    cr = np.empty((ch, cw), np.uint8)
     err = C.c_char_p()
     rc = lib.picha_jpeg_decode_raw420(
         _u8ptr(src), src.size, _u8ptr(y.reshape(-1)), _u8ptr(cb.reshape(-1)),
-        _u8ptr(cr.reshape(-1)), C.byref(err))
+        _u8ptr(cr.reshape(-1)), denom, C.byref(err))
     if rc == 1:
         return None
     if rc != 0:
@@ -448,15 +462,18 @@ def jpeg_encode_raw420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
 def jpeg_transcode_raw420(buf: bytes, src_w: int, src_h: int, dst_w: int,
                           dst_h: int, ywin_x, ywin_y, cwin_x, cwin_y,
                           quality: int, restart: int = 0,
-                          gamut_guard: float = 0.0):
+                          gamut_guard: float = 0.0, scale_denom: int = 1):
     """One native call: raw 4:2:0 decode -> banded resize (i16 kernel,
     f32 fallback) -> raw re-encode, GIL released throughout. Window
     tuples are (starts int32, taps float32 (n, k)) in the
-    picha_resize_u8 layout (ops/raw420.py builds and caches them).
-    Returns encoded bytes, or None for layouts the raw path doesn't
-    take — including, when gamut_guard > 0, sources whose implied-RGB
-    clip mass exceeds the guard (the raw path's only real divergence
-    from the staged exact path; callers fall back to it)."""
+    picha_resize_u8 layout (ops/raw420.py builds and caches them);
+    with scale_denom in {2,4,8} the decode runs libjpeg's scaled IDCT
+    and the windows must map from the SCALED plane geometry
+    (ceil(src/denom), padded). Returns encoded bytes, or None for
+    layouts the raw path doesn't take — including, when gamut_guard >
+    0, sources whose implied-RGB clip mass exceeds the guard (the raw
+    path's only real divergence from the staged exact path; callers
+    fall back to it)."""
     lib = get_lib()
     src = np.frombuffer(buf, dtype=np.uint8)
     out = C.POINTER(C.c_uint8)()
@@ -470,6 +487,7 @@ def jpeg_transcode_raw420(buf: bytes, src_w: int, src_h: int, dst_w: int,
 
     rc = lib.picha_jpeg_transcode_raw420(
         _u8ptr(src), src.size, src_w, src_h, dst_w, dst_h,
+        scale_denom if scale_denom in (2, 4, 8) else 1,
         *wargs(ywin_x), *wargs(ywin_y), *wargs(cwin_x), *wargs(cwin_y),
         quality, restart, float(gamut_guard),
         C.byref(out), C.byref(outlen), C.byref(err))
@@ -977,7 +995,15 @@ def resize_u8(arr: np.ndarray, dw: int, dh: int,
             xw.ctypes.data_as(C.POINTER(C.c_float)), xw.shape[1],
             ystart.ctypes.data_as(C.POINTER(C.c_int32)),
             yw.ctypes.data_as(C.POINTER(C.c_float)), yw.shape[1])
-    rc = lib.picha_resize_u8_i16(*args) if precision == "i16" else 2
+    rc = 2
+    if precision == "i16same" and ch == 1 and (sh, sw) == (dh, dw):
+        # transpose-free same-size correction kernel: bit-identical to
+        # the i16 kernel for identity-size windows, ~2.5-3x faster
+        rc = lib.picha_resize_u8_i16_same(
+            _u8ptr(arr.reshape(-1)), sh, sw, _u8ptr(out.reshape(-1)),
+            *args[7:])
+    if rc == 2 and precision in ("i16", "i16same"):
+        rc = lib.picha_resize_u8_i16(*args)
     if rc == 2:  # guard tripped (or f32 requested): exact kernel
         rc = lib.picha_resize_u8(*args)
     if rc != 0:

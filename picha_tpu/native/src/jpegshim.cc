@@ -208,10 +208,18 @@ PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
 // source is not 3-component YCbCr 2x2/1x1/1x1 so callers can fall back
 // to the standard RGB path. Planes must be padded like the encoder's:
 // Y (ceil16(h), ceil16(w)), Cb/Cr half that (libjpeg writes
-// width_in_blocks*8 <= those widths per row).
+// width_in_blocks*DCT_scaled_size <= those widths per row).
+// scale_denom in {2,4,8} selects libjpeg's scaled IDCT for LUMA ONLY:
+// libjpeg keeps chroma at the next DCT size up so it lands on (or
+// above) the scaled-Y grid — for 4:2:0 sources the chroma planes come
+// out at the SAME ceil(dim/denom) geometry as Y, i.e. the output is
+// effectively 4:4:4 at the scaled size, and — crucially — the chroma
+// samples are EXACT (full 8x8 IDCT of the native-resolution chroma),
+// only Y is the draft approximation. Buffers for scaled decodes: all
+// three planes ceil16(ceil(w/denom)) x ceil16(ceil(h/denom)).
 PICHA_API int picha_jpeg_decode_raw420(const uint8_t* src, size_t len,
                                        uint8_t* y, uint8_t* cb, uint8_t* cr,
-                                       char** err) {
+                                       int scale_denom, char** err) {
   jpeg_decompress_struct cinfo;
   ErrorTrap trap;
   cinfo.err = &trap.mgr;
@@ -236,24 +244,39 @@ PICHA_API int picha_jpeg_decode_raw420(const uint8_t* src, size_t len,
     return 1;  // unsupported layout: caller falls back, not an error
   }
   cinfo.raw_data_out = TRUE;
+  if (scale_denom == 2 || scale_denom == 4 || scale_denom == 8) {
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = (unsigned)scale_denom;
+  }
   jpeg_start_decompress(&cinfo);
 
   int w = (int)cinfo.output_width;
   int h = (int)cinfo.output_height;
   int wpad = (w + 15) & ~15;
   int hpad = (h + 15) & ~15;
+  // per-component rows per iMCU row: v_samp x DCT_scaled_size (Y 16
+  // full-size / 8 at denom 2; chroma 8 in both — the scaled IDCT
+  // applies to Y only, chroma keeps its full 8x8 IDCT)
+  int ylines = cinfo.comp_info[0].v_samp_factor *
+               cinfo.comp_info[0].DCT_scaled_size;
+  int clines = cinfo.comp_info[1].v_samp_factor *
+               cinfo.comp_info[1].DCT_scaled_size;
+  // chroma lands on the scaled-Y grid (stride wpad) when scaling is on,
+  // on the half grid (stride wpad/2) at full size
+  int cstride =
+      ((int)cinfo.comp_info[1].downsampled_width == w) ? wpad : wpad / 2;
 
-  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  JSAMPROW yrows[16], cbrows[16], crrows[16];
   JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
   while (cinfo.output_scanline < cinfo.output_height) {
-    int base = (int)cinfo.output_scanline;
-    for (int i = 0; i < 16; ++i)
-      yrows[i] = (JSAMPROW)(y + (size_t)(base + i) * wpad);
-    for (int i = 0; i < 8; ++i) {
-      cbrows[i] = (JSAMPROW)(cb + (size_t)(base / 2 + i) * (wpad / 2));
-      crrows[i] = (JSAMPROW)(cr + (size_t)(base / 2 + i) * (wpad / 2));
+    int imcu = (int)cinfo.output_scanline / ylines;
+    for (int i = 0; i < ylines; ++i)
+      yrows[i] = (JSAMPROW)(y + (size_t)(imcu * ylines + i) * wpad);
+    for (int i = 0; i < clines; ++i) {
+      cbrows[i] = (JSAMPROW)(cb + (size_t)(imcu * clines + i) * cstride);
+      crrows[i] = (JSAMPROW)(cr + (size_t)(imcu * clines + i) * cstride);
     }
-    jpeg_read_raw_data(&cinfo, planes, 16);
+    jpeg_read_raw_data(&cinfo, planes, (JDIMENSION)ylines);
   }
   (void)hpad;
   jpeg_finish_decompress(&cinfo);
@@ -344,11 +367,11 @@ PICHA_API int picha_jpeg_encode_raw420(const uint8_t* y, const uint8_t* cb,
 // path's mid-pipeline clamp — return 2 so callers take the exact path.
 PICHA_API int picha_jpeg_transcode_raw420(
     const uint8_t* src, size_t len, int src_w, int src_h, int dst_w,
-    int dst_h, const int32_t* yxs, const float* yxw, int yxk,
-    const int32_t* yys, const float* yyw, int yyk, const int32_t* cxs,
-    const float* cxw, int cxk, const int32_t* cys, const float* cyw,
-    int cyk, int quality, int restart_mcus, double gamut_guard,
-    uint8_t** out, size_t* outlen, char** err) {
+    int dst_h, int scale_denom, const int32_t* yxs, const float* yxw,
+    int yxk, const int32_t* yys, const float* yyw, int yyk,
+    const int32_t* cxs, const float* cxw, int cxk, const int32_t* cys,
+    const float* cyw, int cyk, int quality, int restart_mcus,
+    double gamut_guard, uint8_t** out, size_t* outlen, char** err) {
   // the decode writes rows per the bitstream's header dims; buffers
   // here are sized from the caller's src_w/src_h, so the two MUST
   // agree or the plane writes run off the heap — verify, don't trust
@@ -358,25 +381,45 @@ PICHA_API int picha_jpeg_transcode_raw420(
     if (err) *err = strdup("transcode dims disagree with JPEG header");
     return -1;
   }
-  int wpi = (src_w + 15) & ~15, hpi = (src_h + 15) & ~15;
+  // scaled (draft) decode shrinks the plane geometry the windows map
+  // from: callers build their windows against these effective dims
+  int denom =
+      (scale_denom == 2 || scale_denom == 4 || scale_denom == 8)
+          ? scale_denom
+          : 1;
+  int sw = (src_w + denom - 1) / denom, sh = (src_h + denom - 1) / denom;
+  int wpi = (sw + 15) & ~15, hpi = (sh + 15) & ~15;
   int wpo = (dst_w + 15) & ~15, hpo = (dst_h + 15) & ~15;
-  std::vector<uint8_t> y((size_t)hpi * wpi), cbp((size_t)hpi * wpi / 4),
-      crp((size_t)hpi * wpi / 4);
+  // scaled decodes emit chroma on the Y grid (exact 8x8 IDCT of the
+  // native-resolution chroma plane); full-size decodes on the half grid
+  bool cfull = denom > 1;
+  size_t csz = cfull ? (size_t)hpi * wpi : (size_t)hpi * wpi / 4;
+  int ciw = cfull ? wpi : wpi / 2, cih = cfull ? hpi : hpi / 2;
+  std::vector<uint8_t> y((size_t)hpi * wpi), cbp(csz), crp(csz);
   int rc = picha_jpeg_decode_raw420(src, len, y.data(), cbp.data(),
-                                    crp.data(), err);
+                                    crp.data(), denom, err);
   if (rc != 0) return rc;
-  if (gamut_guard > 0.0 &&
-      picha_raw420_clip_mass(y.data(), cbp.data(), crp.data(), src_w,
-                             src_h, wpi) > gamut_guard) {
-    return 2;  // gamut risk: caller takes the staged exact path
+  if (gamut_guard > 0.0) {
+    double mass =
+        cfull ? picha_raw444_clip_mass(y.data(), cbp.data(), crp.data(),
+                                       sw, sh, wpi)
+              : picha_raw420_clip_mass(y.data(), cbp.data(), crp.data(),
+                                       sw, sh, wpi);
+    if (mass > gamut_guard)
+      return 2;  // gamut risk: caller takes the staged exact path
   }
   std::vector<uint8_t> yo((size_t)hpo * wpo), cbo((size_t)hpo * wpo / 4),
       cro((size_t)hpo * wpo / 4);
   auto rsz = [](const uint8_t* s, int sh, int sw, uint8_t* d, int dh,
                 int dw, const int32_t* xs, const float* xw, int xk,
                 const int32_t* ys2, const float* yw2, int yk2) {
-    int r = picha_resize_u8_i16(s, sh, sw, 1, d, dh, dw, xs, xw, xk, ys2,
-                                yw2, yk2);
+    int r = 2;
+    if (sh == dh && sw == dw)  // draft-Y correction: transpose-free
+      r = picha_resize_u8_i16_same(s, sh, sw, d, xs, xw, xk, ys2, yw2,
+                                   yk2);
+    if (r == 2)
+      r = picha_resize_u8_i16(s, sh, sw, 1, d, dh, dw, xs, xw, xk, ys2,
+                              yw2, yk2);
     if (r == 2)
       r = picha_resize_u8(s, sh, sw, 1, d, dh, dw, xs, xw, xk, ys2, yw2,
                           yk2);
@@ -384,9 +427,9 @@ PICHA_API int picha_jpeg_transcode_raw420(
   };
   if (rsz(y.data(), hpi, wpi, yo.data(), hpo, wpo, yxs, yxw, yxk, yys,
           yyw, yyk) != 0 ||
-      rsz(cbp.data(), hpi / 2, wpi / 2, cbo.data(), hpo / 2, wpo / 2, cxs,
+      rsz(cbp.data(), cih, ciw, cbo.data(), hpo / 2, wpo / 2, cxs,
           cxw, cxk, cys, cyw, cyk) != 0 ||
-      rsz(crp.data(), hpi / 2, wpi / 2, cro.data(), hpo / 2, wpo / 2, cxs,
+      rsz(crp.data(), cih, ciw, cro.data(), hpo / 2, wpo / 2, cxs,
           cxw, cxk, cys, cyw, cyk) != 0) {
     if (err) *err = strdup("raw420 resize failed");
     return -1;

@@ -127,26 +127,33 @@ PICHA_API int picha_jpeg_encode_raw420(const uint8_t* y, const uint8_t* cb,
 
 // Raw 4:2:0 plane decode (Huffman+IDCT only; see jpegshim.cc). Returns
 // 0 ok, 1 unsupported-layout (fall back), -1 error (err set).
+// scale_denom in {2,4,8} selects libjpeg's scaled IDCT: plane dims and
+// buffer padding become ceil16(ceil(dim/denom)); other values = full.
 // one-call raw-domain transcode (decode raw -> banded resize -> raw
-// re-encode, GIL-free): windows in the picha_resize_u8 layout; returns
-// 1 for unsupported layouts and 2 when gamut_guard > 0 trips (source
-// clip mass > guard, see rawguard.cc) — caller falls back to the RGB
-// path either way
+// re-encode, GIL-free): windows in the picha_resize_u8 layout, built
+// against the scaled source geometry when scale_denom is 2/4/8;
+// returns 1 for unsupported layouts and 2 when gamut_guard > 0 trips
+// (source clip mass > guard, see rawguard.cc) — caller falls back to
+// the RGB path either way
 PICHA_API int picha_jpeg_transcode_raw420(
     const uint8_t* src, size_t len, int src_w, int src_h, int dst_w,
-    int dst_h, const int32_t* yxs, const float* yxw, int yxk,
-    const int32_t* yys, const float* yyw, int yyk, const int32_t* cxs,
-    const float* cxw, int cxk, const int32_t* cys, const float* cyw,
-    int cyk, int quality, int restart_mcus, double gamut_guard,
-    uint8_t** out, size_t* outlen, char** err);
+    int dst_h, int scale_denom, const int32_t* yxs, const float* yxw,
+    int yxk, const int32_t* yys, const float* yyw, int yyk,
+    const int32_t* cxs, const float* cxw, int cxk, const int32_t* cys,
+    const float* cyw, int cyk, int quality, int restart_mcus,
+    double gamut_guard, uint8_t** out, size_t* outlen, char** err);
 PICHA_API int picha_jpeg_decode_raw420(const uint8_t* src, size_t len,
                                        uint8_t* y, uint8_t* cb, uint8_t* cr,
-                                       char** err);
+                                       int scale_denom, char** err);
 // Mean per-channel LSB by which the implied RGB of padded 4:2:0 planes
 // exceeds [0,255] (even rows sampled; arithmetic identical between the
 // AVX2 and scalar builds — see rawguard.cc). The raw transcode path's
 // divergence from the staged path is bounded by this nonlinearity.
 PICHA_API double picha_raw420_clip_mass(const uint8_t* y, const uint8_t* cb,
+                                        const uint8_t* cr, int w, int h,
+                                        int wpad);
+// Same-grid chroma layout (scaled raw decode's effective-4:4:4 planes).
+PICHA_API double picha_raw444_clip_mass(const uint8_t* y, const uint8_t* cb,
                                         const uint8_t* cr, int w, int h,
                                         int wpad);
 
@@ -177,6 +184,15 @@ PICHA_API int picha_resize_u8_i16(const uint8_t* src, int sh, int sw,
                                   const int32_t* xstart, const float* xw,
                                   int xk, const int32_t* ystart,
                                   const float* yw, int yk);
+// Same-size single-channel i16 variant (the draft-Y correction):
+// bit-identical arithmetic to picha_resize_u8_i16 but transpose-free —
+// requires identity-size windows (consecutive starts + one shared
+// interior tap vector); returns 2 otherwise so callers fall back.
+PICHA_API int picha_resize_u8_i16_same(const uint8_t* src, int h, int w,
+                                       uint8_t* dst, const int32_t* xstart,
+                                       const float* xw, int xk,
+                                       const int32_t* ystart,
+                                       const float* yw, int yk);
 
 // ---- CCITT fax (TIFF compressions 2, 3, 4) --------------------------------
 // Decodes a T.4/T.6 bitstream (MSB-first; caller pre-reverses

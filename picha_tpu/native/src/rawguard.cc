@@ -53,17 +53,21 @@ inline int clip_amount(int v) {
 
 }  // namespace
 
-PICHA_API double picha_raw420_clip_mass(const uint8_t* y, const uint8_t* cb,
-                                        const uint8_t* cr, int w, int h,
-                                        int wpad) {
+// Core loop shared by the 4:2:0 and same-grid (scaled-decode 4:4:4)
+// layouts: same_grid selects chroma indexed at (row, x) with stride
+// cstride instead of (row/2, x/2).
+static double clip_mass_impl(const uint8_t* y, const uint8_t* cb,
+                             const uint8_t* cr, int w, int h, int wpad,
+                             int cstride, int same_grid) {
   if (w <= 0 || h <= 0) return 0.0;
-  const int cstride = wpad / 2;
   uint64_t mass = 0;
   uint64_t count = 0;
   for (int row = 0; row < h; row += 2) {
     const uint8_t* yr = y + (size_t)row * wpad;
-    const uint8_t* cbr = cb + (size_t)(row / 2) * cstride;
-    const uint8_t* crr = cr + (size_t)(row / 2) * cstride;
+    const uint8_t* cbr =
+        cb + (size_t)(same_grid ? row : row / 2) * cstride;
+    const uint8_t* crr =
+        cr + (size_t)(same_grid ? row : row / 2) * cstride;
     int x = 0;
 #ifdef __AVX2__
     __m256i acc = _mm256_setzero_si256();
@@ -74,13 +78,23 @@ PICHA_API double picha_raw420_clip_mass(const uint8_t* y, const uint8_t* cb,
     for (; x + 16 <= w; x += 16) {
       __m256i yv = _mm256_cvtepu8_epi16(
           _mm_loadu_si128((const __m128i*)(yr + x)));
-      // 8 chroma bytes cover 16 luma columns: duplicate each byte
-      __m128i cb8 = _mm_loadl_epi64((const __m128i*)(cbr + x / 2));
-      __m128i cr8 = _mm_loadl_epi64((const __m128i*)(crr + x / 2));
-      __m256i cbv = _mm256_sub_epi16(
-          _mm256_cvtepu8_epi16(_mm_unpacklo_epi8(cb8, cb8)), k128);
-      __m256i crv = _mm256_sub_epi16(
-          _mm256_cvtepu8_epi16(_mm_unpacklo_epi8(cr8, cr8)), k128);
+      __m256i cbv, crv;
+      if (same_grid) {
+        cbv = _mm256_sub_epi16(_mm256_cvtepu8_epi16(_mm_loadu_si128(
+                                   (const __m128i*)(cbr + x))),
+                               k128);
+        crv = _mm256_sub_epi16(_mm256_cvtepu8_epi16(_mm_loadu_si128(
+                                   (const __m128i*)(crr + x))),
+                               k128);
+      } else {
+        // 8 chroma bytes cover 16 luma columns: duplicate each byte
+        __m128i cb8 = _mm_loadl_epi64((const __m128i*)(cbr + x / 2));
+        __m128i cr8 = _mm_loadl_epi64((const __m128i*)(crr + x / 2));
+        cbv = _mm256_sub_epi16(
+            _mm256_cvtepu8_epi16(_mm_unpacklo_epi8(cb8, cb8)), k128);
+        crv = _mm256_sub_epi16(
+            _mm256_cvtepu8_epi16(_mm_unpacklo_epi8(cr8, cr8)), k128);
+      }
       __m256i roff = _mm256_srai_epi16(
           _mm256_mullo_epi16(crv, _mm256_set1_epi16(kCrR)), 6);
       __m256i goff = _mm256_srai_epi16(
@@ -110,8 +124,8 @@ PICHA_API double picha_raw420_clip_mass(const uint8_t* y, const uint8_t* cb,
     for (int i = 0; i < 8; ++i) mass += (uint64_t)lanes[i];
 #endif
     for (; x < w; ++x) {
-      int dcb = (int)cbr[x / 2] - 128;
-      int dcr = (int)crr[x / 2] - 128;
+      int dcb = (int)cbr[same_grid ? x : x / 2] - 128;
+      int dcr = (int)crr[same_grid ? x : x / 2] - 128;
       int yy = yr[x];
       int r = yy + ((kCrR * dcr) >> 6);
       int g = yy - ((kCbG * dcb + kCrG * dcr) >> 6);
@@ -121,4 +135,18 @@ PICHA_API double picha_raw420_clip_mass(const uint8_t* y, const uint8_t* cb,
     count += (uint64_t)w;
   }
   return count ? (double)mass / (3.0 * (double)count) : 0.0;
+}
+
+PICHA_API double picha_raw420_clip_mass(const uint8_t* y, const uint8_t* cb,
+                                        const uint8_t* cr, int w, int h,
+                                        int wpad) {
+  return clip_mass_impl(y, cb, cr, w, h, wpad, wpad / 2, 0);
+}
+
+// Same-grid layout: chroma planes share Y's geometry and stride (the
+// scaled raw decode's effective-4:4:4 output).
+PICHA_API double picha_raw444_clip_mass(const uint8_t* y, const uint8_t* cb,
+                                        const uint8_t* cr, int w, int h,
+                                        int wpad) {
+  return clip_mass_impl(y, cb, cr, w, h, wpad, wpad, 1);
 }

@@ -135,7 +135,7 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
     std::vector<uint8_t> crp(cbp.size());
     char* rerr = nullptr;
     int rrc = picha_jpeg_decode_raw420(shared_jpeg, jpeg_len, yp.data(),
-                                       cbp.data(), crp.data(), &rerr);
+                                       cbp.data(), crp.data(), 1, &rerr);
     if (rrc == 0) {
       uint8_t* r420 = nullptr;
       size_t rl = 0;
@@ -149,6 +149,24 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
     } else if (rrc < 0) {
       ++failures;
       picha_free(rerr);
+    }
+    // scaled (draft) raw decode: all three planes on the ceil(dim/2)
+    // grid (chroma comes out at the Y geometry under scaling)
+    {
+      int ow = (w + 1) / 2, oh = (h + 1) / 2;
+      int owp = (ow + 15) & ~15, ohp = (oh + 15) & ~15;
+      std::vector<uint8_t> ys((size_t)ohp * owp), cbs((size_t)ohp * owp),
+          crs((size_t)ohp * owp);
+      char* serr = nullptr;
+      int src = picha_jpeg_decode_raw420(shared_jpeg, jpeg_len, ys.data(),
+                                         cbs.data(), crs.data(), 2, &serr);
+      if (src < 0) {
+        ++failures;
+        picha_free(serr);
+      } else if (src == 0) {
+        (void)picha_raw444_clip_mass(ys.data(), cbs.data(), crs.data(), ow,
+                                     oh, owp);
+      }
     }
     // segment-parallel entropy decode (jpegentropy.cc): nested threads
     // under the outer stress threads; tiny synthetic 1-bit-code scan
@@ -192,7 +210,7 @@ void worker(int seed, const uint8_t* shared_jpeg, size_t jpeg_len) {
       size_t tlen = 0;
       char* terr = nullptr;
       int trc = picha_jpeg_transcode_raw420(
-          shared_jpeg, jpeg_len, w, h, dw, dh, yx.first.data(),
+          shared_jpeg, jpeg_len, w, h, dw, dh, 1, yx.first.data(),
           yx.second.data(), 2, yy.first.data(), yy.second.data(), 2,
           cx.first.data(), cx.second.data(), 2, cy.first.data(),
           cy.second.data(), 2, 80, 0, 0.25, &tout, &tlen, &terr);

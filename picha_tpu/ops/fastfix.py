@@ -51,7 +51,6 @@ FIT_FILTER = "cubic"
 FIT_SCALE = 0.70
 
 
-@functools.lru_cache(maxsize=64)
 def correction_windows(n: int, axis: str):
     """Identity-size banded windows for one axis: row i applies the
     5-tap filter centred at i with edge-replicate semantics (the tap
@@ -59,6 +58,15 @@ def correction_windows(n: int, axis: str):
     matching the fit's padding). Returns (starts int32 (n,), taps
     float32 (n, k)) in the picha_resize_u8 layout."""
     h = HX if axis == "x" else HY
+    return windows_from_taps(n, tuple(float(v) for v in h))
+
+
+@functools.lru_cache(maxsize=64)
+def windows_from_taps(n: int, taps: tuple):
+    """correction_windows for an arbitrary odd-length axis filter
+    (hashable tuple) — the raw-domain draft path fits its own per-plane
+    taps (ops/raw420.py) and shares this window construction."""
+    h = np.asarray(taps, np.float32)
     k = len(h)
     half = k // 2
     if n <= k:  # degenerate tiny axis: everything folds onto n taps

@@ -168,6 +168,75 @@ def resize_raw420(planes, src_w: int, src_h: int, dst_w: int, dst_h: int,
 GAMUT_GUARD_LSB = 0.5
 
 
+# Draft-luma correction taps for the scale_denom=2 raw path: libjpeg
+# scales ONLY the luma IDCT (jpeg_idct_4x4); chroma comes out as the
+# exact 8x8 IDCT on the same ceil(src/2) grid. So the draft transcode's
+# single approximation is Y, and this 5-tap separable filter maps the
+# draft-Y grid onto the exact cubic(0.70) resize of the full-res Y
+# plane (fit with ops/fastfix.fit_correction over gratings, gradients,
+# block mosaics and band-limited noise at 1080p q85; alternating LS,
+# unit DC gain). Measured Y-plane residual after correction:
+# 0.08-0.48 LSB across those classes (uncorrected 0.12-13.6) — far
+# tighter than the RGB-domain fastfix because chroma needs no fix.
+DRAFT_YX = np.array([-0.0018, 0.0725, 0.6071, 0.3242, -0.0019], np.float32)
+DRAFT_YY = np.array([-0.0015, 0.0724, 0.6068, 0.3240, -0.0017], np.float32)
+DRAFT_YX = (DRAFT_YX / DRAFT_YX.sum()).astype(np.float32)
+DRAFT_YY = (DRAFT_YY / DRAFT_YY.sum()).astype(np.float32)
+
+# the reference filter the draft taps were fit against (same contract
+# as ops/fastfix.FIT_FILTER: correcting toward a different target
+# filter would move the output the wrong way)
+DRAFT_FIT_FILTER = "cubic"
+DRAFT_FIT_SCALE = 0.70
+
+
+@functools.lru_cache(maxsize=64)
+def _draft_luma_windows(dst: int, dst_pad: int, axis: str):
+    """Identity-size correction windows for the draft Y plane, padded
+    to the encoder's geometry."""
+    from .fastfix import windows_from_taps
+
+    taps = DRAFT_YX if axis == "x" else DRAFT_YY
+    starts, win = windows_from_taps(dst, tuple(float(v) for v in taps))
+    return _pad_windows(starts, win, dst_pad)
+
+
+def transcode_raw420_draft(buf: bytes, dst_w: int, dst_h: int,
+                           filter_name: str, fscale: float, quality: int,
+                           restart: int = 0, gamut_guard: float = None):
+    """Draft-mode one-shot transcode for exact 2:1 targets: libjpeg
+    scale_denom=2 raw decode (Y via the 4x4 scaled IDCT, chroma exact
+    on the same grid) -> fitted 5-tap Y correction + the exact composed
+    chroma operator (both banded i16) -> raw re-encode, one native
+    call. Only Y is approximate; chroma bytes match transcode_raw420's
+    exactly. Applies only when dst == ceil(src/2) on both axes and the
+    pipeline targets the filter the correction was fit against —
+    returns None otherwise (callers fall back)."""
+    from ..native import lib as native
+
+    if filter_name != DRAFT_FIT_FILTER or abs(fscale - DRAFT_FIT_SCALE) > 1e-6:
+        return None
+    if gamut_guard is None:
+        gamut_guard = GAMUT_GUARD_LSB
+    st = native.jpeg_stat(buf)
+    if st is None:
+        return None
+    src_w, src_h, _ = st
+    if -(-src_w // 2) != dst_w or -(-src_h // 2) != dst_h:
+        return None
+    wpad_o, hpad_o = _ceil16(dst_w), _ceil16(dst_h)
+    yxs, yxw = _draft_luma_windows(dst_w, wpad_o, "x")
+    yys, yyw = _draft_luma_windows(dst_h, hpad_o, "y")
+    # chroma input = the native-resolution chroma plane (ceil(src/2)
+    # grid): the SAME composed operator the exact raw path uses
+    cxs, cxw = chroma_windows(dst_w, wpad_o, src_w, filter_name, fscale)
+    cys, cyw = chroma_windows(dst_h, hpad_o, src_h, filter_name, fscale)
+    return native.jpeg_transcode_raw420(
+        buf, src_w, src_h, dst_w, dst_h,
+        (yxs, yxw), (yys, yyw), (cxs, cxw), (cys, cyw),
+        quality, restart=restart, gamut_guard=gamut_guard, scale_denom=2)
+
+
 def transcode_raw420(buf: bytes, dst_w: int, dst_h: int, filter_name: str,
                      fscale: float, quality: int, restart: int = 0,
                      gamut_guard: float = None):

@@ -457,7 +457,8 @@ class JpegBatchPipeline:
                  num_threads: Optional[int] = None,
                  scan_byte_cap: Optional[int] = None,
                  host_fast_scale: bool = False,
-                 host_raw: bool = False):
+                 host_raw: bool = False,
+                 host_draft: bool = False):
         """encode_backend: 'device' runs the ENTIRE encode on the chip —
         fDCT, quantisation and baseline Huffman coding incl. byte
         stuffing (ops/jpeg_huffman_tpu.py; scan bytes are byte-identical
@@ -508,6 +509,15 @@ class JpegBatchPipeline:
         # operator — strict parity (~0.6 LSB of the staged cubic path)
         # at ~0.7x its cost; falls back per image on non-420 layouts
         self._host_raw = host_raw
+        # draft-raw transcode (ops/raw420.py transcode_raw420_draft):
+        # for exact 2:1 targets, scale_denom=2 raw decode (chroma comes
+        # out EXACT on the half grid; only Y is the 4x4-IDCT draft,
+        # pulled onto the cubic grid by a fitted 5-tap correction) —
+        # ~0.6-0.9 LSB of the staged path at the lowest host cost of
+        # any config; falls back to host_raw then staged per image
+        self._host_draft = host_draft
+        if host_draft:
+            self._host_raw = True
         self._num_threads = num_threads or 8
         self._pool = ThreadPoolExecutor(max_workers=self._num_threads,
                                         thread_name_prefix="picha-entropy")
@@ -932,12 +942,20 @@ class JpegBatchPipeline:
                             np.ascontiguousarray(a), q))
                     return outs
         if self._host_raw and self._width is not None:
-            from ..ops.raw420 import transcode_raw420
+            from ..ops.raw420 import transcode_raw420, transcode_raw420_draft
 
-            outs = [transcode_raw420(b, self._width, self._height,
-                                     self._filter, self._fscale,
-                                     85 if q is None else q)
-                    for b in bufs]
+            def one_raw(b):
+                if self._host_draft:
+                    o = transcode_raw420_draft(b, self._width, self._height,
+                                               self._filter, self._fscale,
+                                               85 if q is None else q)
+                    if o is not None:
+                        return o
+                return transcode_raw420(b, self._width, self._height,
+                                        self._filter, self._fscale,
+                                        85 if q is None else q)
+
+            outs = [one_raw(b) for b in bufs]
             if all(o is not None for o in outs):
                 return outs
             # mixed batch: finish only the non-420 stragglers below

@@ -301,7 +301,7 @@ def stream_best(batches, *, width, height, quality=85,
     ABORTED) scores as losing and its chunk is replayed through the
     host path — nothing is ever dropped.
 
-    configs: subset of "host", "host-raw", "host-fast",
+    configs: subset of "host", "host-raw", "host-draft", "host-fast",
     "<upload>+<backend>" (e.g. "gap4+device", "scan+device",
     "gap4+raw420"). "host-raw" transcodes in the 4:2:0 raw domain
     (ops/raw420.py) — ≤1 LSB of the cubic path on photographic content
@@ -312,6 +312,11 @@ def stream_best(batches, *, width, height, quality=85,
     is exactly source/2^k — a different resampling than the cubic
     filter (close on natural content, not on noise), so it is opt-in
     here; bench.py shows how to gate it on a measured quality check.
+    "host-draft" is the raw-domain draft (ops/raw420.py
+    transcode_raw420_draft): exact chroma + fitted-correction draft Y
+    for exact 2:1 targets, the cheapest host config; like every
+    non-host config it is subject to the strict_lsb gate and falls
+    back per image to host-raw/staged off its applicability window.
 
     strict_lsb: when set (e.g. 1.0 — the BASELINE north-star clause),
     every non-host config's probe outputs are additionally compared to
@@ -335,12 +340,13 @@ def stream_best(batches, *, width, height, quality=85,
     probe_batches = max(1, probe_batches)
 
     def make(config):
-        if config in ("host", "host-fast", "host-raw"):
+        if config in ("host", "host-fast", "host-raw", "host-draft"):
             p = JpegBatchPipeline(width=width, height=height,
                                   encode_quality=quality,
                                   encode_backend="host",
                                   host_fast_scale=(config == "host-fast"),
-                                  host_raw=(config == "host-raw"))
+                                  host_raw=(config == "host-raw"),
+                                  host_draft=(config == "host-draft"))
             return p, p.stream_host
         upload, backend = config.split("+")
         p = JpegBatchPipeline(width=width, height=height,

@@ -227,3 +227,123 @@ def test_hostile_divergence_is_staged_path_clipping():
 
     assert d_raw < 0.4, d_raw          # quantisation-level tracking
     assert d_staged > 2 * d_raw, (d_raw, d_staged)  # the gap is theirs
+
+
+# ---- draft-raw transcode (scale_denom=2 decode + fitted Y correction) ----
+
+
+def _draft_corpus(w=640, h=480):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    rng = np.random.default_rng(11)
+    imgs = [
+        np.stack([128 + 100 * np.sin(xx / 37) * np.cos(yy / 53),
+                  128 + 80 * np.sin((xx + yy) / 29),
+                  128 + 60 * np.cos(xx / 17)], -1),
+        np.stack([xx / w * 255, yy / h * 255,
+                  (xx + yy) / (w + h) * 255], -1),
+        np.kron(rng.integers(0, 256, (h // 32, w // 32, 3)),
+                np.ones((32, 32, 1))).astype(np.float32),
+    ]
+    return [native.jpeg_encode(
+        np.ascontiguousarray(np.clip(i, 0, 255).astype(np.uint8)), 85)
+        for i in imgs]
+
+
+def test_draft_parity_vs_staged_path():
+    from picha_tpu.ops.raw420 import transcode_raw420_draft
+
+    w, h, ow, oh = 640, 480, 320, 240
+    for buf in _draft_corpus(w, h):
+        out = transcode_raw420_draft(buf, ow, oh, FNAME, FSCALE, 85,
+                                     gamut_guard=0.0)
+        assert out is not None
+        got = native.jpeg_decode(out, 3, ow, oh)
+        want = native.jpeg_decode(staged_reference(buf, w, h, ow, oh),
+                                  3, ow, oh)
+        diff = np.abs(got.astype(int) - want.astype(int)).mean()
+        assert diff <= 1.0, f"draft parity {diff:.3f} LSB > 1.0"
+
+
+def test_draft_chroma_is_exact():
+    # the scaled decode's chroma planes are the exact 8x8 IDCT on the
+    # half grid — so the draft transcode's encoded chroma must be
+    # byte-identical to the exact raw path's (only Y may differ)
+    from picha_tpu.ops.raw420 import transcode_raw420, transcode_raw420_draft
+
+    w, h, ow, oh = 640, 480, 320, 240
+    for buf in _draft_corpus(w, h):
+        d = transcode_raw420_draft(buf, ow, oh, FNAME, FSCALE, 85,
+                                   gamut_guard=0.0)
+        r = transcode_raw420(buf, ow, oh, FNAME, FSCALE, 85,
+                             gamut_guard=0.0)
+        _, dcb, dcr = native.jpeg_decode_raw420(d, ow, oh)
+        _, rcb, rcr = native.jpeg_decode_raw420(r, ow, oh)
+        assert np.array_equal(dcb, rcb) and np.array_equal(dcr, rcr)
+
+
+def test_draft_scaled_decode_geometry_odd():
+    # odd dims: scaled planes are ceil(dim/2), chroma on the SAME grid
+    w, h = 321, 243
+    buf = native.jpeg_encode(synth(w, h), 85)
+    y, cb, cr = native.jpeg_decode_raw420(buf, w, h, scale_denom=2)
+    ow, oh = -(-w // 2), -(-h // 2)
+    wp, hp = (ow + 15) & ~15, (oh + 15) & ~15
+    assert y.shape == (hp, wp) and cb.shape == (hp, wp) == cr.shape
+    # the scaled chroma equals the full decode's chroma on the shared
+    # unpadded extent (both are the plain 8x8 IDCT of the chroma plane)
+    yf, cbf, crf = native.jpeg_decode_raw420(buf, w, h)
+    assert np.array_equal(cb[:oh, :ow], cbf[:oh, :ow])
+    assert np.array_equal(cr[:oh, :ow], crf[:oh, :ow])
+
+
+def test_draft_applicability_window():
+    from picha_tpu.ops.raw420 import transcode_raw420_draft
+
+    buf = native.jpeg_encode(synth(640, 480), 85)
+    # non-2:1 target
+    assert transcode_raw420_draft(buf, 300, 240, FNAME, FSCALE, 85) is None
+    # wrong filter for the fitted correction
+    assert transcode_raw420_draft(buf, 320, 240, "triangle", 1.0, 85) is None
+    # grayscale source falls back like the exact raw path
+    g = native.jpeg_encode(
+        np.ascontiguousarray(synth(640, 480)[..., :1]), 85)
+    assert transcode_raw420_draft(g, 320, 240, FNAME, FSCALE, 85) is None
+
+
+def test_draft_pipeline_mixed_batch_matches_op():
+    from picha_tpu.ops.raw420 import transcode_raw420_draft
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    w, h, ow, oh = 640, 480, 320, 240
+    bufs = _draft_corpus(w, h)
+    bufs.append(native.jpeg_encode(
+        np.ascontiguousarray(synth(w, h)[..., :1]), 85))  # grey straggler
+    p = JpegBatchPipeline(width=ow, height=oh, encode_quality=85,
+                          encode_backend="host", host_draft=True)
+    outs = p.host_encode_batch(bufs)
+    want = transcode_raw420_draft(bufs[0], ow, oh, FNAME, FSCALE, 85)
+    assert bytes(outs[0]) == want
+    assert all(len(o) > 0 for o in outs)
+
+
+def test_draft_taps_match_fresh_fit():
+    # the shipped DRAFT_YX/DRAFT_YY constants must track what
+    # fit_correction reproduces from a small fresh fit (guards against
+    # the constants drifting from the documented recipe)
+    from picha_tpu.ops.fastfix import fit_correction
+    from picha_tpu.ops.raw420 import DRAFT_YX, DRAFT_YY, luma_windows
+
+    w, h, ow, oh = 640, 480, 320, 240
+    pairs = []
+    for buf in _draft_corpus(w, h):
+        yfull, _, _ = native.jpeg_decode_raw420(buf, w, h)
+        ydraft, _, _ = native.jpeg_decode_raw420(buf, w, h, scale_denom=2)
+        xs, xw = luma_windows(ow, ow, w, FNAME, FSCALE)
+        ys, yw = luma_windows(oh, oh, h, FNAME, FSCALE)
+        strict = native.resize_u8(yfull[..., None], ow, oh,
+                                  xs, xw, ys, yw)[..., 0]
+        pairs.append((ydraft[:oh, :ow].astype(np.float32),
+                      strict.astype(np.float32)))
+    hx, hy = fit_correction(pairs, k=5, iters=4, samples=40000)
+    assert np.abs(hx - DRAFT_YX).max() < 0.04, hx
+    assert np.abs(hy - DRAFT_YY).max() < 0.04, hy
