@@ -201,32 +201,108 @@ def _draft_luma_windows(dst: int, dst_pad: int, axis: str):
     return _pad_windows(starts, win, dst_pad)
 
 
+@functools.lru_cache(maxsize=128)
+def _draft_composed_luma_windows(dst: int, dst_pad: int, src_full: int,
+                                 axis: str, filter_name: str,
+                                 fscale: float):
+    """General-target draft-Y windows: ONE banded operator mapping the
+    scale_denom=2 draft plane (ceil(src/2) grid) directly onto `dst`
+    samples of the exact full-resolution resize.
+
+    Construction: the fitted correction K (identity-size, approximates
+    C_half = the exact cubic(0.70) resize full->half applied to the
+    true Y plane) composed with the least-squares-optimal map T from
+    the half grid to the target grid,
+
+        T = argmin_T || T @ C_half - C_full ||_F
+          = (C_full @ C_half^T) (C_half @ C_half^T)^{-1},
+
+    so T @ (K @ draft) ~= T @ (C_half @ y) ~= C_full @ y. C_half's rows
+    span the half-band subspace; a downscale target's rows (dst <=
+    ceil(src/2)) lie almost entirely inside it, so the projection
+    residual is tiny — unlike a naive double resize, which composes two
+    window families with no optimality claim. T's rows decay like the
+    inverse of the banded Gram matrix (exponentially), so after
+    trimming sub-1e-3 dust the composed operator W = T @ K stays
+    narrow enough for the banded i16 kernel. Rows renormalised to unit
+    DC gain. Dense solve is ~1 s for 1080p axes, cached per geometry."""
+    half = -(-src_full // 2)
+    from .fastfix import windows_from_taps
+
+    taps = DRAFT_YX if axis == "x" else DRAFT_YY
+    ks, kw = windows_from_taps(half, tuple(float(v) for v in taps))
+    K = np.zeros((half, half), np.float32)
+    rows = np.broadcast_to(np.arange(half)[:, None], kw.shape)
+    cols = ks[:, None] + np.arange(kw.shape[1])[None, :]
+    K[rows, cols] = kw
+    # C_half must live on the TRUE draft grid: libjpeg's scaled IDCT
+    # emits ceil(src/2) samples centred at full-res positions 2i+0.5
+    # (an exact 2:1 grid of the 8x8 blocks, the last sample covering
+    # the partial block on odd sources) — NOT the evenly-spread centres
+    # resize_weights(half, src_odd) would use, which drift to a half-
+    # pixel misalignment at image centre (measured 1.2 LSB). Build the
+    # weights against a virtual 2*half-sample source and fold the
+    # replicated edge column back for odd sizes.
+    C_half = resize_weights(half, 2 * half, DRAFT_FIT_FILTER,
+                            DRAFT_FIT_SCALE)
+    if 2 * half > src_full:  # odd source: fold the virtual edge column
+        C_half = C_half.copy()
+        C_half[:, src_full - 1] += C_half[:, src_full]
+        C_half = C_half[:, :src_full]
+    C_full = resize_weights(dst, src_full, filter_name, fscale)
+    G = (C_half @ C_half.T).astype(np.float64)
+    G[np.diag_indices_from(G)] += 1e-6 * float(np.trace(G)) / G.shape[0]
+    T = np.linalg.solve(G, (C_half @ C_full.T).astype(np.float64))
+    W = (T.T @ K.astype(np.float64)).astype(np.float32)
+    W[np.abs(W) < 1e-3 * float(np.abs(W).max())] = 0.0
+    W /= W.sum(1, keepdims=True)
+    starts, win = _uniform_windows(W)
+    return _pad_windows(starts, win, dst_pad)
+
+
 def transcode_raw420_draft(buf: bytes, dst_w: int, dst_h: int,
                            filter_name: str, fscale: float, quality: int,
                            restart: int = 0, gamut_guard: float = None):
-    """Draft-mode one-shot transcode for exact 2:1 targets: libjpeg
+    """Draft-mode one-shot transcode for targets <= half size: libjpeg
     scale_denom=2 raw decode (Y via the 4x4 scaled IDCT, chroma exact
     on the same grid) -> fitted 5-tap Y correction + the exact composed
     chroma operator (both banded i16) -> raw re-encode, one native
     call. Only Y is approximate; chroma bytes match transcode_raw420's
-    exactly. Applies only when dst == ceil(src/2) on both axes and the
-    pipeline targets the filter the correction was fit against —
-    returns None otherwise (callers fall back)."""
+    exactly. Applies to any target with dst <= ceil(src/2) on both
+    axes: exact 2:1 targets use the identity-size fitted correction
+    directly (requires the filter the correction was fit against);
+    smaller targets use the composed LS operator
+    (_draft_composed_luma_windows), which can target any filter.
+    Returns None otherwise (callers fall back)."""
     from ..native import lib as native
 
-    if filter_name != DRAFT_FIT_FILTER or abs(fscale - DRAFT_FIT_SCALE) > 1e-6:
-        return None
     if gamut_guard is None:
         gamut_guard = GAMUT_GUARD_LSB
     st = native.jpeg_stat(buf)
     if st is None:
         return None
     src_w, src_h, _ = st
-    if -(-src_w // 2) != dst_w or -(-src_h // 2) != dst_h:
-        return None
+    half_w, half_h = -(-src_w // 2), -(-src_h // 2)
+    # the identity fast path is phase-correct only for EVEN sources:
+    # on odd dims the draft grid (2i+0.5 centres) drifts half a pixel
+    # from the reference resize's evenly-spread ceil(src/2) grid — the
+    # composed operator below absorbs that in T
+    exact_half = ((dst_w, dst_h) == (half_w, half_h)
+                  and src_w % 2 == 0 and src_h % 2 == 0)
+    fit_filter = (filter_name == DRAFT_FIT_FILTER
+                  and abs(fscale - DRAFT_FIT_SCALE) <= 1e-6)
     wpad_o, hpad_o = _ceil16(dst_w), _ceil16(dst_h)
-    yxs, yxw = _draft_luma_windows(dst_w, wpad_o, "x")
-    yys, yyw = _draft_luma_windows(dst_h, hpad_o, "y")
+    if exact_half and fit_filter:
+        yxs, yxw = _draft_luma_windows(dst_w, wpad_o, "x")
+        yys, yyw = _draft_luma_windows(dst_h, hpad_o, "y")
+    elif (dst_w <= half_w and dst_h <= half_h
+          and min(half_w, half_h) >= 48 and min(dst_w, dst_h) >= 8):
+        yxs, yxw = _draft_composed_luma_windows(dst_w, wpad_o, src_w, "x",
+                                                filter_name, fscale)
+        yys, yyw = _draft_composed_luma_windows(dst_h, hpad_o, src_h, "y",
+                                                filter_name, fscale)
+    else:
+        return None
     # chroma input = the native-resolution chroma plane (ceil(src/2)
     # grid): the SAME composed operator the exact raw path uses
     cxs, cxw = chroma_windows(dst_w, wpad_o, src_w, filter_name, fscale)

@@ -510,11 +510,13 @@ class JpegBatchPipeline:
         # at ~0.7x its cost; falls back per image on non-420 layouts
         self._host_raw = host_raw
         # draft-raw transcode (ops/raw420.py transcode_raw420_draft):
-        # for exact 2:1 targets, scale_denom=2 raw decode (chroma comes
-        # out EXACT on the half grid; only Y is the 4x4-IDCT draft,
-        # pulled onto the cubic grid by a fitted 5-tap correction) —
-        # ~0.6-0.9 LSB of the staged path at the lowest host cost of
-        # any config; falls back to host_raw then staged per image
+        # for targets <= source/2, scale_denom=2 raw decode (chroma
+        # comes out EXACT on the half grid; only Y is the 4x4-IDCT
+        # draft, pulled onto the cubic grid by a fitted 5-tap
+        # correction at exact 2:1, or its LS composition with the
+        # remaining resize at smaller targets) — ~0.6-0.9 LSB of the
+        # staged path at the lowest host cost of any config; falls
+        # back to host_raw then staged per image
         self._host_draft = host_draft
         if host_draft:
             self._host_raw = True

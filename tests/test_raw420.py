@@ -300,14 +300,68 @@ def test_draft_applicability_window():
     from picha_tpu.ops.raw420 import transcode_raw420_draft
 
     buf = native.jpeg_encode(synth(640, 480), 85)
-    # non-2:1 target
-    assert transcode_raw420_draft(buf, 300, 240, FNAME, FSCALE, 85) is None
-    # wrong filter for the fitted correction
-    assert transcode_raw420_draft(buf, 320, 240, "triangle", 1.0, 85) is None
+    # beyond-half target: the draft plane can't serve it
+    assert transcode_raw420_draft(buf, 400, 240, FNAME, FSCALE, 85) is None
+    assert transcode_raw420_draft(buf, 320, 300, FNAME, FSCALE, 85) is None
+    # sub-half targets are in scope via the composed LS operator,
+    # including non-fit filters (the composition retargets them)
+    assert transcode_raw420_draft(buf, 300, 240, FNAME, FSCALE, 85,
+                                  gamut_guard=0.0) is not None
+    assert transcode_raw420_draft(buf, 300, 225, "triangle", 1.0, 85,
+                                  gamut_guard=0.0) is not None
+    # ...but the identity fast path requires the fitted filter, so an
+    # exact-half triangle target routes through the composition too
+    assert transcode_raw420_draft(buf, 320, 240, "triangle", 1.0, 85,
+                                  gamut_guard=0.0) is not None
     # grayscale source falls back like the exact raw path
     g = native.jpeg_encode(
         np.ascontiguousarray(synth(640, 480)[..., :1]), 85)
     assert transcode_raw420_draft(g, 320, 240, FNAME, FSCALE, 85) is None
+
+
+@pytest.mark.parametrize("dims", [
+    (640, 480, 300, 240),       # general sub-half target
+    (640, 480, 160, 120),       # 4:1
+    (641, 481, 321, 241),       # odd source at exact ceil-half (phase
+                                # misalignment absorbed by the LS map)
+    (641, 481, 200, 150),       # odd source, general target
+])
+def test_draft_general_target_parity(dims):
+    """The composed-operator draft path must stay within the north-star
+    bound AND within 0.15 LSB of the exact raw path on the same
+    content (the draft approximation costs little beyond host-raw)."""
+    from picha_tpu.ops.raw420 import transcode_raw420_draft
+
+    w, h, ow, oh = dims
+    buf = native.jpeg_encode(synth(w, h), 85)
+    out = transcode_raw420_draft(buf, ow, oh, FNAME, FSCALE, 85,
+                                 gamut_guard=0.0)
+    assert out is not None
+    want = native.jpeg_decode(staged_reference(buf, w, h, ow, oh), 3, ow, oh)
+    got = native.jpeg_decode(out, 3, ow, oh)
+    diff = np.abs(got.astype(int) - want.astype(int)).mean()
+    assert diff <= 1.0, f"general draft parity {diff:.3f} LSB > 1.0"
+    raw = transcode_raw420(buf, ow, oh, FNAME, FSCALE, 85, gamut_guard=0.0)
+    rdiff = np.abs(native.jpeg_decode(raw, 3, ow, oh).astype(int)
+                   - want.astype(int)).mean()
+    assert diff <= rdiff + 0.15, (diff, rdiff)
+
+
+def test_draft_general_target_chroma_is_exact():
+    # chroma uses the SAME composed operator as the exact raw path at
+    # every geometry, so its encoded planes stay byte-identical to
+    # transcode_raw420's on general targets too
+    from picha_tpu.ops.raw420 import transcode_raw420_draft
+
+    w, h, ow, oh = 640, 480, 300, 225
+    for buf in _draft_corpus(w, h):
+        d = transcode_raw420_draft(buf, ow, oh, FNAME, FSCALE, 85,
+                                   gamut_guard=0.0)
+        r = transcode_raw420(buf, ow, oh, FNAME, FSCALE, 85,
+                             gamut_guard=0.0)
+        _, dcb, dcr = native.jpeg_decode_raw420(d, ow, oh)
+        _, rcb, rcr = native.jpeg_decode_raw420(r, ow, oh)
+        assert np.array_equal(dcb, rcb) and np.array_equal(dcr, rcr)
 
 
 def test_draft_pipeline_mixed_batch_matches_op():
