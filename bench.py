@@ -80,7 +80,14 @@ def best_window(fn, windows=3, max_windows=None):
         work, dt = fn()
         rates.append(work / dt)
         steals.append(steal_ticks() - s0)
-    while min(steals) > 1 and len(rates) < max_windows:
+    # retry while every window was stolen from, OR while the spread is
+    # implausibly wide for a clean measurement (observed: adjacent
+    # zero-steal windows 4.5x apart on this box — contention the steal
+    # counter doesn't see, e.g. hypervisor CPU capping; a wide spread
+    # means at least one window was NOT hardware-limited)
+    while (min(steals) > 1
+           or max(rates) > 1.5 * max(min(rates), 1e-9)) \
+            and len(rates) < max_windows:
         s0 = steal_ticks()
         work, dt = fn()
         rates.append(work / dt)
