@@ -296,7 +296,11 @@ def transcode_raw420_draft(buf: bytes, dst_w: int, dst_h: int,
         yxs, yxw = _draft_luma_windows(dst_w, wpad_o, "x")
         yys, yyw = _draft_luma_windows(dst_h, hpad_o, "y")
     elif (dst_w <= half_w and dst_h <= half_h
-          and min(half_w, half_h) >= 48 and min(dst_w, dst_h) >= 8):
+          and min(half_w, half_h) >= 48 and min(dst_w, dst_h) >= 8
+          # the per-geometry dense LS solve is O(half^2) memory /
+          # O(half^3) time — fine through 4K-class sources (~1 s,
+          # cached), gigapixel axes fall back to the exact raw path
+          and max(half_w, half_h) <= 4096):
         yxs, yxw = _draft_composed_luma_windows(dst_w, wpad_o, src_w, "x",
                                                 filter_name, fscale)
         yys, yyw = _draft_composed_luma_windows(dst_h, hpad_o, src_h, "y",
