@@ -105,6 +105,17 @@ class Image:
     def pixel_size(self) -> int:
         return pixel_size(self.pixel)
 
+    @staticmethod
+    def buffer_compare(a, b) -> int:
+        """Lexicographic byte-buffer compare returning -1/0/1 with the
+        shorter-prefix-first rule (reference lib/image.js:46-55
+        Image.bufferCompare / Buffer.compare semantics). Accepts bytes
+        or uint8 arrays."""
+        av, bv = bytes(memoryview(a)), bytes(memoryview(b))
+        return -1 if av < bv else (1 if av > bv else 0)
+
+    bufferCompare = buffer_compare
+
     def row(self, y: int) -> np.ndarray:
         """Payload bytes of row y (no padding), zero-copy."""
         if not 0 <= y < self.height:

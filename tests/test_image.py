@@ -165,3 +165,16 @@ def test_from_array_zero_height():
 
     img = Image.from_array(np.zeros((0, 4, 3), np.uint8), "rgb")
     assert (img.width, img.height) == (4, 0)
+
+
+def test_buffer_compare():
+    # reference lib/image.js:46-55: lexicographic, shorter prefix first
+    bc = Image.buffer_compare
+    assert bc(b"abc", b"abc") == 0
+    assert bc(b"abb", b"abc") == -1
+    assert bc(b"abd", b"abc") == 1
+    assert bc(b"ab", b"abc") == -1
+    assert bc(b"abc", b"ab") == 1
+    assert bc(b"", b"") == 0
+    assert bc(np.frombuffer(b"ab", np.uint8), b"ab") == 0
+    assert Image.bufferCompare is Image.buffer_compare
