@@ -80,13 +80,18 @@ def best_window(fn, windows=3, max_windows=None):
         work, dt = fn()
         rates.append(work / dt)
         steals.append(steal_ticks() - s0)
-    # retry while every window was stolen from, OR while the spread is
-    # implausibly wide for a clean measurement (observed: adjacent
-    # zero-steal windows 4.5x apart on this box — contention the steal
-    # counter doesn't see, e.g. hypervisor CPU capping; a wide spread
-    # means at least one window was NOT hardware-limited)
-    while (min(steals) > 1
-           or max(rates) > 1.5 * max(min(rates), 1e-9)) \
+    # retry while every window was stolen from, OR while the best
+    # window is uncorroborated — no second window within 15% of it
+    # (observed: adjacent zero-steal windows 4.5x apart on this box —
+    # contention the steal counter doesn't see, e.g. hypervisor CPU
+    # capping). Corroboration, not total spread, is the stop rule: a
+    # slow outlier stays in `rates` forever, so a spread test would
+    # never pass and every call would silently run max_windows.
+    def _uncorroborated():
+        best = max(rates)
+        return sum(1 for r in rates if r >= best / 1.15) < 2
+
+    while (min(steals) > 1 or _uncorroborated()) \
             and len(rates) < max_windows:
         s0 = steal_ticks()
         work, dt = fn()

@@ -212,10 +212,12 @@ def transcode(buf: bytes, opts: dict) -> bytes:
     fname, fscale = parse_resize_options(opts)
     if not progressive:  # the raw-domain fast path emits baseline scans
         if draft:
-            # opt-in (like decode's scaleDenom): for exact 2:1 targets,
-            # the scale_denom=2 raw decode + fitted Y correction —
-            # chroma stays exact; ~0.6-0.9 LSB of the exact path at the
-            # lowest cost of any config (ops/raw420.py)
+            # opt-in (like decode's scaleDenom): for any target <=
+            # source/2, the scale_denom=2 raw decode + fitted Y
+            # correction (composed with the remaining resize for
+            # sub-half targets) — chroma stays exact; ~0.6-0.9 LSB of
+            # the exact path at the lowest cost of any config
+            # (ops/raw420.py transcode_raw420_draft)
             from ..ops.raw420 import transcode_raw420_draft
 
             out = transcode_raw420_draft(buf, w, h, fname, fscale,

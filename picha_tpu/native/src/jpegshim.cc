@@ -262,9 +262,12 @@ PICHA_API int picha_jpeg_decode_raw420(const uint8_t* src, size_t len,
   int clines = cinfo.comp_info[1].v_samp_factor *
                cinfo.comp_info[1].DCT_scaled_size;
   // chroma lands on the scaled-Y grid (stride wpad) when scaling is on,
-  // on the half grid (stride wpad/2) at full size
-  int cstride =
-      ((int)cinfo.comp_info[1].downsampled_width == w) ? wpad : wpad / 2;
+  // on the half grid (stride wpad/2) at full size. Key the choice on
+  // scale_denom — NOT on downsampled_width == w, which falsely matches
+  // full-size decodes of 1-pixel-wide sources (ceil(1/2) == 1 == w) and
+  // would overrun the half-grid chroma buffers.
+  bool scaled = scale_denom == 2 || scale_denom == 4 || scale_denom == 8;
+  int cstride = scaled ? wpad : wpad / 2;
 
   JSAMPROW yrows[16], cbrows[16], crrows[16];
   JSAMPARRAY planes[3] = {yrows, cbrows, crrows};

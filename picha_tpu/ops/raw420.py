@@ -201,7 +201,7 @@ def _draft_luma_windows(dst: int, dst_pad: int, axis: str):
     return _pad_windows(starts, win, dst_pad)
 
 
-@functools.lru_cache(maxsize=128)
+@functools.lru_cache(maxsize=1024)
 def _draft_composed_luma_windows(dst: int, dst_pad: int, src_full: int,
                                  axis: str, filter_name: str,
                                  fscale: float):
@@ -225,35 +225,63 @@ def _draft_composed_luma_windows(dst: int, dst_pad: int, src_full: int,
     inverse of the banded Gram matrix (exponentially), so after
     trimming sub-1e-3 dust the composed operator W = T @ K stays
     narrow enough for the banded i16 kernel. Rows renormalised to unit
-    DC gain. Dense solve is ~1 s for 1080p axes, cached per geometry."""
+    DC gain. All factors are banded, so the solve is a banded Cholesky
+    over sparse factors: ~0.1 s per 1080p axis / ~0.6 s at 4K warm
+    (was 0.3 s / 15 s dense), of which the solve itself is 10-30 ms —
+    the rest is the reference-parity weight generation that every
+    config pays and caches. Cached per geometry (1024 entries), so
+    heterogeneous-geometry traffic amortises per source size."""
     half = -(-src_full // 2)
+    from scipy import sparse as _sp
+    from scipy.linalg import solveh_banded
+
     from .fastfix import windows_from_taps
 
     taps = DRAFT_YX if axis == "x" else DRAFT_YY
     ks, kw = windows_from_taps(half, tuple(float(v) for v in taps))
-    K = np.zeros((half, half), np.float32)
     rows = np.broadcast_to(np.arange(half)[:, None], kw.shape)
     cols = ks[:, None] + np.arange(kw.shape[1])[None, :]
-    K[rows, cols] = kw
+    K = _sp.csr_matrix((kw.ravel().astype(np.float64),
+                        (rows.ravel(), cols.ravel())), shape=(half, half))
+    def _windows_csr(n, src, fname, fs):
+        # sparse (n, src) contribution matrix straight from the window
+        # layout — never materialises the dense (n, src) weights
+        s, w = resize_windows(n, src, fname, fs)
+        r = np.broadcast_to(np.arange(n)[:, None], w.shape).ravel()
+        c = (s[:, None] + np.arange(w.shape[1])[None, :]).ravel()
+        # fold taps past the true source edge back onto the last true
+        # column (duplicate coo entries sum on conversion)
+        c = np.where(c >= src_full, src_full - 1, c)
+        M = _sp.coo_matrix((w.ravel().astype(np.float64), (r, c)),
+                           shape=(n, src_full)).tocsr()
+        M.sum_duplicates()
+        M.eliminate_zeros()  # the uniform-k layout zero-pads windows
+        return M
+
     # C_half must live on the TRUE draft grid: libjpeg's scaled IDCT
     # emits ceil(src/2) samples centred at full-res positions 2i+0.5
     # (an exact 2:1 grid of the 8x8 blocks, the last sample covering
     # the partial block on odd sources) — NOT the evenly-spread centres
     # resize_weights(half, src_odd) would use, which drift to a half-
     # pixel misalignment at image centre (measured 1.2 LSB). Build the
-    # weights against a virtual 2*half-sample source and fold the
-    # replicated edge column back for odd sizes.
-    C_half = resize_weights(half, 2 * half, DRAFT_FIT_FILTER,
-                            DRAFT_FIT_SCALE)
-    if 2 * half > src_full:  # odd source: fold the virtual edge column
-        C_half = C_half.copy()
-        C_half[:, src_full - 1] += C_half[:, src_full]
-        C_half = C_half[:, :src_full]
-    C_full = resize_weights(dst, src_full, filter_name, fscale)
-    G = (C_half @ C_half.T).astype(np.float64)
-    G[np.diag_indices_from(G)] += 1e-6 * float(np.trace(G)) / G.shape[0]
-    T = np.linalg.solve(G, (C_half @ C_full.T).astype(np.float64))
-    W = (T.T @ K.astype(np.float64)).astype(np.float32)
+    # weights against a virtual 2*half-sample source; taps landing on
+    # the replicated edge column fold back for odd sizes.
+    # Every factor is banded, so the normal equations stay banded:
+    # G = C_half C_halfᵀ is SPD with bandwidth ~ the resize window, and
+    # the solve runs in O(half·band²+half·band·dst) via a banded
+    # Cholesky instead of the dense O(half³) (15 s -> ~0.6 s at 4K,
+    # the residue being the reference-parity weight generation itself).
+    Ch = _windows_csr(half, 2 * half, DRAFT_FIT_FILTER, DRAFT_FIT_SCALE)
+    Cf = _windows_csr(dst, src_full, filter_name, fscale)
+    G = (Ch @ Ch.T).tocoo()
+    u = int(np.abs(G.row - G.col).max())
+    ab = np.zeros((u + 1, half), np.float64)  # upper band form
+    up = G.col >= G.row
+    ab[u - (G.col[up] - G.row[up]), G.col[up]] = G.data[up]
+    ab[u] += 1e-6 * ab[u].sum() / half  # same ridge as the dense form
+    rhs = (Ch @ Cf.T).toarray()
+    T = solveh_banded(ab, rhs)
+    W = (K.T @ T).T.astype(np.float32)
     W[np.abs(W) < 1e-3 * float(np.abs(W).max())] = 0.0
     W /= W.sum(1, keepdims=True)
     starts, win = _uniform_windows(W)
@@ -297,10 +325,12 @@ def transcode_raw420_draft(buf: bytes, dst_w: int, dst_h: int,
         yys, yyw = _draft_luma_windows(dst_h, hpad_o, "y")
     elif (dst_w <= half_w and dst_h <= half_h
           and min(half_w, half_h) >= 48 and min(dst_w, dst_h) >= 8
-          # the per-geometry dense LS solve is O(half^2) memory /
-          # O(half^3) time — fine through 4K-class sources (~1 s,
-          # cached), gigapixel axes fall back to the exact raw path
-          and max(half_w, half_h) <= 4096):
+          # the per-geometry banded LS solve is milliseconds, but its
+          # intermediate T is a dense (half, dst) f64 — bound the
+          # product (<=2^24 entries = 134 MB) and the axis; beyond
+          # that the exact raw path takes over
+          and max(half_w, half_h) <= 8192
+          and max(half_w * dst_w, half_h * dst_h) <= 1 << 24):
         yxs, yxw = _draft_composed_luma_windows(dst_w, wpad_o, src_w, "x",
                                                 filter_name, fscale)
         yys, yyw = _draft_composed_luma_windows(dst_h, hpad_o, src_h, "y",

@@ -314,7 +314,7 @@ def stream_best(batches, *, width, height, quality=85,
     here; bench.py shows how to gate it on a measured quality check.
     "host-draft" is the raw-domain draft (ops/raw420.py
     transcode_raw420_draft): exact chroma + fitted-correction draft Y
-    for exact 2:1 targets, the cheapest host config; like every
+    for any target <= source/2, the cheapest host config; like every
     non-host config it is subject to the strict_lsb gate and falls
     back per image to host-raw/staged off its applicability window.
 

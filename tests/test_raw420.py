@@ -401,3 +401,22 @@ def test_draft_taps_match_fresh_fit():
     hx, hy = fit_correction(pairs, k=5, iters=4, samples=40000)
     assert np.abs(hx - DRAFT_YX).max() < 0.04, hx
     assert np.abs(hy - DRAFT_YY).max() < 0.04, hy
+
+
+def test_raw_decode_one_pixel_wide_and_tall():
+    """Full-size raw decode of 1xN / Nx1 4:2:0 sources: the chroma grid
+    is ceil(dim/2), which for a 1-px axis EQUALS the output dim — the
+    stride choice must still be the half grid (keyed on scale_denom,
+    not on a width comparison), or libjpeg's row writes overrun the
+    half-grid chroma buffers (regression: confirmed heap overflow)."""
+    for w, h in ((1, 32), (32, 1), (1, 1), (3, 47)):
+        flat = np.full((h, w, 3), 128, np.uint8)
+        buf = native.jpeg_encode(flat, 95)
+        y, cb, cr = native.jpeg_decode_raw420(buf, w, h)
+        # valid region of a constant-grey image is constant in all
+        # three planes; with the stride bug rows past the first land at
+        # wrong offsets and the assert sees uninitialized memory
+        ch, cw = -(-h // 2), -(-w // 2)
+        assert np.abs(y[:h, :w].astype(int) - 128).max() <= 2
+        assert np.abs(cb[:ch, :cw].astype(int) - 128).max() <= 2
+        assert np.abs(cr[:ch, :cw].astype(int) - 128).max() <= 2

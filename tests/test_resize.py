@@ -221,3 +221,23 @@ def test_non_numeric_filter_scale_typed():
     with pytest.raises(picha.InvalidOptionsError):
         picha.resizeSync(img, {"width": 4, "height": 4,
                                "filterScale": "abc"})
+
+
+def test_resize_u8_i16same_dispatch_bit_identical():
+    """precision="i16same" (the transpose-free same-size correction
+    kernel, used in-C by the draft transcode) must be bit-identical to
+    the generic i16 kernel through the Python dispatch — covers the
+    ctypes arg wiring of picha_resize_u8_i16_same."""
+    from picha_tpu.native import lib as native
+    from picha_tpu.ops.fastfix import windows_from_taps
+    from picha_tpu.ops.raw420 import DRAFT_YX, DRAFT_YY
+
+    r = np.random.default_rng(3)
+    for h, w in ((48, 64), (544, 960), (17, 33)):
+        img = r.integers(0, 256, (h, w, 1)).astype(np.uint8)
+        xs, xw = windows_from_taps(w, tuple(float(v) for v in DRAFT_YX))
+        ys, yw = windows_from_taps(h, tuple(float(v) for v in DRAFT_YY))
+        a = native.resize_u8(img, w, h, xs, xw, ys, yw,
+                             precision="i16same")
+        b = native.resize_u8(img, w, h, xs, xw, ys, yw, precision="i16")
+        assert np.array_equal(a, b), (h, w)
