@@ -872,29 +872,61 @@ def bench_config4(n=256):
     mpix_total = n * W * H / 1e6
 
     out = {}
-    for name, corpus, enc in (
-            ("webp", webps, ("image/webp",
-                             {"preset": "photo", "quality": 85})),
-            ("tiff", tiffs, ("image/tiff", {"compression": "lzw"}))):
-        # backend='host': crop view + native AVX2 resize per image —
-        # the deployable winner on this box (the XLA:CPU graph measured
-        # 13x slower/img; a 256-image RGBA round trip through the
-        # tunnel costs more than the whole pipeline)
-        p = ImageBatchPipeline(crop=(16, 16, W - 32, H - 32),
-                               resize=(176, 112), encode=enc,
-                               backend="host")
+    for name, corpus, encs in (
+            # webp races libwebp's method knob (0 fastest .. 6): method 0
+            # measures ~3x the encode rate of the preset default (4) at
+            # equal round-trip diff and ~+3% bytes on this corpus — the
+            # same trade the PNG fast config makes, gated below on the
+            # reference's own lossy oracle (test/webp_codec.js: < 8 LSB)
+            ("webp", webps, {
+                "default": ("image/webp", {"preset": "photo",
+                                           "quality": 85}),
+                "fast": ("image/webp", {"preset": "photo", "quality": 85,
+                                        "method": 0})}),
+            ("tiff", tiffs, {
+                "default": ("image/tiff", {"compression": "lzw"})})):
         bufs = [corpus[i % len(corpus)] for i in range(n)]
         mt = "image/webp" if name == "webp" else "image/tiff"
-        p(bufs[:8], mimetype=mt)  # warm caches
+        # quality gate ground truth: the exact crop+resize pixels via
+        # the single-image API (what the pipeline computes pre-encode)
+        refs = []
+        for b in bufs[:4]:
+            im = picha.decodeSync(bytes(b))
+            v = im.sub_view(16, 16, W - 32, H - 32)
+            refs.append(picha.resizeSync(v, {"width": 176, "height": 112}))
+        configs, sizes, diffs = {}, {}, {}
+        for cname, enc in encs.items():
+            # backend='host': crop view + native AVX2 resize per image —
+            # the deployable winner on this box (the XLA:CPU graph
+            # measured 13x slower/img; a 256-image RGBA round trip
+            # through the tunnel costs more than the whole pipeline)
+            p = ImageBatchPipeline(crop=(16, 16, W - 32, H - 32),
+                                   resize=(176, 112), encode=enc,
+                                   backend="host")
+            outs8 = p(bufs[:8], mimetype=mt)  # warm caches
+            sizes[cname] = sum(len(o) for o in outs8)
+            if name == "webp":
+                d = [picha.decodeSync(o).avg_channel_diff(refs[i])
+                     for i, o in enumerate(outs8[:4])]
+                diffs[cname] = round(sum(d) / len(d), 2)
 
-        def window():
-            t0 = time.perf_counter()
-            outs = p(bufs, mimetype=mt)
-            assert len(outs) == n
-            return mpix_total, time.perf_counter() - t0
+            def window(p=p):
+                t0 = time.perf_counter()
+                outs = p(bufs, mimetype=mt)
+                assert len(outs) == n
+                return mpix_total, time.perf_counter() - t0
 
-        out[f"{name}_e2e_mpix_s"] = round(best_window(window, windows=2)[0],
-                                          1)
+            configs[cname] = round(best_window(window, windows=2)[0], 1)
+        admissible = {c: v for c, v in configs.items()
+                      if diffs.get(c, 0.0) < 8.0}  # reference oracle
+        winner = max(admissible, key=admissible.get)
+        out[f"{name}_e2e_mpix_s"] = admissible[winner]
+        if len(configs) > 1:
+            out[f"{name}_configs_mpix_s"] = configs
+            out[f"{name}_e2e_config"] = winner
+            out[f"{name}_config_diff_lsb"] = diffs
+            out[f"{name}_fast_size_ratio"] = round(
+                sizes["fast"] / sizes["default"], 3)
 
         # PIL stand-in: same decode->crop->resize->encode, same formats
         def pil_window():

@@ -10,7 +10,9 @@ Parity surface:
     preset ('default', 'picture', 'photo', 'drawing', 'icon', 'text',
     'lossless'), quality (default 85), alphaQuality (default 100),
     exact flag; 'lossless' = default preset + lossless mode
-    (webpcodec.cc:155-195)
+    (webpcodec.cc:155-195); beyond-reference: method (0 fastest ..
+    6 slowest/smallest, libwebp's speed/size trade; default = the
+    preset's own, 4 for the stock presets)
   * stat -> {width, height, pixel} via WebPGetFeatures
 """
 from __future__ import annotations
@@ -66,8 +68,14 @@ def encode(img: Image, opts: dict) -> bytes:
     alpha_quality = max(0, min(100, alpha_quality))
     exact = bool(opts.get("exact", False))
     lossless = preset_name == "lossless"
+    method = opts.get("method", None)
+    if method is not None:
+        if isinstance(method, bool) or not isinstance(method, int) \
+                or not 0 <= method <= 6:
+            raise InvalidOptionsError("webp method must be an int in 0..6")
     return native.webp_encode(img.to_array(), _PRESETS[preset_name], quality,
-                              alpha_quality, exact, lossless)
+                              alpha_quality, exact, lossless,
+                              -1 if method is None else method)
 
 
 class WebPCodec:

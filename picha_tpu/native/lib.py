@@ -214,7 +214,7 @@ def get_lib():
             lib.picha_webp_decode.restype = C.c_int
             lib.picha_webp_encode.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int, C.c_int,
-                C.c_int, C.c_float, C.c_int, C.c_int, C.c_int,
+                C.c_int, C.c_float, C.c_int, C.c_int, C.c_int, C.c_int,
                 C.POINTER(C.POINTER(C.c_uint8)), C.POINTER(C.c_size_t)]
             lib.picha_webp_encode.restype = C.c_int
 
@@ -796,7 +796,8 @@ def webp_decode(buf: bytes, channels: int, width: int, height: int) -> np.ndarra
 
 
 def webp_encode(arr: np.ndarray, preset: int, quality: float,
-                alpha_quality: int, exact: bool, lossless: bool) -> bytes:
+                alpha_quality: int, exact: bool, lossless: bool,
+                method: int = -1) -> bytes:
     lib = get_lib()
     arr = np.ascontiguousarray(arr)
     h, w, ch = arr.shape
@@ -804,7 +805,8 @@ def webp_encode(arr: np.ndarray, preset: int, quality: float,
     outlen = C.c_size_t()
     rc = lib.picha_webp_encode(_u8ptr(arr.reshape(-1)), w, h, w * ch, ch,
                                preset, quality, alpha_quality, int(exact),
-                               int(lossless), C.byref(out), C.byref(outlen))
+                               int(lossless), method,
+                               C.byref(out), C.byref(outlen))
     if rc != 0:
         raise CodecError(f"WebP encode failed ({rc})")
     return take_buffer(lib, out, outlen.value)

@@ -245,7 +245,10 @@ PICHA_API int picha_webp_decode(const uint8_t* src, size_t len, int channels,
 // preset: 0 default 1 picture 2 photo 3 drawing 4 icon 5 text
 // lossless: use default preset + lossless mode (reference
 // src/webpcodec.cc:155-195); exact preserves RGB under transparent alpha
+// method: libwebp's speed/size trade (0 fastest .. 6 slowest/smallest),
+// <0 keeps the preset's own value (beyond-reference option)
 PICHA_API int picha_webp_encode(const uint8_t* src, int width, int height,
                                 int stride, int channels, int preset,
                                 float quality, int alpha_quality, int exact,
-                                int lossless, uint8_t** out, size_t* outlen);
+                                int lossless, int method, uint8_t** out,
+                                size_t* outlen);

@@ -36,7 +36,8 @@ PICHA_API int picha_webp_decode(const uint8_t* src, size_t len, int channels,
 PICHA_API int picha_webp_encode(const uint8_t* src, int width, int height,
                                 int stride, int channels, int preset,
                                 float quality, int alpha_quality, int exact,
-                                int lossless, uint8_t** out, size_t* outlen) {
+                                int lossless, int method, uint8_t** out,
+                                size_t* outlen) {
   WebPConfig config;
   WebPPreset p = WEBP_PRESET_DEFAULT;
   switch (preset) {
@@ -51,6 +52,7 @@ PICHA_API int picha_webp_encode(const uint8_t* src, int width, int height,
   if (lossless) config.lossless = 1;
   config.alpha_quality = alpha_quality;
   config.exact = exact;
+  if (method >= 0) config.method = method;  // <0: keep the preset's own
   if (!WebPValidateConfig(&config)) return -1;
 
   WebPPicture pic;

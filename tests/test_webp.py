@@ -71,3 +71,30 @@ def test_sync_async_identical():
     picha.encodeWebP(img, {"quality": 70}, lambda e, r: res.update(e=e, r=r)).result(60)
     assert res["e"] is None
     assert res["r"] == picha.encodeWebPSync(img, {"quality": 70})
+
+
+@pytest.mark.parametrize("method", [0, 3, 6])
+def test_method_option(method):
+    # libwebp's speed/size knob (beyond-reference option): every value
+    # must produce a decodable stream within the reference's lossy
+    # oracle (test/webp_codec.js: avgChannelDiff < 8 at q70)
+    img = picha.decodeWebPSync(fixture_bytes("test.webp"))
+    data = picha.encodeWebPSync(img, {"quality": 85, "method": method})
+    back = picha.decodeWebPSync(data)
+    assert back.avg_channel_diff(img) < 8
+
+
+@pytest.mark.parametrize("bad", [-1, 7, "fast", 2.5, True])
+def test_method_option_validated(bad):
+    img = Image.from_array(np.zeros((2, 2, 3), np.uint8), "rgb")
+    with pytest.raises(picha.InvalidOptionsError):
+        picha.encodeWebPSync(img, {"method": bad})
+
+
+def test_method_default_matches_preset_default():
+    # omitting method must keep the preset's own value (4 for the
+    # stock presets): byte-identical to an explicit method=4 encode
+    img = picha.decodeWebPSync(fixture_bytes("test.webp"))
+    a = picha.encodeWebPSync(img, {"quality": 85})
+    b = picha.encodeWebPSync(img, {"quality": 85, "method": 4})
+    assert a == b
