@@ -888,12 +888,15 @@ def bench_config4(n=256):
         bufs = [corpus[i % len(corpus)] for i in range(n)]
         mt = "image/webp" if name == "webp" else "image/tiff"
         # quality gate ground truth: the exact crop+resize pixels via
-        # the single-image API (what the pipeline computes pre-encode)
+        # the single-image API (what the pipeline computes pre-encode).
+        # Only the webp race consumes these — skip the work otherwise.
         refs = []
-        for b in bufs[:4]:
-            im = picha.decodeSync(bytes(b))
-            v = im.sub_view(16, 16, W - 32, H - 32)
-            refs.append(picha.resizeSync(v, {"width": 176, "height": 112}))
+        if len(encs) > 1:
+            for b in bufs[:4]:
+                im = picha.decodeSync(bytes(b))
+                v = im.sub_view(16, 16, W - 32, H - 32)
+                refs.append(picha.resizeSync(v, {"width": 176,
+                                                 "height": 112}))
         configs, sizes, diffs = {}, {}, {}
         for cname, enc in encs.items():
             # backend='host': crop view + native AVX2 resize per image —
@@ -919,6 +922,13 @@ def bench_config4(n=256):
             configs[cname] = round(best_window(window, windows=2)[0], 1)
         admissible = {c: v for c, v in configs.items()
                       if diffs.get(c, 0.0) < 8.0}  # reference oracle
+        if not admissible:
+            # even the default config failed the reference's own lossy
+            # oracle — report its rate anyway (this row isn't the
+            # parity-gated headline) but flag the failure loudly so the
+            # regression is visible in the JSON, not a crash
+            out[f"{name}_quality_oracle_failed"] = diffs
+            admissible = {"default": configs["default"]}
         winner = max(admissible, key=admissible.get)
         out[f"{name}_e2e_mpix_s"] = admissible[winner]
         if len(configs) > 1:
