@@ -10,7 +10,8 @@ g++ -O1 -g -fsanitize=thread -fPIE -pie -std=c++17 \
     "$here/src/stress_test.cc" "$here/src/pngfilter.cc" \
     "$here/src/lzw.cc" "$here/src/jpegshim.cc" "$here/src/webpshim.cc" \
     "$here/src/jpegentropy.cc" \
-    "$here/src/fax.cc" "$here/src/sparsepack.cc" "$here/src/hostresize.cc" -mavx2 -mfma \
+    "$here/src/fax.cc" "$here/src/sparsepack.cc" "$here/src/hostresize.cc" \
+    "$here/src/rawguard.cc" -mavx2 -mfma \
     -ljpeg -lwebp -lpthread -o "$out"
 "$out" "$jpg"
 echo "tsan check passed"
