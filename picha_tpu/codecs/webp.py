@@ -17,6 +17,8 @@ Parity surface:
 """
 from __future__ import annotations
 
+import operator
+
 from ..errors import CodecError, InvalidOptionsError
 from ..image import Image
 from ..native import lib as native
@@ -70,8 +72,16 @@ def encode(img: Image, opts: dict) -> bytes:
     lossless = preset_name == "lossless"
     method = opts.get("method", None)
     if method is not None:
-        if isinstance(method, bool) or not isinstance(method, int) \
-                or not 0 <= method <= 6:
+        # operator.index() accepts any integral type (incl. numpy ints,
+        # matching the int() coercion of quality/alphaQuality) while
+        # rejecting floats; bools are integral so exclude them explicitly
+        if isinstance(method, bool):
+            raise InvalidOptionsError("webp method must be an int in 0..6")
+        try:
+            method = operator.index(method)
+        except TypeError:
+            raise InvalidOptionsError("webp method must be an int in 0..6")
+        if not 0 <= method <= 6:
             raise InvalidOptionsError("webp method must be an int in 0..6")
     return native.webp_encode(img.to_array(), _PRESETS[preset_name], quality,
                               alpha_quality, exact, lossless,

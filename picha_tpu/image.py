@@ -111,7 +111,14 @@ class Image:
         shorter-prefix-first rule (reference lib/image.js:46-55
         Image.bufferCompare / Buffer.compare semantics). Accepts bytes
         or uint8 arrays."""
-        av, bv = bytes(memoryview(a)), bytes(memoryview(b))
+        # np.ascontiguousarray handles non-contiguous uint8 views (e.g.
+        # an Image.row of a padded-stride image) that bytes(memoryview())
+        # would reject with TypeError
+        def _to_bytes(v):
+            if isinstance(v, np.ndarray):
+                return np.ascontiguousarray(v).tobytes()
+            return memoryview(v).tobytes()
+        av, bv = _to_bytes(a), _to_bytes(b)
         return -1 if av < bv else (1 if av > bv else 0)
 
     bufferCompare = buffer_compare

@@ -407,9 +407,12 @@ def jpeg_decode_raw420(buf: bytes, width: int, height: int,
     (y (ceil16(h), ceil16(w)) u8, cb/cr half that) without the upsample
     and colour-convert stages. scale_denom in {2,4,8} decodes Y through
     libjpeg's scaled IDCT: all plane dims become ceil(dim/denom)
-    (padded) — chroma comes out on the SAME grid as Y (libjpeg scales
-    only the luma IDCT; for 4:2:0 the chroma planes are the exact 8x8
-    IDCT of the native-resolution chroma, so only Y is a draft).
+    (padded) and chroma comes out on the SAME grid as Y. At denom=2
+    only the luma IDCT is scaled — the chroma planes are the exact 8x8
+    IDCT of the native-resolution chroma, so only Y is a draft. At
+    denom=4/8 libjpeg selects chroma DCT_scaled_size 4/2, i.e. chroma
+    is ALSO a scaled (approximate) IDCT — don't rely on exact chroma
+    beyond denom=2 (the shipped draft path is hardwired to 2).
     Returns None for layouts the raw path doesn't take (grayscale,
     CMYK, 4:4:4/4:2:2) — callers fall back to jpeg_decode."""
     lib = get_lib()

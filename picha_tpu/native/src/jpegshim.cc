@@ -209,14 +209,16 @@ PICHA_API int picha_jpeg_encode(const uint8_t* src, int width, int height,
 // to the standard RGB path. Planes must be padded like the encoder's:
 // Y (ceil16(h), ceil16(w)), Cb/Cr half that (libjpeg writes
 // width_in_blocks*DCT_scaled_size <= those widths per row).
-// scale_denom in {2,4,8} selects libjpeg's scaled IDCT for LUMA ONLY:
-// libjpeg keeps chroma at the next DCT size up so it lands on (or
-// above) the scaled-Y grid — for 4:2:0 sources the chroma planes come
-// out at the SAME ceil(dim/denom) geometry as Y, i.e. the output is
-// effectively 4:4:4 at the scaled size, and — crucially — the chroma
-// samples are EXACT (full 8x8 IDCT of the native-resolution chroma),
-// only Y is the draft approximation. Buffers for scaled decodes: all
-// three planes ceil16(ceil(w/denom)) x ceil16(ceil(h/denom)).
+// scale_denom in {2,4,8} selects libjpeg's scaled IDCT: for 4:2:0
+// sources the chroma planes come out at the SAME ceil(dim/denom)
+// geometry as Y, i.e. the output is effectively 4:4:4 at the scaled
+// size. At denom=2 the chroma samples are EXACT (full 8x8 IDCT of the
+// native-resolution chroma plane) and only Y is the draft
+// approximation; at denom=4/8 libjpeg picks chroma DCT_scaled_size 4/2
+// so chroma is ALSO a scaled approximate IDCT — callers needing exact
+// chroma must stay at denom<=2 (the shipped draft path does). Buffers
+// for scaled decodes: all three planes
+// ceil16(ceil(w/denom)) x ceil16(ceil(h/denom)).
 PICHA_API int picha_jpeg_decode_raw420(const uint8_t* src, size_t len,
                                        uint8_t* y, uint8_t* cb, uint8_t* cr,
                                        int scale_denom, char** err) {
@@ -393,8 +395,9 @@ PICHA_API int picha_jpeg_transcode_raw420(
   int sw = (src_w + denom - 1) / denom, sh = (src_h + denom - 1) / denom;
   int wpi = (sw + 15) & ~15, hpi = (sh + 15) & ~15;
   int wpo = (dst_w + 15) & ~15, hpo = (dst_h + 15) & ~15;
-  // scaled decodes emit chroma on the Y grid (exact 8x8 IDCT of the
-  // native-resolution chroma plane); full-size decodes on the half grid
+  // scaled decodes emit chroma on the Y grid (exact 8x8 IDCT at
+  // denom=2, scaled approximate at 4/8 — see picha_jpeg_decode_raw420
+  // above); full-size decodes on the half grid
   bool cfull = denom > 1;
   size_t csz = cfull ? (size_t)hpi * wpi : (size_t)hpi * wpi / 4;
   int ciw = cfull ? wpi : wpi / 2, cih = cfull ? hpi : hpi / 2;

@@ -19,20 +19,49 @@ redirect with PICHA_COMPILE_CACHE_DIR.
 """
 from __future__ import annotations
 
+import hashlib
 import os
 import pathlib
 
+
+def _machine_sig() -> str:
+    """Short hash of the host CPU's identity + feature flags.
+
+    XLA:CPU AOT-compiles executables against the build host's machine
+    features; replaying them on a CPU with different features is a
+    latent SIGILL (seen as ``cpu_aot_loader`` "+prefer-no-gather is not
+    supported" errors when a cache written on one box was read on
+    another). Keying the cache directory by this signature confines
+    every entry to hosts where it is safe to execute."""
+    parts = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    parts.append(line.strip())
+                    if len(parts) >= 2:
+                        break
+    except OSError:
+        pass
+    if not parts:  # non-Linux fallback: coarse but better than nothing
+        import platform
+        parts = [platform.machine(), platform.processor()]
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
 def _default_dir() -> pathlib.Path:
-    """Source checkouts keep the cache at the repo root (existing dev
-    deployments must not lose their warmed cache); installed wheels —
-    where parents[2] is site-packages, often read-only — use the
-    user cache directory instead."""
+    """Source checkouts keep the cache at the repo root; installed
+    wheels — where parents[2] is site-packages, often read-only — use
+    the user cache directory instead. Either way the cache lives in a
+    per-machine-signature subdirectory (see _machine_sig)."""
     root = pathlib.Path(__file__).resolve().parents[2]
     if (root / ".jax_cache").exists() or (root / "pyproject.toml").exists():
-        return root / ".jax_cache"
-    base = pathlib.Path(os.environ.get("XDG_CACHE_HOME",
-                                       pathlib.Path.home() / ".cache"))
-    return base / "picha_tpu" / "jax_cache"
+        base = root / ".jax_cache"
+    else:
+        xdg = pathlib.Path(os.environ.get("XDG_CACHE_HOME",
+                                          pathlib.Path.home() / ".cache"))
+        base = xdg / "picha_tpu" / "jax_cache"
+    return base / _machine_sig()
 
 
 _DEFAULT_DIR = _default_dir()
