@@ -309,7 +309,7 @@ def config_parity(bufs, out_w, out_h, config, refs):
     for b, ref in zip(p.host_encode_batch(bufs), refs):
         got = native.jpeg_decode(bytes(b), 3, out_w, out_h)
         diffs.append(np.abs(got.astype(int) - ref.astype(int)).mean())
-    return float(np.mean(diffs))
+    return float(np.mean(diffs)), p.fast_guard_trips
 
 
 def bench_e2e_best(bufs, batch, out_w, out_h):
@@ -344,9 +344,19 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     refs = [native.jpeg_decode(bytes(b), 3, out_w, out_h)
             for b in pn.host_encode_batch(bufs)]
     diffs = {"host": 0.0}
+    fast_trips = {}
     for hc in ("host-raw", "host-draft", "host-fast"):
         try:
-            diffs[hc] = config_parity(bufs, out_w, out_h, hc, refs)
+            diffs[hc], trips = config_parity(bufs, out_w, out_h, hc, refs)
+            if hc == "host-fast":
+                fast_trips["corpus"] = trips
+                if trips:
+                    # the divergence guard exists for hostile content;
+                    # tripping on the HEADLINE corpus means the fast
+                    # path quietly became the staged path
+                    violations.append(
+                        f"host-fast divergence guard tripped on {trips} "
+                        f"bench-corpus images")
             log(f"{hc} vs cubic avg diff (full corpus, n={len(bufs)}): "
                 f"{diffs[hc]:.3f} LSB ({'strict' if diffs[hc] <= 1.0 else 'NOT strict'}"
                 f" of the <=1 LSB north-star clause)")
@@ -359,11 +369,14 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         violations.append(
             f"host-raw parity {diffs['host-raw']:.3f} LSB > 1.0")
 
-    # hostile-content parity, REPORTED not gated, WITH ATTRIBUTION:
-    # block mosaics + 4px noise put heavy spectral energy at the
-    # half-grid Nyquist and many out-of-gamut colours. host-fast
-    # measures ~2.7 LSB there (the 4x4 draft IDCT truncates what no
-    # filter can recover). host-raw measures ~1.4 — which is AT/BELOW
+    # hostile-content parity, WITH ATTRIBUTION: block mosaics + 4px
+    # noise put heavy spectral energy at the half-grid Nyquist and many
+    # out-of-gamut colours. host-fast formerly measured ~2.7 LSB there
+    # (the 4x4 draft IDCT truncates what no filter can recover); its
+    # divergence guard (ops/fastfix.py draft_hf_probe, round 4) now
+    # routes such content to the staged strict path, so the number
+    # below measures the GUARDED config and must sit at/below the
+    # re-encode floor. host-raw measures ~1.4 — which is AT/BELOW
     # the dust-control floor published next to it: the SAME staged
     # pre-encode image perturbed by sub-LSB dust and re-encoded at q85
     # lands 1.1-2.2 LSB from the un-dusted encode on this content
@@ -384,8 +397,10 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         hrefs = [native.jpeg_decode(bytes(b), 3, out_w, out_h)
                  for b in pn.host_encode_batch(hb)]
         for hc in ("host-raw", "host-draft", "host-fast"):
-            hostile_parity[hc] = round(
-                config_parity(hb, out_w, out_h, hc, hrefs), 3)
+            par, trips = config_parity(hb, out_w, out_h, hc, hrefs)
+            hostile_parity[hc] = round(par, 3)
+            if hc == "host-fast":
+                fast_trips["hostile"] = trips
         rng = np.random.default_rng(0)
         floors = []
         for b, ref in zip(hb, hrefs):
@@ -399,9 +414,14 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
                 np.ascontiguousarray(dust), 85), 3, out_w, out_h)
             floors.append(np.abs(got.astype(int) - ref.astype(int)).mean())
         hostile_floor = round(float(np.mean(floors)), 3)
-        log(f"hostile-content parity (LSB, reported not gated): "
-            f"{hostile_parity}; sub-LSB-dust re-encode floor "
-            f"{hostile_floor}")
+        log(f"hostile-content parity (LSB): {hostile_parity}; "
+            f"sub-LSB-dust re-encode floor {hostile_floor}; "
+            f"host-fast guard trips {fast_trips}")
+        if hostile_parity.get("host-fast", 0.0) > hostile_floor:
+            violations.append(
+                f"guarded host-fast hostile parity "
+                f"{hostile_parity['host-fast']} LSB exceeds the "
+                f"re-encode floor {hostile_floor}")
     except Exception as e:  # noqa: BLE001
         log(f"hostile parity check failed: {e}")
     # the guard-count tripwire runs in its OWN try: an incidental
@@ -514,6 +534,8 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         d["hostile_parity_lsb"] = hostile_parity
     if hostile_floor is not None:
         d["hostile_reencode_floor_lsb"] = hostile_floor
+    if fast_trips:
+        d["fast_guard_trips"] = fast_trips
     if guard_fallbacks:
         d["raw_guard_fallbacks"] = guard_fallbacks
         if guard_fallbacks.get("corpus", 0) > 0:

@@ -92,6 +92,29 @@ def windows_from_taps(n: int, taps: tuple):
     return starts, np.ascontiguousarray(taps)
 
 
+# Draft-divergence tripwire (the scaleDenom-draft analog of the raw
+# path's gamut guard, rawguard.cc): the denom=2 scaled IDCT discards
+# the 4..7 frequency bands of every 8x8 block, and no fitted linear
+# correction can recover them. Content with heavy energy near those
+# bands shows up in the DRAFT output as strong pixel-scale curvature,
+# so a mean |second difference| over subsampled rows is a ~free,
+# monotone predictor of the draft-vs-strict divergence. Calibration at
+# 1920x1088 -> 2x, q85 (tools round 4): bench corpus d2 ~ 4.1-4.2 at
+# 0.40 LSB pre-encode error; hostile mosaics 10.5 at 0.50; 4px band
+# noise 54.5 at 1.66 (whose post-encode parity blew the 1.61 re-encode
+# floor). The default threshold routes both hostile classes to the
+# staged strict path while natural content clears it 1.7x below.
+GUARD_D2_LSB = 7.0
+
+
+def draft_hf_probe(img: np.ndarray, step: int = 16) -> float:
+    """Mean |second difference| (LSB) along rows of every `step`-th row
+    of a draft-decoded image — the tripwire statistic above."""
+    rows = img[::step].astype(np.int32)
+    return float(np.abs(rows[:, 2:] - 2 * rows[:, 1:-1]
+                        + rows[:, :-2]).mean())
+
+
 def apply_correction(img: np.ndarray) -> np.ndarray:
     """(H, W, C) u8 draft-decoded image -> corrected u8 image via the
     native banded resizer (same-size 'resize' whose windows encode the

@@ -395,9 +395,13 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                        comp_of: tuple, mcus: int, n_img: int,
                        n_uniq: int = 8, single_pass: bool = False,
                        max_passes: int = MAX_PASSES,
-                       ablate: str = ""):
+                       ablate: str = "", debug: bool = False):
     """Traceable fn(*ScanBatch.args()) -> (coefs (N, mcus*B, 64) i32
     natural order scan-ordered blocks with absolute DC, ok (bool)).
+
+    debug=True additionally returns (emit_trips scalar i32,
+    lane_steps (L,) i32 actual per-lane symbol counts of the emission
+    pass) — profiling only, not used by any production path.
 
     single_pass: restart-pinned mode (ScanBatch.single_pass) — one lane
     per restart segment, every entry state exact, so the Jacobi
@@ -661,18 +665,22 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
         # lane's final emitted index + zero value, keeping the flat
         # stream sorted)
         def emit_cond(c):
-            i, st, _bi, _bv = c
+            i, st, _bi, _bv, _ls = c
             if ablate:
                 return i < steps
             return (i < steps) & jnp.any(st[0] < bit_end)
 
         def emit_body(c):
-            i, st, buf_i, buf_v = c
+            i, st, buf_i, buf_v, lane_steps = c
+            if debug:
+                lane_steps = lane_steps + (st[0] < bit_end).astype(
+                    jnp.int32)
             st, (eidx, ev) = emit_fn(st, win_pair, lane_word_base,
                                      bit_end, limdelta_u, hv_flat, hv,
                                      lane_uid6, blk_start,
                                      lane_blk_limit)
-            return (i + 1, st, buf_i.at[i].set(eidx), buf_v.at[i].set(ev))
+            return (i + 1, st, buf_i.at[i].set(eidx), buf_v.at[i].set(ev),
+                    lane_steps)
 
         off, slot, z = entries
         pos0 = lane_word_base * 32 + off
@@ -680,8 +688,9 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
         st0 = (pos0, slot, z, zero, jnp.zeros(L, bool), last0)
         buf_i = jnp.zeros((steps, L), jnp.int32)
         buf_v = jnp.zeros((steps, L), jnp.int32)
-        i_end, st_end, buf_i, buf_v = jax.lax.while_loop(
-            emit_cond, emit_body, (jnp.int32(0), st0, buf_i, buf_v))
+        i_end, st_end, buf_i, buf_v, lane_steps = jax.lax.while_loop(
+            emit_cond, emit_body,
+            (jnp.int32(0), st0, buf_i, buf_v, zero))
         if single_pass:
             # the emission pass is the only decode: a lane that ran out
             # of step budget before consuming its segment means a
@@ -715,6 +724,8 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             s, _ = jax.lax.associative_scan(op, (x, f), axis=1)
             acc = acc + jnp.where(m[None, :], s, 0)
         out = out.at[:, :, 0].set(acc)
+        if debug:
+            return out, ok, i_end, lane_steps
         return out, ok
 
     return fn
@@ -724,12 +735,12 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 def build_decoder(C: int, n_lanes: int, steps: int, B: int,
                   comp_of: tuple, mcus: int, n_img: int, n_uniq: int = 8,
                   single_pass: bool = False, max_passes: int = MAX_PASSES,
-                  ablate: str = ""):
+                  ablate: str = "", debug: bool = False):
     import jax
 
     return jax.jit(build_decoder_core(C, n_lanes, steps, B, comp_of,
                                       mcus, n_img, n_uniq, single_pass,
-                                      max_passes, ablate))
+                                      max_passes, ablate, debug))
 
 
 @functools.lru_cache(maxsize=64)

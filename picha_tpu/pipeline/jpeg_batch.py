@@ -458,7 +458,8 @@ class JpegBatchPipeline:
                  scan_byte_cap: Optional[int] = None,
                  host_fast_scale: bool = False,
                  host_raw: bool = False,
-                 host_draft: bool = False):
+                 host_draft: bool = False,
+                 fast_guard: Optional[float] = None):
         """encode_backend: 'device' runs the ENTIRE encode on the chip —
         fDCT, quantisation and baseline Huffman coding incl. byte
         stuffing (ops/jpeg_huffman_tpu.py; scan bytes are byte-identical
@@ -504,6 +505,17 @@ class JpegBatchPipeline:
         # own <2 golden tolerance), opt-in like every thumbnailer's
         # draft path
         self._host_fast_scale = host_fast_scale
+        # host-fast divergence tripwire (ops/fastfix.py draft_hf_probe):
+        # images whose draft output exceeds this second-difference
+        # statistic route to the staged strict path; 0 disables. Trips
+        # are counted in fast_guard_trips (observability, like the raw
+        # path's gamut-guard fallbacks).
+        if fast_guard is None:
+            from ..ops.fastfix import GUARD_D2_LSB
+
+            fast_guard = GUARD_D2_LSB if host_fast_scale else 0.0
+        self._fast_guard = float(fast_guard)
+        self.fast_guard_trips = 0
         # raw-domain host transcode (ops/raw420.py): resize the 4:2:0
         # planes directly with the composed downsample.resize.upsample
         # operator — strict parity (~0.6 LSB of the staged cubic path)
@@ -906,10 +918,6 @@ class JpegBatchPipeline:
         call when dims agree) -> libjpeg encode. Used by the hybrid
         scheduler to soak up host cycles the device chain leaves
         idle."""
-        import jax
-
-        from ..ops.resize import resize_array
-
         q = self._encode_quality
         stats = [native.jpeg_stat(b) for b in bufs]
         if any(st is None for st in stats):
@@ -933,16 +941,38 @@ class JpegBatchPipeline:
                         if self._filter == FIT_FILTER \
                                 and abs(self._fscale - FIT_SCALE) < 1e-6:
                             fix = apply_correction
+                    from ..ops.fastfix import draft_hf_probe
+
                     outs = []
                     for b, st in zip(bufs, stats):
                         a = native.jpeg_decode(
                             b, 3 if st[2] >= 3 else 1, self._width,
                             self._height, scale_denom=denom)
+                        # divergence tripwire (ops/fastfix.py): content
+                        # with energy in the bands the scaled IDCT
+                        # discards routes to the staged strict path —
+                        # the draft analog of the raw path's gamut guard
+                        if self._fast_guard and \
+                                draft_hf_probe(a) > self._fast_guard:
+                            self.fast_guard_trips += 1
+                            outs.append(None)
+                            continue
                         if fix is not None:
                             a = fix(a)
                         outs.append(native.jpeg_encode(
                             np.ascontiguousarray(a), q))
-                    return outs
+                    if all(o is not None for o in outs):
+                        return outs
+                    # guard-tripped stragglers continue into the
+                    # staged strict path below
+                    keep = [o is None for o in outs]
+                    fast_outs = outs
+                    bufs = [b for b, k in zip(bufs, keep) if k]
+                    stats = [st for st, k in zip(stats, keep) if k]
+                    strict = self.host_encode_batch_staged(bufs, stats, q)
+                    it = iter(strict)
+                    return [o if o is not None else next(it)
+                            for o in fast_outs]
         if self._host_raw and self._width is not None:
             from ..ops.raw420 import transcode_raw420, transcode_raw420_draft
 
@@ -965,6 +995,20 @@ class JpegBatchPipeline:
             stats = [st for st, o in zip(stats, outs) if o is None]
         else:
             outs = None
+        enc = self.host_encode_batch_staged(bufs, stats, q)
+        if outs is None:
+            return enc
+        it = iter(enc)
+        return [o if o is not None else next(it) for o in outs]
+
+    def host_encode_batch_staged(self, bufs, stats, q):
+        """The strict staged host path (full libjpeg decode -> exact
+        resize -> libjpeg encode) for an already-stat'ed batch — the
+        tail every faster host config falls back to per image."""
+        import jax
+
+        from ..ops.resize import resize_array
+
         arrs = [native.jpeg_decode(b, 3 if st[2] >= 3 else 1, st[0], st[1])
                 for b, st in zip(bufs, stats)]
         try:
@@ -991,11 +1035,7 @@ class JpegBatchPipeline:
                                     filter_scale=self._fscale)
 
         rs = [one_resize(a) for a in arrs]
-        enc = [native.jpeg_encode(np.ascontiguousarray(r), q) for r in rs]
-        if outs is None:
-            return enc
-        it = iter(enc)
-        return [o if o is not None else next(it) for o in outs]
+        return [native.jpeg_encode(np.ascontiguousarray(r), q) for r in rs]
 
     @staticmethod
     def _put(q, item, stop):

@@ -831,9 +831,10 @@ def test_host_fast_scale_path():
     """Draft-mode host path: exact 1/2 target decodes via the reduced
     IDCT (skipping the resize). On natural-statistics content it stays
     within the reference's golden tolerance of the cubic path; on pure
-    noise it does NOT — which is why bench.py gates the config on a
-    per-corpus quality measurement. Non-matching targets silently use
-    the normal path."""
+    noise the draft diverges — the divergence guard (round 4) detects
+    that from the draft output itself and routes the image to the
+    staged strict path (byte-identical result, trip counted).
+    Non-matching targets silently use the normal path."""
     from picha_tpu.native import lib as native
     from picha_tpu.pipeline import JpegBatchPipeline
 
@@ -847,19 +848,36 @@ def test_host_fast_scale_path():
     nz_buf = native.jpeg_encode(noisy, 90)
     w2, h2 = 192, 128
 
-    def diff(buf):
+    def diff(buf, fast_guard=None):
         pf = JpegBatchPipeline(width=w2, height=h2, encode_quality=90,
-                               encode_backend="host", host_fast_scale=True)
+                               encode_backend="host", host_fast_scale=True,
+                               fast_guard=fast_guard)
         pn = JpegBatchPipeline(width=w2, height=h2, encode_quality=90,
                                encode_backend="host")
         a = native.jpeg_decode(bytes(pf.host_encode_batch([buf])[0]),
                                3, w2, h2)
         b = native.jpeg_decode(bytes(pn.host_encode_batch([buf])[0]),
                                3, w2, h2)
-        return np.abs(a.astype(int) - b.astype(int)).mean()
+        return np.abs(a.astype(int) - b.astype(int)).mean(), \
+            pf.fast_guard_trips
 
-    assert diff(sm_buf) < 2.0       # natural content: inside tolerance
-    assert diff(nz_buf) > 2.0       # noise: outside -> bench gate trips
+    d, trips = diff(sm_buf)
+    assert d < 2.0 and trips == 0   # natural content: fast path, no trip
+    d, trips = diff(nz_buf)
+    assert d == 0.0 and trips == 1  # noise trips -> staged, identical
+    d, trips = diff(nz_buf, fast_guard=0.0)
+    assert d > 2.0 and trips == 0   # guard off: the raw draft divergence
+
+    # a mixed batch preserves order (tripped and fast outputs reassemble)
+    pf = JpegBatchPipeline(width=w2, height=h2, encode_quality=90,
+                           encode_backend="host", host_fast_scale=True)
+    outs = pf.host_encode_batch([sm_buf, nz_buf, sm_buf])
+    assert pf.fast_guard_trips == 1
+    pn = JpegBatchPipeline(width=w2, height=h2, encode_quality=90,
+                           encode_backend="host")
+    want_nz = pn.host_encode_batch([nz_buf])[0]
+    assert bytes(outs[1]) == bytes(want_nz)
+    assert bytes(outs[0]) != bytes(want_nz)
 
     # odd target -> normal path (byte-identical to fast_scale=False)
     po = JpegBatchPipeline(width=w2 - 1, height=h2, encode_quality=90,
