@@ -901,11 +901,13 @@ def bench_config4(n=256):
             # equal round-trip diff and ~+3% bytes on this corpus — the
             # same trade the PNG fast config makes, gated below on the
             # reference's own lossy oracle (test/webp_codec.js: < 8 LSB)
+            # default matches the PIL stand-in's settings exactly
+            # (libwebp default preset, q85, method 4) so the row is a
+            # true like-for-like race; fast trades bytes for speed and
+            # only takes the headline when its size cost is <= 5%
             ("webp", webps, {
-                "default": ("image/webp", {"preset": "photo",
-                                           "quality": 85}),
-                "fast": ("image/webp", {"preset": "photo", "quality": 85,
-                                        "method": 0})}),
+                "default": ("image/webp", {"quality": 85}),
+                "fast": ("image/webp", {"quality": 85, "method": 0})}),
             ("tiff", tiffs, {
                 "default": ("image/tiff", {"compression": "lzw"})})):
         bufs = [corpus[i % len(corpus)] for i in range(n)]
@@ -953,13 +955,18 @@ def bench_config4(n=256):
             out[f"{name}_quality_oracle_failed"] = diffs
             admissible = {"default": configs["default"]}
         winner = max(admissible, key=admissible.get)
-        out[f"{name}_e2e_mpix_s"] = admissible[winner]
         if len(configs) > 1:
+            size_ratio = round(sizes["fast"] / sizes["default"], 3)
+            # honest headline: a faster config that pays >5% bytes is
+            # not the same job — it rides alongside, not on top
+            if winner != "default" and size_ratio > 1.05 \
+                    and "default" in admissible:
+                winner = "default"
             out[f"{name}_configs_mpix_s"] = configs
             out[f"{name}_e2e_config"] = winner
             out[f"{name}_config_diff_lsb"] = diffs
-            out[f"{name}_fast_size_ratio"] = round(
-                sizes["fast"] / sizes["default"], 3)
+            out[f"{name}_fast_size_ratio"] = size_ratio
+        out[f"{name}_e2e_mpix_s"] = admissible[winner]
 
         # PIL stand-in: same decode->crop->resize->encode, same formats
         def pil_window():
