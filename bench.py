@@ -815,15 +815,26 @@ def bench_png_e2e(bufs, out_w, out_h, n=10):
     size_cost = len(z1) / max(1, len(z6))
 
     # ---- config race ------------------------------------------------
+    # balanced: libdeflate level 4's lazy matcher lands at (or under)
+    # the level-6 size on PNG-filtered photographic residuals at ~1.9x
+    # the speed (measured: -0.1% size on the bench corpus) — a
+    # size-honest faster default point. Multi-core hosts additionally
+    # get the pigz-style parallel deflate; on this 1-core box
+    # deflateThreads=1 is the serial libdeflate path unchanged.
+    import os as _os
+
+    nthr = _os.cpu_count() or 1
     configs = {
         "default": {},
+        "balanced": {"compressionLevel": 4,
+                     **({"deflateThreads": nthr} if nthr > 1 else {})},
         "fast": {"compressionLevel": 1, "filter_strategy": 4},
     }
-    rates = {}
+    rates, sizes = {}, {}
     for name, opts in configs.items():
-        picha.encodePngSync(picha.resizeSync(
-            picha.decodePngSync(pngs[0]),
-            {"width": out_w, "height": out_h}), opts)
+        sm0 = picha.resizeSync(picha.decodePngSync(pngs[0]),
+                               {"width": out_w, "height": out_h})
+        sizes[name] = len(picha.encodePngSync(sm0, opts))
 
         def window():
             t0 = time.perf_counter()
@@ -851,8 +862,15 @@ def bench_png_e2e(bufs, out_w, out_h, n=10):
 
     pil_ips = best_window(pil_window, windows=2)[0]
 
-    win = max(rates, key=rates.get)
+    # headline policy (same as webp): the fastest config whose output
+    # stays within 2% of the default (level-6) size; byte-costlier
+    # configs ride alongside in png_configs_img_s, never on top
+    size_ok = {c for c in rates
+               if sizes[c] <= sizes["default"] * 1.02}
+    win = max(size_ok, key=rates.get)
     detail = {"png_configs_img_s": rates, "png_e2e_config": win,
+              "png_config_size_ratio": {
+                  c: round(sizes[c] / sizes["default"], 3) for c in rates},
               "png_stage_ms": stages,
               "png_zlib_backend": ("libdeflate" if native.have_libdeflate()
                                    else "zlib"),
@@ -1053,6 +1071,26 @@ def bench_config23(out_w, out_h, n=12):
 
     picha.decodePngSync(deep_png, {"deep": True})
     out["deep16_mpix_s"] = round(best_window(window3, windows=2)[0], 1)
+
+    # stand-in denominator for config 3: the same decode->resize->grey
+    # job through PIL. PIL cannot do this at 16 bits — it silently
+    # truncates a 16-bit RGBA PNG to uint8 on open (mode 'RGBA') — so
+    # the stand-in runs at HALF the fidelity of the measured path;
+    # the ratio is therefore a floor on the real advantage.
+    def window3_pil():
+        t0 = time.perf_counter()
+        for _ in range(n):
+            im = PILImage.open(_io.BytesIO(bytes(deep_png)))
+            im = im.resize((out_w // 2, out_h // 2), PILImage.BICUBIC)
+            im.convert("L")
+        return n * (W // 2) * (H // 2) / 1e6, time.perf_counter() - t0
+
+    out["deep16_pil_standin_mpix_s"] = round(
+        best_window(window3_pil, windows=2)[0], 1)
+    out["deep16_standin_fidelity"] = "8-bit (PIL truncates 16-bit PNG)"
+    if out["deep16_pil_standin_mpix_s"]:
+        out["deep16_vs_standin"] = round(
+            out["deep16_mpix_s"] / out["deep16_pil_standin_mpix_s"], 2)
     return out
 
 
