@@ -54,6 +54,7 @@ LANE_GRANULE = 2048          # lane-count bucket (bounds recompiles)
 WORD_GRANULE = 16384         # words-section floor granule (64 KiB)
 STEP_GRANULE = 64            # steps bucket (bounds recompiles)
 SEG_LANE_CAP = 24576         # single-pass mode: max segment bits/lane
+EXIT_BLOCK_MAX = 64          # early-exit check cadence (see decoder)
 
 
 from ..bucketing import bucket_geometric as _bucket_geometric  # noqa: E402
@@ -411,8 +412,15 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
     Splitting per component happens in the caller (split_planes /
     decode_planes) so this graph stays shape-generic. Embeddable in a
     larger jit (the batched pipeline fuses it with decode+resize)."""
+    import math
+
     import jax
     import jax.numpy as jnp
+
+    # early-exit blocks must tile the step budget exactly (an overshot
+    # block would scatter at i >= steps, clamping onto the last row);
+    # ScanBatch budgets are STEP_GRANULE multiples so this is 64 there
+    EXIT_BLOCK = math.gcd(int(steps), EXIT_BLOCK_MAX) or 1
 
     W = C // 32 + 2
     nblk_img = mcus * B
@@ -545,19 +553,31 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
         # while_loop to the LAST active lane, bounded by `steps`: real
         # content averages ~6 bits/symbol, so most passes finish in a
-        # third of the worst-case budget
+        # third of the worst-case budget. The early-exit check runs
+        # once per EXIT_BLOCK-step inner block, not per step — the
+        # per-step cross-lane any() measured ~330 us/step on the real
+        # chip, as much as the whole step body (ablation table in
+        # docs/PERFORMANCE.md); `steps` is a STEP_GRANULE multiple so
+        # 64-aligned blocks never overshoot the budget.
         def cond(c):
             i, st = c
-            if ablate:  # fixed trip count: comparable ablation timings
+            if "fixed" in ablate:  # fixed trips: comparable ablations
                 return i < steps
             return (i < steps) & jnp.any(st[0] < bit_end)
 
         def body(c):
             i, st = c
-            st, _o = step_fn(st, win_pair, word_base, bit_end,
-                             limdelta_u, hv_flat, hv2d, lane_uid6,
-                             blk_base, blk_limit)
-            return (i + 1, st)
+
+            def inner(_k, st):
+                st, _o = step_fn(st, win_pair, word_base, bit_end,
+                                 limdelta_u, hv_flat, hv2d, lane_uid6,
+                                 blk_base, blk_limit)
+                return st
+
+            if "fixed" in ablate:  # per-step loop for comparability
+                return (i + 1, inner(0, st))
+            return (i + EXIT_BLOCK,
+                    jax.lax.fori_loop(0, EXIT_BLOCK, inner, st))
 
         _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         pos, slot, z, nblk, _ = st
@@ -634,7 +654,7 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
         def pass_cond(carry):
             _, _, _, _, _, it, changed = carry
-            if ablate:  # fixed pass count for comparable timings
+            if "fixed" in ablate:  # fixed pass count for comparability
                 return it < 8
             return changed & (it < max_passes)
 
@@ -660,18 +680,18 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             seg_base = prev[lane_seg_first]  # cumsum before segment start
             blk_start = lane_blk_base + (prev - seg_base)
 
-        # final emission pass (early-exit like the convergence passes;
-        # rows past the last active step are back-filled with each
-        # lane's final emitted index + zero value, keeping the flat
-        # stream sorted)
+        # final emission pass (early-exit like the convergence passes,
+        # block-checked the same way; rows past the last active step —
+        # including the dead rows inside a partially-live final block,
+        # where emit_ok is False — carry each lane's final emitted
+        # index + zero value, keeping the flat stream sorted)
         def emit_cond(c):
             i, st, _bi, _bv, _ls = c
-            if ablate:
+            if "fixed" in ablate:
                 return i < steps
             return (i < steps) & jnp.any(st[0] < bit_end)
 
-        def emit_body(c):
-            i, st, buf_i, buf_v, lane_steps = c
+        def emit_step(i, st, buf_i, buf_v, lane_steps):
             if debug:
                 lane_steps = lane_steps + (st[0] < bit_end).astype(
                     jnp.int32)
@@ -679,8 +699,23 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                                      bit_end, limdelta_u, hv_flat, hv,
                                      lane_uid6, blk_start,
                                      lane_blk_limit)
-            return (i + 1, st, buf_i.at[i].set(eidx), buf_v.at[i].set(ev),
-                    lane_steps)
+            return st, buf_i.at[i].set(eidx), buf_v.at[i].set(ev), \
+                lane_steps
+
+        def emit_body(c):
+            i, st, buf_i, buf_v, lane_steps = c
+            if "fixed" in ablate:
+                st, buf_i, buf_v, lane_steps = emit_step(
+                    i, st, buf_i, buf_v, lane_steps)
+                return (i + 1, st, buf_i, buf_v, lane_steps)
+
+            def inner(k, c2):
+                st, buf_i, buf_v, lane_steps = c2
+                return emit_step(i + k, st, buf_i, buf_v, lane_steps)
+
+            st, buf_i, buf_v, lane_steps = jax.lax.fori_loop(
+                0, EXIT_BLOCK, inner, (st, buf_i, buf_v, lane_steps))
+            return (i + EXIT_BLOCK, st, buf_i, buf_v, lane_steps)
 
         off, slot, z = entries
         pos0 = lane_word_base * 32 + off
@@ -688,9 +723,12 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
         st0 = (pos0, slot, z, zero, jnp.zeros(L, bool), last0)
         buf_i = jnp.zeros((steps, L), jnp.int32)
         buf_v = jnp.zeros((steps, L), jnp.int32)
-        i_end, st_end, buf_i, buf_v, lane_steps = jax.lax.while_loop(
-            emit_cond, emit_body,
-            (jnp.int32(0), st0, buf_i, buf_v, zero))
+        if "noemit" in ablate:  # fake: skip the decode loop entirely
+            i_end, st_end, lane_steps = jnp.int32(0), st0, zero
+        else:
+            i_end, st_end, buf_i, buf_v, lane_steps = jax.lax.while_loop(
+                emit_cond, emit_body,
+                (jnp.int32(0), st0, buf_i, buf_v, zero))
         if single_pass:
             # the emission pass is the only decode: a lane that ran out
             # of step budget before consuming its segment means a
@@ -701,17 +739,27 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
         buf_v = jnp.where(tail, 0, buf_v)
         flat_i = buf_i.T.reshape(-1)       # lane-major -> sorted
         flat_v = buf_v.T.reshape(-1)
-        out = jnp.zeros(nblk_total * 64 + 64, jnp.int32)
-        out = out.at[flat_i].add(flat_v, indices_are_sorted=True)
-        out = out[: nblk_total * 64].reshape(n_img, nblk_img, 64)
+        if "noscatter" in ablate:  # fake: reshape instead of scatter
+            need = nblk_total * 64
+            pad = max(0, need - flat_v.size)
+            out = jnp.concatenate(
+                [flat_v, jnp.zeros(pad, jnp.int32)])[:need]
+        else:
+            out = jnp.zeros(nblk_total * 64 + 64, jnp.int32)
+            out = out.at[flat_i].add(flat_v, indices_are_sorted=True)
+            out = out[: nblk_total * 64]
+        out = out.reshape(n_img, nblk_img, 64)
         # zigzag -> natural order (dense static permutation)
-        out = out[:, :, jnp.asarray(np.argsort(zz))]
+        if "noperm" not in ablate:
+            out = out[:, :, jnp.asarray(np.argsort(zz))]
 
         # DC diffs -> absolute: segmented inclusive scan per component
         comp_seq = jnp.tile(jnp.asarray(comp_of_arr), mcus)  # (nblk_img,)
         dc = out[:, :, 0]
         acc = jnp.zeros_like(dc)
         for ci in range(int(comp_of_arr.max()) + 1):
+            if "nodc" in ablate:
+                break
             m = comp_seq == ci
             x = jnp.where(m[None, :], dc, 0)
             f = reset & m[None, :]

@@ -174,7 +174,8 @@ def _mcu_layout(comp_sig):
 
 
 @functools.lru_cache(maxsize=64)
-def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65):
+def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65,
+                       ablate: str = ""):
     """Traceable fn(coefs: tuple of (N, bh, bw, 64) int32)
     -> (scan_bytes (N, byte_cap) uint8, nbytes (N,) int32).
 
@@ -182,7 +183,15 @@ def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65):
     per-slot Huffman-table gather runs at nblk*slots_per_block instead
     of the dense nblk*65.
     nbytes > byte_cap signals overflow (scan bytes OR packet count):
-    the bytes are invalid and the caller must fall back or raise."""
+    the bytes are invalid and the caller must fall back or raise.
+
+    ablate (profiling only, output is GARBAGE): comma-joined stage
+    names replaced by shape-preserving fakes so the stage's device cost
+    can be measured by difference — 'blocks' (the static MCU-order +
+    zigzag gathers), 'compact' (the packet compaction scatter),
+    'codes' (the packed Huffman-table gather), 'offsets' (the packet
+    bit-offset cumsum), 'words' (the two bit-assembly scatters),
+    'stuff' (the 0xFF stuffing cumsum+scatter)."""
     import jax
     import jax.numpy as jnp
 
@@ -233,7 +242,14 @@ def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65):
             [c.reshape(c.shape[0], -1, 64) for c in coefs],
             axis=1).astype(jnp.int32)
         n_img = flat.shape[0]
-        blocks = flat[:, idx_np][:, :, zz]              # (N, nblk, 64)
+        if "blocks" in ablate:  # fake: elementwise q85-like density
+            i = (jnp.arange(nblk, dtype=jnp.int32)[None, :, None] * 64
+                 + jnp.arange(64, dtype=jnp.int32)[None, None, :])
+            h = (i * jnp.int32(-1640531527)) >> 16
+            blocks = jnp.where((h & 15) == 0, (h % 7) - 3, 0) \
+                * jnp.ones((n_img, 1, 1), jnp.int32)
+        else:
+            blocks = flat[:, idx_np][:, :, zz]          # (N, nblk, 64)
         dummy = jnp.asarray(dummy_np)
         ac = jnp.where(dummy[None, :, None], 0, blocks[:, :, 1:])
         dc = blocks[:, :, 0]
@@ -293,30 +309,44 @@ def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65):
             axis=2).reshape(n_img, -1)
 
         # --- compaction: one sorted scatter-add -------------------------------
-        rank = jnp.cumsum(needed.astype(jnp.int32), axis=1)
-        count = rank[:, -1]                              # packets per image
-        rank = rank - needed.astype(jnp.int32)           # exclusive
-        # non-needed slots add 0 at the NEXT packet's rank, keeping the
-        # flat index stream sorted (same trick as the decoder's masked
-        # emission slots)
         ii = jnp.arange(n_img, dtype=jnp.int32)[:, None]
-        g = (jnp.minimum(rank, K - 1) + ii * K).reshape(-1)
-        cf = jnp.zeros((n_img * K,), jnp.int32).at[g].add(
-            jnp.where(needed, fields, 0).reshape(-1),
-            indices_are_sorted=True).reshape(n_img, K)
+        if "compact" in ablate:  # fake: slice instead of rank+scatter
+            count = jnp.sum(needed.astype(jnp.int32), axis=1)
+            cf = fields[:, :K]
+        else:
+            rank = jnp.cumsum(needed.astype(jnp.int32), axis=1)
+            count = rank[:, -1]                          # packets per image
+            rank = rank - needed.astype(jnp.int32)       # exclusive
+            # non-needed slots add 0 at the NEXT packet's rank, keeping
+            # the flat index stream sorted (same trick as the decoder's
+            # masked emission slots)
+            g = (jnp.minimum(rank, K - 1) + ii * K).reshape(-1)
+            cf = jnp.zeros((n_img * K,), jnp.int32).at[g].add(
+                jnp.where(needed, fields, 0).reshape(-1),
+                indices_are_sorted=True).reshape(n_img, K)
 
         # --- table lookups + packets at compact width -------------------------
         alive = jnp.arange(K, dtype=jnp.int32)[None, :] < count[:, None]
         lo_c = cf & 0x7FF
         sym_c = (cf >> 11) & 0xFF
         row = (cf >> 19) & 3                             # class*2 + tid
-        cl = jnp.asarray(big_packed)[row, sym_c]         # the one gather
+        if "codes" in ablate:  # fake: arithmetic stand-in for the gather
+            cl = (row * 131 + sym_c) | ((4 + (sym_c & 7)) << 16)
+        else:
+            cl = jnp.asarray(big_packed)[row, sym_c]     # the one gather
         sval = sym_c & 15
         pkt = jnp.where(alive, ((cl & 0xFFFF) << sval) | lo_c, 0)
         ln = jnp.where(alive, (cl >> 16) + sval, 0)
 
         # --- per-image bit offsets + the 1-bits pad packet -------------------
-        ends = jnp.cumsum(ln, axis=1)
+        if "offsets" in ablate:  # fake: affine offsets instead of cumsum
+            # clipped so the fake total stays inside the byte budget and
+            # the stuffing stage sees a realistic index distribution
+            ends = jnp.minimum(
+                (jnp.arange(K, dtype=jnp.int32)[None, :] + 1) * 6,
+                byte_cap * 8 - 64) + 0 * ln
+        else:
+            ends = jnp.cumsum(ln, axis=1)
         offs = ends - ln
         total = ends[:, -1]
         pad = (-total) % 8
@@ -339,12 +369,17 @@ def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65):
         sh1 = jnp.clip(jnp.where(rem <= 0, -rem, rem), 0, 31)
         c1 = jnp.where(rem <= 0, pkts << sh1, pkts >> sh1)
         c2 = jnp.where(rem > 0, pkts << jnp.clip(32 - rem, 0, 31), 0)
-        g_wi = (jnp.clip(wi, 0, nwords) + ii * WR).reshape(-1)
-        words = jnp.zeros((n_img * WR,), jnp.int32)
-        words = words.at[g_wi].add(c1.reshape(-1), indices_are_sorted=True)
-        words = words.at[g_wi + 1].add(c2.reshape(-1),
+        if "words" in ablate:  # fake: skip the two assembly scatters
+            words = (jnp.zeros((n_img, WR), jnp.int32)
+                     + (c1[:, :1] ^ c2[:, :1]))[:, :nwords]
+        else:
+            g_wi = (jnp.clip(wi, 0, nwords) + ii * WR).reshape(-1)
+            words = jnp.zeros((n_img * WR,), jnp.int32)
+            words = words.at[g_wi].add(c1.reshape(-1),
                                        indices_are_sorted=True)
-        words = words.reshape(n_img, WR)[:, :nwords]
+            words = words.at[g_wi + 1].add(c2.reshape(-1),
+                                           indices_are_sorted=True)
+            words = words.reshape(n_img, WR)[:, :nwords]
         # words -> bytes, MSB-first within each word
         shifts = jnp.array([24, 16, 8, 0], jnp.int32)
         byte = ((words[:, :, None] >> shifts) & 0xFF).reshape(
@@ -353,19 +388,23 @@ def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65):
 
         # --- 0xFF stuffing ----------------------------------------------------
         nraw = total // 8                               # (N,)
-        in_range = b < nraw[:, None]
-        is_ff = (byte == 0xFF) & in_range
-        nff_before = jnp.cumsum(is_ff.astype(jnp.int32), axis=1) \
-            - is_ff.astype(jnp.int32)
-        # overflowing images clamp to the trash slot of their own region
-        # (the caller checks nbytes > byte_cap and raises)
-        out_idx = jnp.where(in_range,
-                            jnp.minimum(b + nff_before, byte_cap), byte_cap)
-        g_out = (out_idx + ii * R).reshape(-1)
-        out = jnp.zeros((n_img * R,), jnp.int32).at[g_out].add(
-            byte.reshape(-1), indices_are_sorted=True)
-        out = out.reshape(n_img, R)[:, :byte_cap]
-        nbytes = nraw + jnp.sum(is_ff.astype(jnp.int32), axis=1)
+        if "stuff" in ablate:  # fake: no stuffing pass at all
+            out = byte
+            nbytes = nraw
+        else:
+            in_range = b < nraw[:, None]
+            is_ff = (byte == 0xFF) & in_range
+            nff_before = jnp.cumsum(is_ff.astype(jnp.int32), axis=1) \
+                - is_ff.astype(jnp.int32)
+            # overflowing images clamp to the trash slot of their own
+            # region (the caller checks nbytes > byte_cap and raises)
+            out_idx = jnp.where(
+                in_range, jnp.minimum(b + nff_before, byte_cap), byte_cap)
+            g_out = (out_idx + ii * R).reshape(-1)
+            out = jnp.zeros((n_img * R,), jnp.int32).at[g_out].add(
+                byte.reshape(-1), indices_are_sorted=True)
+            out = out.reshape(n_img, R)[:, :byte_cap]
+            nbytes = nraw + jnp.sum(is_ff.astype(jnp.int32), axis=1)
         # compaction overflow (count > K, pathological content) uses
         # the same out-of-band signal as a scan byte overflow
         nbytes = jnp.where(count > K, byte_cap + 1, nbytes)
