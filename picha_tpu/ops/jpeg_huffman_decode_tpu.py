@@ -300,6 +300,18 @@ class ScanBatch:
         mb = min(min_bits_per_symbol(i) for i in infos)
         self.steps = -(-(int(C / mb) + 8) // STEP_GRANULE) * STEP_GRANULE
 
+        # max blocks any lane can emit into (static): single-pass lanes
+        # own whole segments; speculative chunk lanes are bounded by the
+        # step budget (a block consumes >= 2 symbols: DC + EOB). Feeds
+        # the densification matmul's block-slot axis — the 30M-element
+        # sorted scalar scatter this replaces measured 270 ms of the
+        # 410 ms device decode (docs/PERFORMANCE.md round 4).
+        if self.single_pass:
+            span = int(seg_nblk.max())
+        else:
+            span = min(int(seg_nblk.max()), self.steps // 2 + 2)
+        self.nblkmax = -(-span // 8) * 8
+
     def args(self):
         return [self.words, self.lane_word_base, self.lane_bits,
                 self.lane_pinned, self.lane_seg_first,
@@ -310,7 +322,8 @@ class ScanBatch:
     def static_key(self):
         return (self.C, self.n_lanes, self.steps, self.B,
                 tuple(int(x) for x in self.comp_of), self.mcus,
-                len(self.infos), self.n_uniq, self.single_pass)
+                len(self.infos), self.n_uniq, self.nblkmax,
+                self.single_pass)
 
     def wire(self):
         """One coalesced uint8 upload buffer (this link pays a large
@@ -348,8 +361,8 @@ def build_wire_unpack(scan_ks, ncomp: int):
     import jax.numpy as jnp
     from jax import lax
 
-    (C, n_lanes, steps, B, comp_of, mcus, n_img, n_uniq, _single,
-     nw) = scan_ks
+    (C, n_lanes, steps, B, comp_of, mcus, n_img, n_uniq, _nblkmax,
+     _single, nw) = scan_ks
     nblk_img = mcus * B
 
     def unpack(buf):
@@ -394,7 +407,8 @@ def build_wire_unpack(scan_ks, ncomp: int):
 
 def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                        comp_of: tuple, mcus: int, n_img: int,
-                       n_uniq: int = 8, single_pass: bool = False,
+                       n_uniq: int = 8, nblkmax: int = 0,
+                       single_pass: bool = False,
                        max_passes: int = MAX_PASSES,
                        ablate: str = "", debug: bool = False):
     """Traceable fn(*ScanBatch.args()) -> (coefs (N, mcus*B, 64) i32
@@ -430,10 +444,10 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
     U = n_uniq
 
-    def make_step(emit: bool):
+    def make_step(emit: bool, local: bool = False):
         def step(state, win_pair, word_base, bit_end, limdelta_u, hv_flat,
                  hv2d, lane_uid6, blk_base, blk_limit):
-            if emit:
+            if emit and not local:
                 pos, slot, z, nblk, over, last = state
             else:
                 pos, slot, z, nblk, over = state
@@ -532,6 +546,16 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             blk = blk_base + nblk
             emit_ok = ((active & (size > 0)) | (active & is_dc)) \
                 & (z_coef < 64) & (blk < blk_limit)
+            if local:
+                # lane-LOCAL emission (block slot nblk, zigzag coef):
+                # consumed by the matmul densification, which needs no
+                # sortedness — masked slots just carry a zero value at
+                # slot 0, and no `last` bookkeeping is required.
+                eidx = jnp.where(emit_ok,
+                                 nblk * 64 + jnp.clip(z_coef, 0, 63), 0)
+                eval_ = jnp.where(emit_ok, val, 0)
+                return (pos_new, slot_new, z_new, nblk_new,
+                        over_new), (eidx, eval_)
             blkc = jnp.minimum(blk, blk_limit)
             eidx_raw = blkc * 64 + jnp.clip(z_coef, 0, 63)
             eidx = jnp.where(emit_ok, eidx_raw, last)
@@ -541,8 +565,14 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                     last_new), (eidx, eval_)
         return step
 
+    # single-pass lanes own whole disjoint segments, so their emissions
+    # can stay lane-LOCAL and densify via the one-hot matmul below (the
+    # global sorted scatter this replaces measured 270 ms of the 410 ms
+    # device decode); speculative chunk lanes share boundary blocks and
+    # keep the scatter path for now
+    local_emit = bool(single_pass and nblkmax > 0)
     step_fn = make_step(False)
-    emit_fn = make_step(True)
+    emit_fn = make_step(True, local_emit)
 
     def run_chunk(entries, win_pair, word_base, bit_end, limdelta_u,
                   hv_flat, hv2d, lane_uid6, blk_base, blk_limit):
@@ -719,8 +749,11 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
         off, slot, z = entries
         pos0 = lane_word_base * 32 + off
-        last0 = blk_start * 64 + jnp.clip(z, 0, 63)
-        st0 = (pos0, slot, z, zero, jnp.zeros(L, bool), last0)
+        if local_emit:
+            st0 = (pos0, slot, z, zero, jnp.zeros(L, bool))
+        else:
+            last0 = blk_start * 64 + jnp.clip(z, 0, 63)
+            st0 = (pos0, slot, z, zero, jnp.zeros(L, bool), last0)
         buf_i = jnp.zeros((steps, L), jnp.int32)
         buf_v = jnp.zeros((steps, L), jnp.int32)
         if "noemit" in ablate:  # fake: skip the decode loop entirely
@@ -734,24 +767,82 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             # of step budget before consuming its segment means a
             # malformed stream -> host fallback
             ok = ok & ~jnp.any(st_end[0] < bit_end)
-        tail = jnp.arange(steps, dtype=jnp.int32)[:, None] >= i_end
-        buf_i = jnp.where(tail, st_end[5][None, :], buf_i)
-        buf_v = jnp.where(tail, 0, buf_v)
-        flat_i = buf_i.T.reshape(-1)       # lane-major -> sorted
-        flat_v = buf_v.T.reshape(-1)
-        if "noscatter" in ablate:  # fake: reshape instead of scatter
-            need = nblk_total * 64
-            pad = max(0, need - flat_v.size)
-            out = jnp.concatenate(
-                [flat_v, jnp.zeros(pad, jnp.int32)])[:need]
+        if local_emit:
+            # --- matmul densification (single-pass) -----------------------
+            # Factor each lane-local emission index into (block slot,
+            # zigzag coef) and build the dense (lane, nblkmax, 64)
+            # planes as ONE-HOT batched matmuls on the MXU — ~20 ms at
+            # the bench shape where the sorted scalar scatter-add took
+            # 270 ms (tools/exp_scatter.py). Coefficients are < 2^12 and
+            # each (slot, coef) cell receives at most one real emission,
+            # so f32 accumulation is exact. The coef one-hot compares
+            # against the zigzag positions of natural-order columns,
+            # folding the dezigzag permutation in for free.
+            if "noscatter" in ablate:  # fake: reshape instead of densify
+                need = nblk_total * 64
+                flat_v = buf_v.T.reshape(-1)
+                pad = max(0, need - flat_v.size)
+                out = jnp.concatenate(
+                    [flat_v, jnp.zeros(pad, jnp.int32)])[:need]
+                out = out.reshape(n_img, nblk_img, 64)
+            else:
+                loc_i = buf_i.T                      # (L, S) lane-local
+                loc_v = buf_v.T
+                dezig = jnp.asarray(np.argsort(zz))  # natural col -> zz pos
+                n_chunks = max(1, L // 2048)
+                CH = L // n_chunks
+
+                def densify_chunk(args):
+                    i_c, v_c = args                   # (CH, S)
+                    hi = (i_c >> 6)[:, :, None]
+                    lo = (i_c & 63)[:, :, None]
+                    hv = (v_c.astype(jnp.float32)[:, :, None]
+                          * (hi == jnp.arange(nblkmax)[None, None, :]))
+                    ln = (lo == dezig[None, None, :]).astype(jnp.float32)
+                    return jnp.einsum(
+                        "lsb,lsc->lbc", hv, ln,
+                        preferred_element_type=jnp.float32)
+
+                loc3 = jax.lax.map(
+                    densify_chunk,
+                    (loc_i.reshape(n_chunks, CH, steps),
+                     loc_v.reshape(n_chunks, CH, steps)))
+                loc3 = loc3.reshape(L, nblkmax, 64).astype(jnp.int32)
+                # global placement: block g belongs to the last lane
+                # whose segment starts at or before g (scatter lane
+                # starts + cummax; pad lanes point past the range and
+                # are dropped), local slot = g - that lane's start
+                lane_ids = jnp.arange(L, dtype=jnp.int32)
+                own = jnp.zeros(nblk_total, jnp.int32).at[
+                    lane_blk_base].max(lane_ids, mode="drop")
+                own = jax.lax.associative_scan(jnp.maximum, own)
+                base = jnp.zeros(nblk_total, jnp.int32).at[
+                    lane_blk_base].max(lane_blk_base, mode="drop")
+                base = jax.lax.associative_scan(jnp.maximum, base)
+                slot_of = jnp.minimum(
+                    jnp.arange(nblk_total, dtype=jnp.int32) - base,
+                    nblkmax - 1)
+                out = loc3[own, slot_of]              # (nblk_total, 64)
+                out = out.reshape(n_img, nblk_img, 64)
         else:
-            out = jnp.zeros(nblk_total * 64 + 64, jnp.int32)
-            out = out.at[flat_i].add(flat_v, indices_are_sorted=True)
-            out = out[: nblk_total * 64]
-        out = out.reshape(n_img, nblk_img, 64)
-        # zigzag -> natural order (dense static permutation)
-        if "noperm" not in ablate:
-            out = out[:, :, jnp.asarray(np.argsort(zz))]
+            tail = jnp.arange(steps, dtype=jnp.int32)[:, None] >= i_end
+            buf_i = jnp.where(tail, st_end[5][None, :], buf_i)
+            buf_v = jnp.where(tail, 0, buf_v)
+            flat_i = buf_i.T.reshape(-1)       # lane-major -> sorted
+            flat_v = buf_v.T.reshape(-1)
+            if "noscatter" in ablate:  # fake: reshape instead of scatter
+                need = nblk_total * 64
+                pad = max(0, need - flat_v.size)
+                out = jnp.concatenate(
+                    [flat_v, jnp.zeros(pad, jnp.int32)])[:need]
+            else:
+                out = jnp.zeros(nblk_total * 64 + 64, jnp.int32)
+                out = out.at[flat_i].add(flat_v, indices_are_sorted=True)
+                out = out[: nblk_total * 64]
+            out = out.reshape(n_img, nblk_img, 64)
+            # zigzag -> natural order (dense static permutation)
+            if "noperm" not in ablate:
+                out = out[:, :, jnp.asarray(np.argsort(zz))]
 
         # DC diffs -> absolute: segmented inclusive scan per component
         comp_seq = jnp.tile(jnp.asarray(comp_of_arr), mcus)  # (nblk_img,)
@@ -782,13 +873,15 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 @functools.lru_cache(maxsize=32)
 def build_decoder(C: int, n_lanes: int, steps: int, B: int,
                   comp_of: tuple, mcus: int, n_img: int, n_uniq: int = 8,
-                  single_pass: bool = False, max_passes: int = MAX_PASSES,
+                  nblkmax: int = 0, single_pass: bool = False,
+                  max_passes: int = MAX_PASSES,
                   ablate: str = "", debug: bool = False):
     import jax
 
     return jax.jit(build_decoder_core(C, n_lanes, steps, B, comp_of,
-                                      mcus, n_img, n_uniq, single_pass,
-                                      max_passes, ablate, debug))
+                                      mcus, n_img, n_uniq, nblkmax,
+                                      single_pass, max_passes, ablate,
+                                      debug))
 
 
 @functools.lru_cache(maxsize=64)
