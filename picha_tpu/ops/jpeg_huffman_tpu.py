@@ -15,13 +15,15 @@ That makes the whole entropy-encode stage a vectorizable XLA graph:
      pinned at the zero positions 16k after the previous nonzero, EOB
      as a 65th virtual slot,
   4. (code << size) | value-bits packets (<= 27 bits, int32-safe, one
-     packed (len<<16|code) lookup per symbol) and their absolute bit
-     offsets via cumsums, plus a final 1-bits pad packet per image,
-  5. bit assembly as TWO sorted scatter-adds into 32-bit words: a
-     packet spans at most two words at any offset, packets are
-     bit-disjoint so add == or (wraparound-safe across the sign bit);
-     everything is image-major batch-flat — vmapped or unsorted
-     scatters cost seconds on this backend, these cost ~25 ms,
+     packed (len<<16|code) one-hot-select per symbol) and their
+     absolute bit offsets via cumsums, plus a final 1-bits pad packet
+     per image,
+  5. bit assembly from PREFIX SUMS: a packet spans at most two words
+     at any offset and packets are bit-disjoint, so each word is a
+     difference of wraparound cumsums of the word-1/word-2
+     contributions, taken at per-word packet boundaries recovered from
+     the static per-block slot layout (see the in-function comment) —
+     no per-packet scatters anywhere,
   6. words -> bytes densely (MSB-first shifts),
   7. 0xFF byte stuffing as a +popcount-shift scatter (the inserted
      0x00 is the zero-initialised gap).
@@ -48,22 +50,16 @@ import numpy as np
 from .jpeg_scan import ZIGZAG  # noqa: E402
 
 
-def compact_slots_for_quality(quality) -> int:
-    """Encoder compaction cap: packets per block = 1 DC + nonzero ACs
-    + ZRLs + EOB — bounded by the quantisation quality of the
-    coefficients being encoded (q85 natural content measures ~8-11;
-    reference fixtures at high quality run up to ~47). 65 = the exact
-    worst case (no compaction win, always safe). Overflow signals
-    out-of-band (nbytes > byte_cap)."""
-    if quality is None:
-        return 65
-    if quality <= 88:
-        return 16
-    if quality <= 93:
-        return 28
-    if quality <= 97:
-        return 40
-    return 65
+# Slot layout: every block owns exactly 65 packet slots (1 DC + 63 AC
+# positions + 1 EOB). Round 4 removed the packet-compaction stage that
+# used to shrink this to a per-image budget: its sorted scalar scatter
+# cost 114 ms of the 258 ms encode (9 ns/element — scalar scatters
+# serialize on this backend), and the only thing compaction bought was
+# a narrower Huffman-table gather, which the one-hot select below
+# replaces at DENSE width for 28.6 ms (tools/exp_encstage.py). The
+# dense per-block layout is what makes the prefix-sum bit assembly
+# possible (each block's slot range is static), and it removes the
+# content-dependent packet-overflow class entirely.
 
 
 @functools.lru_cache(maxsize=1)
@@ -174,24 +170,19 @@ def _mcu_layout(comp_sig):
 
 
 @functools.lru_cache(maxsize=64)
-def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65,
-                       ablate: str = ""):
+def build_scan_encoder(comp_sig, byte_cap: int, ablate: str = ""):
     """Traceable fn(coefs: tuple of (N, bh, bw, 64) int32)
     -> (scan_bytes (N, byte_cap) uint8, nbytes (N,) int32).
 
-    slots_per_block: compaction width (compact_slots_for_quality) — the
-    per-slot Huffman-table gather runs at nblk*slots_per_block instead
-    of the dense nblk*65.
-    nbytes > byte_cap signals overflow (scan bytes OR packet count):
-    the bytes are invalid and the caller must fall back or raise.
+    nbytes > byte_cap signals overflow: the bytes are invalid and the
+    caller must fall back or raise.
 
     ablate (profiling only, output is GARBAGE): comma-joined stage
     names replaced by shape-preserving fakes so the stage's device cost
     can be measured by difference — 'blocks' (the static MCU-order +
-    zigzag gathers), 'compact' (the packet compaction scatter),
-    'codes' (the packed Huffman-table gather), 'offsets' (the packet
-    bit-offset cumsum), 'words' (the two bit-assembly scatters),
-    'stuff' (the 0xFF stuffing cumsum+scatter)."""
+    zigzag gathers), 'codes' (the Huffman-table one-hot select),
+    'offsets' (the packet bit-offset cumsum), 'words' (the prefix-sum
+    bit assembly), 'stuff' (the 0xFF stuffing cumsum+scatter)."""
     import jax
     import jax.numpy as jnp
 
@@ -226,12 +217,12 @@ def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65,
     big_packed[2] = ac_packed[0]
     big_packed[3] = ac_packed[1]
 
-    # per-image cap: nblk*slots averages block-level density variance
-    # away on real geometries; small images (little averaging headroom,
-    # and downscaling concentrates detail) get a floor that amounts to
-    # full safety at negligible cost
-    K = min(nblk * 65, max(nblk * max(2, int(slots_per_block)), 4096))
     R = byte_cap + 1    # byte-region stride per image (last slot = trash)
+    E = nblk * 65       # dense packet slots per image (65 per block)
+    # a block's bit span: 65 packets x <=27 bits = 1755 bits -> at most
+    # ceil(1755/32)+1 = 56 words touched; 57 is the static bound for
+    # the per-block word-histogram axis
+    WLOC = 57
 
     def fn(coefs):
         # batched elementwise packet construction, then ONE flat global
@@ -308,78 +299,128 @@ def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65,
             [jnp.ones((n_img, nblk, 1), bool), need_ac, eob[:, :, None]],
             axis=2).reshape(n_img, -1)
 
-        # --- compaction: one sorted scatter-add -------------------------------
+        # --- table lookup + packets at DENSE width ----------------------------
         ii = jnp.arange(n_img, dtype=jnp.int32)[:, None]
-        if "compact" in ablate:  # fake: slice instead of rank+scatter
-            count = jnp.sum(needed.astype(jnp.int32), axis=1)
-            cf = fields[:, :K]
+        alive = needed                                    # (N, E)
+        lo_v = fields & 0x7FF
+        sym = (fields >> 11) & 0xFF
+        row = (fields >> 19) & 3                          # class*2 + tid
+        if "codes" in ablate:  # fake: arithmetic stand-in for the select
+            cl = (row * 131 + sym) | ((4 + (sym & 7)) << 16)
         else:
-            rank = jnp.cumsum(needed.astype(jnp.int32), axis=1)
-            count = rank[:, -1]                          # packets per image
-            rank = rank - needed.astype(jnp.int32)       # exclusive
-            # non-needed slots add 0 at the NEXT packet's rank, keeping
-            # the flat index stream sorted (same trick as the decoder's
-            # masked emission slots)
-            g = (jnp.minimum(rank, K - 1) + ii * K).reshape(-1)
-            cf = jnp.zeros((n_img * K,), jnp.int32).at[g].add(
-                jnp.where(needed, fields, 0).reshape(-1),
-                indices_are_sorted=True).reshape(n_img, K)
-
-        # --- table lookups + packets at compact width -------------------------
-        alive = jnp.arange(K, dtype=jnp.int32)[None, :] < count[:, None]
-        lo_c = cf & 0x7FF
-        sym_c = (cf >> 11) & 0xFF
-        row = (cf >> 19) & 3                             # class*2 + tid
-        if "codes" in ablate:  # fake: arithmetic stand-in for the gather
-            cl = (row * 131 + sym_c) | ((4 + (sym_c & 7)) << 16)
-        else:
-            cl = jnp.asarray(big_packed)[row, sym_c]     # the one gather
-        sval = sym_c & 15
-        pkt = jnp.where(alive, ((cl & 0xFFFF) << sval) | lo_c, 0)
+            # Huffman table as a 256-wide one-hot select: measured
+            # 28.6 ms at this dense width on the real chip where the
+            # equivalent scalar gather took 140.7 ms
+            # (tools/exp_encstage.py variants C vs D)
+            t = jnp.asarray(big_packed)
+            r3 = row[:, :, None]
+            tsel = jnp.where(r3 >= 2,
+                             jnp.where((r3 & 1) == 1, t[3], t[2]),
+                             jnp.where((r3 & 1) == 1, t[1], t[0]))
+            oh = sym[:, :, None] == jnp.arange(256, dtype=jnp.int32)
+            cl = jnp.sum(jnp.where(oh, tsel, 0), axis=2)
+        sval = sym & 15
+        pkt = jnp.where(alive, ((cl & 0xFFFF) << sval) | lo_v, 0)
         ln = jnp.where(alive, (cl >> 16) + sval, 0)
 
-        # --- per-image bit offsets + the 1-bits pad packet -------------------
+        # --- per-image bit offsets ---------------------------------------------
         if "offsets" in ablate:  # fake: affine offsets instead of cumsum
             # clipped so the fake total stays inside the byte budget and
-            # the stuffing stage sees a realistic index distribution
+            # downstream sees a realistic (monotone) index distribution
             ends = jnp.minimum(
-                (jnp.arange(K, dtype=jnp.int32)[None, :] + 1) * 6,
+                (jnp.arange(E, dtype=jnp.int32)[None, :] + 1) * 6,
                 byte_cap * 8 - 64) + 0 * ln
         else:
             ends = jnp.cumsum(ln, axis=1)
         offs = ends - ln
         total = ends[:, -1]
-        pad = (-total) % 8
-        lens = jnp.concatenate([ln, pad[:, None]], axis=1)     # (N, K+1)
-        offs = jnp.concatenate([offs, total[:, None]], axis=1)
-        pkts = jnp.concatenate([pkt, ((1 << pad) - 1)[:, None]], axis=1)
-        total = total + pad
+        pad = (-total) % 8                        # the final 1-bits packet
 
-        # --- bit assembly: two sorted scatter-adds into 32-bit words --------
+        # --- bit assembly: prefix sums, no scatters ---------------------------
         # A packet is <= 27 bits, so at any bit offset it spans at most
-        # two 32-bit words. Packets occupy disjoint bit ranges, so
-        # scatter-ADD == bitwise OR (no carries), including across the
-        # int32 sign bit (wraparound add). This replaces a 6-window
-        # gather stage whose ~75M table lookups dominated device time.
+        # two 32-bit words: contribution c1 to word wi, c2 to word wi+1.
+        # Packets occupy disjoint bit ranges, so summing == bitwise OR
+        # (no carries, wraparound-safe across the int32 sign bit). The
+        # word values are therefore recoverable from PREFIX SUMS alone:
+        #     word[w] = (S1[lo(w+1)] - S1[lo(w)])      # c1 of wi == w
+        #             + (S2[lo(w)]   - S2[lo(w-1)])    # c2 of wi == w-1
+        # with S1/S2 wraparound cumsums over the (monotone-by-offset)
+        # packet stream and lo(w) = index of the first packet whose
+        # start word wi >= w. lo is recovered per word from the dense
+        # per-block layout: the owning block by a scatter-min over
+        # blocks + reverse cummin (b*(w) = first block whose LAST slot
+        # word >= w), the within-block count from a per-block
+        # cumulative histogram of slot words. This replaced two sorted
+        # scalar scatter-adds over every packet (56 ms of the round-3
+        # encode at compacted width; 9 ns/element) with vector scans
+        # plus one 2-D gather per OUTPUT word — outputs (262k words)
+        # are ~100x fewer than packet updates (25.4M dense).
         nwords = -(-byte_cap // 4)
         WR = nwords + 2  # per-image word region incl. 2 trash slots
-        wi = offs >> 5                                   # (N, E)
+        wi = offs >> 5                                   # (N, E) monotone
         bo = offs & 31
-        rem = bo + lens - 32                             # >0: spills word 2
+        rem = bo + ln - 32                               # >0: spills word 2
         sh1 = jnp.clip(jnp.where(rem <= 0, -rem, rem), 0, 31)
-        c1 = jnp.where(rem <= 0, pkts << sh1, pkts >> sh1)
-        c2 = jnp.where(rem > 0, pkts << jnp.clip(32 - rem, 0, 31), 0)
-        if "words" in ablate:  # fake: skip the two assembly scatters
+        c1 = jnp.where(rem <= 0, pkt << sh1, pkt >> sh1)
+        c2 = jnp.where(rem > 0, pkt << jnp.clip(32 - rem, 0, 31), 0)
+        if "words" in ablate:  # fake: skip the prefix-sum assembly
             words = (jnp.zeros((n_img, WR), jnp.int32)
                      + (c1[:, :1] ^ c2[:, :1]))[:, :nwords]
         else:
-            g_wi = (jnp.clip(wi, 0, nwords) + ii * WR).reshape(-1)
-            words = jnp.zeros((n_img * WR,), jnp.int32)
-            words = words.at[g_wi].add(c1.reshape(-1),
-                                       indices_are_sorted=True)
-            words = words.at[g_wi + 1].add(c2.reshape(-1),
-                                           indices_are_sorted=True)
-            words = words.reshape(n_img, WR)[:, :nwords]
+            z1 = jnp.zeros((n_img, 1), jnp.int32)
+            s1 = jnp.concatenate([z1, jnp.cumsum(c1, axis=1)], axis=1)
+            s2 = jnp.concatenate([z1, jnp.cumsum(c2, axis=1)], axis=1)
+            wi3 = wi.reshape(n_img, nblk, 65)
+            bw = wi3[:, :, 0]                    # block base word
+            ew = wi3[:, :, 64]                   # block last-slot word
+            # chist[n,b,l] = #slots of block b with wi - bw < l (dead
+            # slots carry the next packet's offset — monotone, and they
+            # contribute 0 to S1/S2, so counting them is harmless)
+            wloc = wi3 - bw[:, :, None]
+            chist = jnp.cumsum(jnp.sum(
+                (wloc[..., None] == jnp.arange(WLOC, dtype=jnp.int32))
+                .astype(jnp.int32), axis=2), axis=2)
+            chist = jnp.concatenate(
+                [jnp.zeros((n_img, nblk, 1), jnp.int32),
+                 chist[:, :, :-1]], axis=2)      # exclusive in l
+            # b*(w) = first block whose last slot word >= w, on the
+            # word grid w in [0, nwords] (one extra for lo(w+1))
+            WP = nwords + 1
+            m = jnp.full((n_img * (WP + 1),), nblk, jnp.int32)
+            bids = jnp.broadcast_to(
+                jnp.arange(nblk, dtype=jnp.int32)[None, :], (n_img, nblk))
+            m = m.at[(jnp.clip(ew, 0, WP) + ii * (WP + 1)).reshape(-1)
+                     ].min(bids.reshape(-1), indices_are_sorted=True)
+            bstar = jax.lax.associative_scan(
+                jnp.minimum, m.reshape(n_img, WP + 1), axis=1,
+                reverse=True)[:, :WP]            # (N, WP)
+            bc = jnp.minimum(bstar, nblk - 1)
+            bw_sel = jnp.take_along_axis(bw, bc, axis=1)
+            l = jnp.clip(jnp.arange(WP, dtype=jnp.int32)[None, :]
+                         - bw_sel, 0, WLOC - 1)
+            jstar = jnp.take_along_axis(
+                chist.reshape(n_img, nblk * WLOC), bc * WLOC + l, axis=1)
+            lo = jnp.where(bstar >= nblk, E, bc * 65 + jstar)  # (N, WP)
+            s1g = jnp.take_along_axis(s1, lo, axis=1)
+            s2g = jnp.take_along_axis(s2, lo, axis=1)
+            words = (s1g[:, 1:] - s1g[:, :-1]) \
+                + (s2g[:, :nwords]
+                   - jnp.concatenate([z1, s2g[:, :nwords - 1]], axis=1))
+            # the pad packet (<=7 one-bits at offset `total`): two
+            # scalar adds per image
+            pad_pkt = (1 << pad) - 1
+            bo_p = total & 31
+            rem_p = bo_p + pad - 32
+            sh1_p = jnp.clip(jnp.where(rem_p <= 0, -rem_p, rem_p), 0, 31)
+            c1_p = jnp.where(rem_p <= 0, pad_pkt << sh1_p,
+                             pad_pkt >> sh1_p)
+            c2_p = jnp.where(rem_p > 0,
+                             pad_pkt << jnp.clip(32 - rem_p, 0, 31), 0)
+            wi_p = total >> 5
+            iiN = jnp.arange(n_img, dtype=jnp.int32)
+            words = words.at[iiN, wi_p].add(c1_p, mode="drop")
+            words = words.at[iiN, wi_p + 1].add(c2_p, mode="drop")
+        total = total + pad
         # words -> bytes, MSB-first within each word
         shifts = jnp.array([24, 16, 8, 0], jnp.int32)
         byte = ((words[:, :, None] >> shifts) & 0xFF).reshape(
@@ -405,9 +446,6 @@ def build_scan_encoder(comp_sig, byte_cap: int, slots_per_block: int = 65,
                 byte.reshape(-1), indices_are_sorted=True)
             out = out.reshape(n_img, R)[:, :byte_cap]
             nbytes = nraw + jnp.sum(is_ff.astype(jnp.int32), axis=1)
-        # compaction overflow (count > K, pathological content) uses
-        # the same out-of-band signal as a scan byte overflow
-        nbytes = jnp.where(count > K, byte_cap + 1, nbytes)
         return out.astype(jnp.uint8), nbytes
 
     return fn

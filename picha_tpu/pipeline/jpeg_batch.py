@@ -418,13 +418,10 @@ def _jit_batch_graph(sig, out_w: Optional[int], out_h: Optional[int],
                 # full on-device entropy encode: the readback is finished
                 # scan bytes (~0.1-0.2 B/px) instead of 4:2:0 planes
                 from .jpeg_batch import _resized_comp_sig
-                from ..ops.jpeg_huffman_tpu import (
-                    build_scan_encoder, compact_slots_for_quality)
+                from ..ops.jpeg_huffman_tpu import build_scan_encoder
 
                 rsig = _resized_comp_sig(eh, ew, img.shape[-1])
-                scan_enc = build_scan_encoder(
-                    rsig, device_scan_cap,
-                    compact_slots_for_quality(encode_quality))
+                scan_enc = build_scan_encoder(rsig, device_scan_cap)
                 return scan_enc(out_coefs)
             return img.astype(jnp.uint8)
 

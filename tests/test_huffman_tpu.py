@@ -57,42 +57,26 @@ def test_scan_bytes_match_libjpeg_fixture(name):
     assert got == want
 
 
-def test_compacted_encoder_exact_and_overflow_signals():
-    """The compacted packet stream (slots_per_block < 65) is
-    byte-identical to the dense form on q85-quantised content; an
-    undersized cap signals overflow out-of-band instead of emitting a
-    corrupt scan."""
+def test_worst_case_content_exact_and_byte_overflow_signals():
+    """Incompressible noise at high quality (~50+ packets/block — the
+    content class that used to need compaction headroom) is
+    byte-identical to libjpeg on the dense per-block path; an
+    undersized BYTE budget signals overflow out-of-band instead of
+    emitting a corrupt scan."""
     rng = np.random.default_rng(4)
-    yy, xx = np.mgrid[0:48, 0:64].astype(np.float32)
-    base = 127 + 60 * np.sin(xx / 7) + 50 * np.cos(yy / 5)
-    arr = np.clip(np.stack([base, 255 - base, base * 0.7 + 30], -1)
-                  + rng.normal(0, 5, (48, 64, 3)), 0, 255).astype(np.uint8)
-    buf = native.jpeg_encode(arr, 85)
-    co = native.JpegCoefficients(buf)
+    noisy = rng.integers(0, 256, (192, 192, 3), dtype=np.uint8)
+    co = native.JpegCoefficients(native.jpeg_encode(noisy, 97))
+    want = scan_of(libjpeg_encode_from_coefs(co))
+    got = tpu_encode_from_coefs(co)
+    assert got == want
+    # a byte_cap below the true scan size must SIGNAL, not corrupt
     comp_sig = tuple((c["blocks_h"], c["blocks_w"], c["h_samp"],
                       c["v_samp"]) for c in co.comps)
     coefs = tuple(np.asarray(c["coefs"], np.int32)[None] for c in co.comps)
-    dense = H.build_scan_encoder(comp_sig, byte_cap=1 << 16)
-    s0, n0 = dense(coefs)
-    # natural q85 statistics (~10 pkts/block) fit the q85 cap
-    for slots in (40, H.compact_slots_for_quality(85)):
-        enc = H.build_scan_encoder(comp_sig, byte_cap=1 << 16,
-                                   slots_per_block=slots)
-        s1, n1 = enc(coefs)
-        assert int(n1[0]) == int(n0[0])
-        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
-    # incompressible noise (~50 pkts/block) on a geometry big enough to
-    # clear the small-image safety floor must SIGNAL, not corrupt
-    noisy = rng.integers(0, 256, (192, 192, 3), dtype=np.uint8)
-    co2 = native.JpegCoefficients(native.jpeg_encode(noisy, 85))
-    sig2 = tuple((c["blocks_h"], c["blocks_w"], c["h_samp"], c["v_samp"])
-                 for c in co2.comps)
-    coefs2 = tuple(np.asarray(c["coefs"], np.int32)[None]
-                   for c in co2.comps)
-    tiny = H.build_scan_encoder(sig2, byte_cap=1 << 17,
-                                slots_per_block=16)
-    _, n2 = tiny(coefs2)
-    assert int(n2[0]) > (1 << 17)  # overflow signal, caller falls back
+    small_cap = max(1024, (len(want) // 2) & ~3)
+    tiny = H.build_scan_encoder(comp_sig, byte_cap=small_cap)
+    _, n2 = tiny(coefs)
+    assert int(n2[0]) > small_cap  # overflow signal, caller falls back
 
 
 @pytest.mark.parametrize("seed,w,h,c", [(0, 64, 48, 3), (1, 17, 13, 3),

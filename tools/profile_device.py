@@ -143,14 +143,13 @@ def main():
 
     # ---- encoder: fDCT+quant vs scan encode -------------------------
     from picha_tpu.ops import jpeg_tpu
-    from picha_tpu.ops.jpeg_huffman_tpu import (
-        build_scan_encoder, compact_slots_for_quality)
+    from picha_tpu.ops.jpeg_huffman_tpu import build_scan_encoder
     from picha_tpu.pipeline.jpeg_batch import _resized_comp_sig
 
     rsig = _resized_comp_sig(OH, OW, 3)
     cap = p._scan_cap_for(sig0)
     qluma, qchroma = jpeg_tpu.quality_tables(85)
-    enc_scan = build_scan_encoder(rsig, cap, compact_slots_for_quality(85))
+    enc_scan = build_scan_encoder(rsig, cap)
     fdct = jpeg_tpu._jit_encode.__wrapped__(OH, OW, 3, True)
     rng = np.random.default_rng(0)
     img = jax.device_put(

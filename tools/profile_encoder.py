@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from picha_tpu.ops import jpeg_tpu
-from picha_tpu.ops.jpeg_huffman_tpu import (
-    build_scan_encoder, compact_slots_for_quality)
+from picha_tpu.ops.jpeg_huffman_tpu import build_scan_encoder
 from picha_tpu.pipeline.jpeg_batch import _resized_comp_sig
 
 BATCH, OW, OH = 16, 960, 544
@@ -49,13 +48,12 @@ def main():
     coefs0 = tuple(jax.device_put(np.asarray(c)) for c in coefs0)
     np.asarray(jax.device_put(np.zeros(1 << 20, np.uint8)))  # warm link
 
-    slots = compact_slots_for_quality(85)
-    log(f"comp_sig {rsig} slots {slots} cap {cap}")
+    log(f"comp_sig {rsig} cap {cap}")
 
     times = {}
-    for ab in ["", "blocks", "compact", "codes", "offsets", "words",
-               "stuff", "blocks,compact,codes,offsets,words,stuff"]:
-        enc = build_scan_encoder(rsig, cap, slots, ablate=ab)
+    for ab in ["", "blocks", "codes", "offsets", "words",
+               "stuff", "blocks,codes,offsets,words,stuff"]:
+        enc = build_scan_encoder(rsig, cap, ablate=ab)
 
         @jax.jit
         def run(salt, *coefs, _e=enc):
