@@ -446,7 +446,7 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
     def make_step(emit: bool, local: bool = False):
         def step(state, win_pair, word_base, bit_end, limdelta_u, hv_flat,
-                 hv2d, lane_uid6, blk_base, blk_limit):
+                 hv2d, hv_pk, lane_uid6, blk_base, blk_limit):
             if emit and not local:
                 pos, slot, z, nblk, over, last = state
             else:
@@ -504,8 +504,22 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                           == jnp.arange(256)[None, None, :]))
                 sym = jnp.sum(jnp.where(sel, hv2d[None, :, :], 0),
                               axis=(1, 2))
-            else:
+            elif "hvgather" in ablate:
                 sym = hv_flat[uid * 256 + idx]
+            else:
+                # select-PACKED symbol lookup: 4 symbols per int32 word
+                # -> U-row select + 64-wide word one-hot + byte extract.
+                # Measured 3.52 ns/lane vs 10.52 for the 2048-entry
+                # scalar gather this replaces (tools/micro_scaling.py);
+                # the gather was 35% of the decode loop.
+                u_oh2 = (uid[:, None] == jnp.arange(U)[None, :])
+                hr = jnp.sum(jnp.where(u_oh2[:, :, None],
+                                       hv_pk[None, :, :], 0),
+                             axis=1)                       # (L, 64)
+                oh64 = ((idx >> 2)[:, None]
+                        == jnp.arange(64)[None, :])
+                wsel = jnp.sum(jnp.where(oh64, hr, 0), axis=1)
+                sym = (wsel >> ((idx & 3) * 8)) & 0xFF
             run = jnp.where(z > 0, sym >> 4, 0)
             size = sym & 15
             # value bits: bits [clen, clen+size) of the same window
@@ -565,17 +579,21 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                     last_new), (eidx, eval_)
         return step
 
-    # single-pass lanes own whole disjoint segments, so their emissions
-    # can stay lane-LOCAL and densify via the one-hot matmul below (the
-    # global sorted scatter this replaces measured 270 ms of the 410 ms
-    # device decode); speculative chunk lanes share boundary blocks and
-    # keep the scatter path for now
-    local_emit = bool(single_pass and nblkmax > 0)
+    # lane emissions stay lane-LOCAL and densify via the one-hot matmul
+    # below (the global sorted scatter this replaces measured 270 ms of
+    # the 410 ms device decode). Single-pass lanes own whole disjoint
+    # segments (each block has exactly one writer); speculative chunk
+    # lanes share boundary blocks — a block of <= 1665 bits spans at
+    # most 1665//C + 2 chunks, so global placement sums that many
+    # owner-adjacent lanes (straddlers write disjoint coefficient
+    # cells, so the sum is exact).
+    local_emit = bool(nblkmax > 0)
+    M_STRADDLE = 1 if single_pass else (1665 // max(C, 1) + 2)
     step_fn = make_step(False)
     emit_fn = make_step(True, local_emit)
 
     def run_chunk(entries, win_pair, word_base, bit_end, limdelta_u,
-                  hv_flat, hv2d, lane_uid6, blk_base, blk_limit):
+                  hv_flat, hv2d, hv_pk, lane_uid6, blk_base, blk_limit):
         off, slot, z = entries
         pos0 = word_base * 32 + off
         state = (pos0, slot, z, jnp.zeros_like(off),
@@ -600,8 +618,8 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
             def inner(_k, st):
                 st, _o = step_fn(st, win_pair, word_base, bit_end,
-                                 limdelta_u, hv_flat, hv2d, lane_uid6,
-                                 blk_base, blk_limit)
+                                 limdelta_u, hv_flat, hv2d, hv_pk,
+                                 lane_uid6, blk_base, blk_limit)
                 return st
 
             if "fixed" in ablate:  # per-step loop for comparability
@@ -628,6 +646,9 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             axis=2)
         limdelta_u = jnp.concatenate([limit, delta], axis=1)  # (U, 33)
         hv_flat = hv.reshape(-1)           # (U*256,)
+        # 4 symbols packed per int32 word for the select-packed lookup
+        hv_pk = jnp.sum(hv.reshape(U, 64, 4)
+                        << (jnp.arange(4, dtype=jnp.int32) * 8), axis=2)
         zero = jnp.zeros(L, jnp.int32)
         bit_end = lane_word_base * 32 + lane_bits
 
@@ -653,7 +674,8 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
         def decode_full(entries, ex, nblk, ov):
             ex2, nblk2, ov2 = run_chunk(
                 entries, win_pair, lane_word_base, bit_end, limdelta_u,
-                hv_flat, hv, lane_uid6, lane_blk_base, lane_blk_limit)
+                hv_flat, hv, hv_pk, lane_uid6, lane_blk_base,
+                lane_blk_limit)
             return ex2, nblk2, ov2
 
         def decode_compact(need, entries, ex, nblk, ov):
@@ -661,7 +683,7 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             ex_c, nblk_c, ov_c = run_chunk(
                 tuple(e[ids] for e in entries), win_pair[ids],
                 lane_word_base[ids], bit_end[ids], limdelta_u, hv_flat,
-                hv, lane_uid6[ids], lane_blk_base[ids],
+                hv, hv_pk, lane_uid6[ids], lane_blk_base[ids],
                 lane_blk_limit[ids])
             ex2 = tuple(e.at[ids].set(c) for e, c in zip(ex, ex_c))
             return ex2, nblk.at[ids].set(nblk_c), ov.at[ids].set(ov_c)
@@ -727,7 +749,7 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                     jnp.int32)
             st, (eidx, ev) = emit_fn(st, win_pair, lane_word_base,
                                      bit_end, limdelta_u, hv_flat, hv,
-                                     lane_uid6, blk_start,
+                                     hv_pk, lane_uid6, blk_start,
                                      lane_blk_limit)
             return st, buf_i.at[i].set(eidx), buf_v.at[i].set(ev), \
                 lane_steps
@@ -808,21 +830,34 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                     (loc_i.reshape(n_chunks, CH, steps),
                      loc_v.reshape(n_chunks, CH, steps)))
                 loc3 = loc3.reshape(L, nblkmax, 64).astype(jnp.int32)
-                # global placement: block g belongs to the last lane
-                # whose segment starts at or before g (scatter lane
-                # starts + cummax; pad lanes point past the range and
-                # are dropped), local slot = g - that lane's start
+                # global placement: block g's OWNER is the last lane
+                # whose block range starts at or before g (scatter lane
+                # block starts + cummax; pad lanes point past the range
+                # and are dropped). The owner always covers g with local
+                # slot g - start < nblkmax (lane starts are a segmented
+                # cumsum of per-lane block counts). In chunked mode the
+                # M_STRADDLE-1 preceding lanes may also have written
+                # into g's boundary cells — their unwritten cells are
+                # zero, so a masked sum is exact.
                 lane_ids = jnp.arange(L, dtype=jnp.int32)
+                bs = blk_start
                 own = jnp.zeros(nblk_total, jnp.int32).at[
-                    lane_blk_base].max(lane_ids, mode="drop")
+                    bs].max(lane_ids, mode="drop")
                 own = jax.lax.associative_scan(jnp.maximum, own)
                 base = jnp.zeros(nblk_total, jnp.int32).at[
-                    lane_blk_base].max(lane_blk_base, mode="drop")
+                    bs].max(bs, mode="drop")
                 base = jax.lax.associative_scan(jnp.maximum, base)
-                slot_of = jnp.minimum(
-                    jnp.arange(nblk_total, dtype=jnp.int32) - base,
-                    nblkmax - 1)
+                g = jnp.arange(nblk_total, dtype=jnp.int32)
+                slot_of = jnp.minimum(g - base, nblkmax - 1)
                 out = loc3[own, slot_of]              # (nblk_total, 64)
+                for j in range(1, M_STRADDLE):
+                    lane_j = jnp.maximum(own - j, 0)
+                    slot_j = g - bs[lane_j]
+                    okm = (own - j >= 0) & (slot_j >= 0) \
+                        & (slot_j < nblkmax)
+                    vals = loc3[lane_j,
+                                jnp.clip(slot_j, 0, nblkmax - 1)]
+                    out = out + jnp.where(okm[:, None], vals, 0)
                 out = out.reshape(n_img, nblk_img, 64)
         else:
             tail = jnp.arange(steps, dtype=jnp.int32)[:, None] >= i_end

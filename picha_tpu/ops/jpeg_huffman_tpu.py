@@ -384,25 +384,36 @@ def build_scan_encoder(comp_sig, byte_cap: int, ablate: str = ""):
                 [jnp.zeros((n_img, nblk, 1), jnp.int32),
                  chist[:, :, :-1]], axis=2)      # exclusive in l
             # b*(w) = first block whose last slot word >= w, on the
-            # word grid w in [0, nwords] (one extra for lo(w+1))
+            # word grid w in [0, nwords] (one extra for lo(w+1)). The
+            # same scatter-min + reverse-cummin also yields bw[b*]
+            # directly (bw is increasing in b, so the min of bw over
+            # blocks with ew >= w IS bw of the first such block) —
+            # one fewer per-word gather.
             WP = nwords + 1
-            m = jnp.full((n_img * (WP + 1),), nblk, jnp.int32)
+            gidx = (jnp.clip(ew, 0, WP) + ii * (WP + 1)).reshape(-1)
             bids = jnp.broadcast_to(
                 jnp.arange(nblk, dtype=jnp.int32)[None, :], (n_img, nblk))
-            m = m.at[(jnp.clip(ew, 0, WP) + ii * (WP + 1)).reshape(-1)
-                     ].min(bids.reshape(-1), indices_are_sorted=True)
+            m = jnp.full((n_img * (WP + 1),), nblk, jnp.int32)
+            m = m.at[gidx].min(bids.reshape(-1), indices_are_sorted=True)
             bstar = jax.lax.associative_scan(
                 jnp.minimum, m.reshape(n_img, WP + 1), axis=1,
                 reverse=True)[:, :WP]            # (N, WP)
+            m2 = jnp.full((n_img * (WP + 1),), 0x7FFFFFFF, jnp.int32)
+            m2 = m2.at[gidx].min(bw.reshape(-1),
+                                 indices_are_sorted=True)
+            bw_sel = jax.lax.associative_scan(
+                jnp.minimum, m2.reshape(n_img, WP + 1), axis=1,
+                reverse=True)[:, :WP]
             bc = jnp.minimum(bstar, nblk - 1)
-            bw_sel = jnp.take_along_axis(bw, bc, axis=1)
             l = jnp.clip(jnp.arange(WP, dtype=jnp.int32)[None, :]
                          - bw_sel, 0, WLOC - 1)
             jstar = jnp.take_along_axis(
                 chist.reshape(n_img, nblk * WLOC), bc * WLOC + l, axis=1)
             lo = jnp.where(bstar >= nblk, E, bc * 65 + jstar)  # (N, WP)
-            s1g = jnp.take_along_axis(s1, lo, axis=1)
-            s2g = jnp.take_along_axis(s2, lo, axis=1)
+            s12 = jnp.stack([s1, s2], axis=2)    # (N, E+1, 2): one
+            g12 = jnp.take_along_axis(           # 2-wide row gather
+                s12, lo[:, :, None], axis=1)     # instead of two scalar
+            s1g, s2g = g12[:, :, 0], g12[:, :, 1]
             words = (s1g[:, 1:] - s1g[:, :-1]) \
                 + (s2g[:, :nwords]
                    - jnp.concatenate([z1, s2g[:, :nwords - 1]], axis=1))

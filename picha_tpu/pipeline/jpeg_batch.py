@@ -721,11 +721,17 @@ class JpegBatchPipeline:
         eh = self._height if self._height is not None else sig[1]
         if self._scan_byte_cap is not None:
             return self._scan_byte_cap
-        # q<=95 baseline scans of natural images run ~0.05-0.2 B/sample;
-        # budget ~0.33 B/sample (plus a floor) and overflow loudly —
-        # the byte-stage device cost is linear in this cap
-        samples = ew * eh * 2  # 4:2:0 worst case incl. chroma
-        return max(1 << 16, -(-samples // 4 // 4096) * 4096)
+        # natural-image baseline scans measure ~0.10-0.20 B/px at q85
+        # (bench corpus 0.13; pure noise 0.76 overflows ANY sane cap and
+        # takes the loud host fallback, as it did at the old 0.5 B/px
+        # cap). The device byte-stage cost (prefix-sum word assembly +
+        # stuffing) is LINEAR in this cap, so budget by encode quality
+        # with ~2x headroom over natural content instead of 4x:
+        # q<=88 -> 0.25 B/px, q<=95 -> 0.375, above -> 0.625.
+        q = self._encode_quality
+        px = ew * eh
+        frac = 4 if q is None or q <= 88 else (6 if q <= 95 else 10)
+        return max(1 << 16, -(-(px * frac // 16) // 4096) * 4096)
 
     def _stage_device(self, cos):
         """Host pack + async upload + graph dispatch for one homogeneous

@@ -79,6 +79,22 @@ def enable(path: os.PathLike | str | None = None) -> bool:
         return True
     import jax
 
+    # CPU-only processes (tests, the driver's multichip dryrun) skip the
+    # persistent cache: XLA:CPU AOT entries replay with spurious
+    # cpu_aot_loader "+prefer-no-gather is not supported" ERROR logs
+    # even when written and reloaded on the SAME machine and config (a
+    # jaxlib loader quirk — verified with a fresh write+reload pair),
+    # and CPU compiles are fast anyway. The cache exists for the remote
+    # TPU compile service, whose cold compiles take minutes. An
+    # explicit dir (argument or PICHA_COMPILE_CACHE_DIR, e.g. from
+    # tests/conftest.py) opts back in, accepting the log noise for
+    # faster re-runs.
+    plats = (os.environ.get("JAX_PLATFORMS")
+             or getattr(jax.config, "jax_platforms", None) or "")
+    if (path is None and plats.strip().lower() == "cpu"
+            and not os.environ.get("PICHA_COMPILE_CACHE_DIR")):
+        return False
+
     try:
         if path is None and (jax.config.jax_compilation_cache_dir
                              or os.environ.get("JAX_COMPILATION_CACHE_DIR")):

@@ -12,6 +12,13 @@ import os
 import pathlib
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CPU-only processes skip the persistent compile cache by default
+# (spurious cpu_aot_loader errors on reload — compile_cache.enable);
+# tests opt back in for ~3x faster re-runs, accepting the log noise.
+os.environ.setdefault(
+    "PICHA_COMPILE_CACHE_DIR",
+    str(pathlib.Path(__file__).resolve().parents[1]
+        / ".jax_cache" / "tests"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
