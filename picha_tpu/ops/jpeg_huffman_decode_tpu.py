@@ -49,7 +49,13 @@ import numpy as np
 from .jpeg_scan import (ScanInfo, ZIGZAG, derive_tables, mcu_slot_tables,
                         scatter_layout)
 
-CHUNK_BITS = 1024            # C: per-lane chunk size
+CHUNK_BITS = 4096            # C: per-lane chunk size. Jacobi passes to
+#   fixpoint scale ~ sync_distance/C (measured 12/7/4/3 passes at
+#   C=1024/2048/4096/8192 on 1080p q85 — docs/PERFORMANCE.md round 4),
+#   while per-pass wall cost is ~total-bits-bound; the real-chip sweep
+#   (tools/time_chunked.py) measured 16x1080p chunked decode at
+#   C=1024/2048/4096 -> ~3xx/320.8/282.1 ms. 4096 is the knee: beyond
+#   it the densify one-hot (nblkmax grows with C) eats the pass savings.
 LANE_GRANULE = 2048          # lane-count bucket (bounds recompiles)
 WORD_GRANULE = 16384         # words-section floor granule (64 KiB)
 STEP_GRANULE = 64            # steps bucket (bounds recompiles)
@@ -632,6 +638,55 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
         overflow = pos < bit_end              # didn't finish in budget
         return (pos - (word_base * 32 + C), slot, z), nblk, overflow
 
+    def run_chunk_emit(entries, win_pair, word_base, bit_end, limdelta_u,
+                       hv_flat, hv2d, hv_pk, lane_uid6, blk_base,
+                       blk_limit):
+        """Emitting run_chunk (lane-LOCAL emission layout only): same
+        loop, but every step also lands (eidx, eval) rows in
+        (steps, width) buffers. Powers the emission-merged chunked
+        path: full convergence passes store their emissions, so the
+        separate full-width emission pass disappears — one whole
+        bits-bound pass of the chunked decode (docs/PERFORMANCE.md
+        round 4). Returns (exit_entries, nblk, overflow, buf_i, buf_v).
+        The block-bound mask uses the LANE-LOCAL loose bound (segment
+        start + segment length): exact converged block starts are not
+        known during convergence, and for a correct-entry lane on a
+        valid stream the two masks admit identical emissions; garbage
+        lanes get re-emitted after convergence anyway."""
+        off, slot, z = entries
+        width = off.shape[0]
+        pos0 = word_base * 32 + off
+        st0 = (pos0, slot, z, jnp.zeros_like(off),
+               jnp.zeros_like(off, dtype=bool))
+        buf_i0 = jnp.zeros((steps, width), jnp.int32)
+        buf_v0 = jnp.zeros((steps, width), jnp.int32)
+
+        def cond(c):
+            i, st, _bi, _bv = c
+            return (i < steps) & jnp.any(st[0] < bit_end)
+
+        def body(c):
+            i, st, buf_i, buf_v = c
+
+            def inner(k, c2):
+                st, bi, bv = c2
+                st, (eidx, ev) = emit_fn(st, win_pair, word_base,
+                                         bit_end, limdelta_u, hv_flat,
+                                         hv2d, hv_pk, lane_uid6,
+                                         blk_base, blk_limit)
+                return st, bi.at[i + k].set(eidx), bv.at[i + k].set(ev)
+
+            st, buf_i, buf_v = jax.lax.fori_loop(
+                0, EXIT_BLOCK, inner, (st, buf_i, buf_v))
+            return (i + EXIT_BLOCK, st, buf_i, buf_v)
+
+        _, st, buf_i, buf_v = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), st0, buf_i0, buf_v0))
+        pos, slot, z, nblk, _ = st
+        overflow = pos < bit_end
+        return ((pos - (word_base * 32 + C), slot, z), nblk, overflow,
+                buf_i, buf_v)
+
     def fn(words, lane_word_base, lane_bits, lane_pinned, lane_seg_first,
            lane_blk_base, lane_blk_limit, limit, delta, hv, lane_uid6,
            reset):
@@ -678,8 +733,21 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                 lane_blk_limit)
             return ex2, nblk2, ov2
 
-        def decode_compact(need, entries, ex, nblk, ov):
-            ids = jnp.nonzero(need, size=CAP, fill_value=L - 1)[0]
+        def decode_full_emit(entries):
+            return run_chunk_emit(
+                entries, win_pair, lane_word_base, bit_end, limdelta_u,
+                hv_flat, hv, hv_pk, lane_uid6, lane_blk_base,
+                lane_blk_limit)
+
+        # second compaction tier: after the first couple of passes the
+        # unsynced frontier is typically tens-to-hundreds of lanes —
+        # far below CAP — and a CAP-wide gathered decode wastes ~3/4
+        # of each late pass. CAP2 catches the shrunken frontier.
+        CAP2 = max(LANE_GRANULE // 8, L // 16)
+
+        def decode_compact(need, entries, ex, nblk, ov, cap=None):
+            cap = CAP if cap is None else cap
+            ids = jnp.nonzero(need, size=cap, fill_value=L - 1)[0]
             ex_c, nblk_c, ov_c = run_chunk(
                 tuple(e[ids] for e in entries), win_pair[ids],
                 lane_word_base[ids], bit_end[ids], limdelta_u, hv_flat,
@@ -697,7 +765,12 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             ex, nblk, ov = jax.lax.cond(
                 count > CAP,
                 lambda a: decode_full(entries, *a),
-                lambda a: decode_compact(need, entries, *a),
+                lambda a: jax.lax.cond(
+                    count > CAP2,
+                    lambda b: decode_compact(need, entries, *b),
+                    lambda b: decode_compact(need, entries, *b,
+                                             cap=CAP2),
+                    a),
                 (ex, nblk, ov))
             prop = propagate(ex)
             changed = jnp.any(jnp.stack(
@@ -706,6 +779,68 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
         def pass_cond(carry):
             _, _, _, _, _, it, changed = carry
+            if "fixed" in ablate:  # fixed pass count for comparability
+                return it < 8
+            return changed & (it < max_passes)
+
+        # emission-merged chunked mode: full convergence passes store
+        # their lane-local emissions (a lane's emission is a pure
+        # function of its entry state, so buffers from the last full
+        # pass stay valid for every lane whose entry didn't change
+        # after it); at the fixpoint only that changed set needs one
+        # compact re-emission — the separate full-width emission pass
+        # (one whole bits-bound decode of the batch) disappears.
+        # debug mode keeps the legacy loop (it reports emission-pass
+        # step counts, which the merged path spreads across passes).
+        merged = local_emit and not single_pass and not debug
+        emit_entries = None
+
+        def pass_body_emit(carry):
+            entries, decoded, ex, nblk, ov, it, _, bufs, emtent = carry
+            need = jnp.zeros(L, bool)
+            for e, d in zip(entries, decoded):
+                need = need | (e != d)
+            count = jnp.sum(need.astype(jnp.int32))
+
+            def full(a):
+                # pass 1's buffers are always overwritten by pass 2
+                # (entries jump from the (0,0,0) guess to real exits),
+                # so skip its emission-buffer traffic; if the loop DOES
+                # end after one pass, emtent stays sentinel and the
+                # final re-emission falls back to a full pass.
+                ex, nblk, ov, bufs, emtent = a
+
+                def plain(b):
+                    ex2, nblk2, ov2 = decode_full(entries, *b[:3])
+                    return ex2, nblk2, ov2, b[3], b[4]
+
+                def emitting(b):
+                    ex2, nblk2, ov2, bi, bv = decode_full_emit(entries)
+                    return ex2, nblk2, ov2, (bi, bv), entries
+
+                return jax.lax.cond(it > 0, emitting, plain, a)
+
+            def compact(a):
+                ex, nblk, ov, bufs, emtent = a
+                ex2, nblk2, ov2 = jax.lax.cond(
+                    count > CAP2,
+                    lambda b: decode_compact(need, entries, *b),
+                    lambda b: decode_compact(need, entries, *b,
+                                             cap=CAP2),
+                    (ex, nblk, ov))
+                return ex2, nblk2, ov2, bufs, emtent
+
+            ex, nblk, ov, bufs, emtent = jax.lax.cond(
+                count > CAP, full, compact,
+                (ex, nblk, ov, bufs, emtent))
+            prop = propagate(ex)
+            changed = jnp.any(jnp.stack(
+                [jnp.any(p != e) for p, e in zip(prop, entries)]))
+            return (prop, entries, ex, nblk, ov, it + 1, changed,
+                    bufs, emtent)
+
+        def pass_cond_emit(carry):
+            it, changed = carry[5], carry[6]
             if "fixed" in ablate:  # fixed pass count for comparability
                 return it < 8
             return changed & (it < max_passes)
@@ -719,11 +854,21 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             ok = jnp.bool_(True)   # refined from the emission exit below
         else:
             sentinel = (jnp.full(L, -1, jnp.int32),) * 3  # force pass 1
-            init = ((zero, zero, zero), sentinel,
-                    (zero, zero, zero), zero, jnp.zeros(L, bool),
-                    jnp.int32(0), jnp.bool_(True))
-            entries, _, ex_fin, nblk, overflow, it, changed = \
-                jax.lax.while_loop(pass_cond, pass_body, init)
+            if merged:
+                bufs0 = (jnp.zeros((steps, L), jnp.int32),
+                         jnp.zeros((steps, L), jnp.int32))
+                init = ((zero, zero, zero), sentinel,
+                        (zero, zero, zero), zero, jnp.zeros(L, bool),
+                        jnp.int32(0), jnp.bool_(True), bufs0, sentinel)
+                (entries, _, ex_fin, nblk, overflow, it, changed,
+                 bufs, emit_entries) = jax.lax.while_loop(
+                    pass_cond_emit, pass_body_emit, init)
+            else:
+                init = ((zero, zero, zero), sentinel,
+                        (zero, zero, zero), zero, jnp.zeros(L, bool),
+                        jnp.int32(0), jnp.bool_(True))
+                entries, _, ex_fin, nblk, overflow, it, changed = \
+                    jax.lax.while_loop(pass_cond, pass_body, init)
             ok = (~changed) & ~jnp.any(overflow)
 
             # converged per-lane block starts: segmented prefix of nblk
@@ -771,19 +916,75 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
         off, slot, z = entries
         pos0 = lane_word_base * 32 + off
-        if local_emit:
-            st0 = (pos0, slot, z, zero, jnp.zeros(L, bool))
+        if merged:
+            # the stored full-pass buffers cover every lane whose entry
+            # is final; re-emit only the set whose entry changed after
+            # the last full pass — compact when it fits CAP, else one
+            # full emitting pass ("fullemit" in ablate forces the full
+            # branch, which CPU-sized tests can't reach otherwise).
+            # The compact re-emission lands back at full width through
+            # a one-hot MXU matmul (emission values are < nblkmax*64 <
+            # 2^24, exact in f32) + an elementwise where — the same
+            # scatter-free pattern as the densification itself, so the
+            # merge adds no gathers/scatters anywhere downstream.
+            buf_i, buf_v = bufs
+            need = jnp.zeros(L, bool)
+            for e, d in zip(entries, emit_entries):
+                need = need | (e != d)
+            count = jnp.sum(need.astype(jnp.int32))
+
+            def emit_full(_):
+                _ex, _nb, _ov, bi, bv = decode_full_emit(entries)
+                return bi, bv
+
+            def emit_compact(_):
+                ids = jnp.nonzero(need, size=CAP, fill_value=L - 1)[0]
+                _ex, _nb, _ov, cbi, cbv = run_chunk_emit(
+                    tuple(e[ids] for e in entries), win_pair[ids],
+                    lane_word_base[ids], bit_end[ids], limdelta_u,
+                    hv_flat, hv, hv_pk, lane_uid6[ids],
+                    lane_blk_base[ids], lane_blk_limit[ids])
+                # expand (steps, CAP) -> (steps, L): one-hot over the
+                # SORTED ids, first occurrence only (fill duplicates of
+                # lane L-1 would otherwise sum k copies of its rows)
+                first = jnp.concatenate(
+                    [jnp.ones(1, bool), ids[1:] != ids[:-1]])
+                oh = ((ids[:, None] == jnp.arange(L)[None, :])
+                      & first[:, None]).astype(jnp.float32)
+                # eidx reaches nblkmax*64 (~17 bits); the TPU's default
+                # f32 dot keeps only ~16 mantissa bits (measured
+                # maxdiff 256 at this scale), so the INDEX expand needs
+                # HIGHEST precision. Values are < 2^11 — default is
+                # exact for them.
+                nbi = jnp.dot(cbi.astype(jnp.float32), oh,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                nbv = jnp.dot(cbv.astype(jnp.float32), oh,
+                              preferred_element_type=jnp.float32)
+                nm = need[None, :]
+                return (jnp.where(nm, nbi.astype(jnp.int32), buf_i),
+                        jnp.where(nm, nbv.astype(jnp.int32), buf_v))
+
+            force_full = "fullemit" in ablate
+            buf_i, buf_v = jax.lax.cond(
+                jnp.bool_(force_full) | (count > CAP),
+                emit_full, emit_compact, 0)
+            i_end, lane_steps = jnp.int32(0), zero  # debug-only outputs
         else:
-            last0 = blk_start * 64 + jnp.clip(z, 0, 63)
-            st0 = (pos0, slot, z, zero, jnp.zeros(L, bool), last0)
-        buf_i = jnp.zeros((steps, L), jnp.int32)
-        buf_v = jnp.zeros((steps, L), jnp.int32)
-        if "noemit" in ablate:  # fake: skip the decode loop entirely
-            i_end, st_end, lane_steps = jnp.int32(0), st0, zero
-        else:
-            i_end, st_end, buf_i, buf_v, lane_steps = jax.lax.while_loop(
-                emit_cond, emit_body,
-                (jnp.int32(0), st0, buf_i, buf_v, zero))
+            if local_emit:
+                st0 = (pos0, slot, z, zero, jnp.zeros(L, bool))
+            else:
+                last0 = blk_start * 64 + jnp.clip(z, 0, 63)
+                st0 = (pos0, slot, z, zero, jnp.zeros(L, bool), last0)
+            buf_i = jnp.zeros((steps, L), jnp.int32)
+            buf_v = jnp.zeros((steps, L), jnp.int32)
+            if "noemit" in ablate:  # fake: skip the decode loop entirely
+                i_end, st_end, lane_steps = jnp.int32(0), st0, zero
+            else:
+                i_end, st_end, buf_i, buf_v, lane_steps = \
+                    jax.lax.while_loop(
+                        emit_cond, emit_body,
+                        (jnp.int32(0), st0, buf_i, buf_v, zero))
         if single_pass:
             # the emission pass is the only decode: a lane that ran out
             # of step budget before consuming its segment means a
@@ -808,13 +1009,25 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                     [flat_v, jnp.zeros(pad, jnp.int32)])[:need]
                 out = out.reshape(n_img, nblk_img, 64)
             else:
-                loc_i = buf_i.T                      # (L, S) lane-local
-                loc_v = buf_v.T
                 dezig = jnp.asarray(np.argsort(zz))  # natural col -> zz pos
-                n_chunks = max(1, L // 2048)
-                CH = L // n_chunks
+                # map-chunk width: the one-hot operand hv is
+                # (CH, S, nblkmax) f32 TRANSIENT — bound it to ~1.5 GB
+                # so large-C configs (steps and nblkmax grow with
+                # CHUNK_BITS) don't OOM HBM. CH must divide the width;
+                # widths are power-of-two multiples (LANE_GRANULE lanes
+                # or the power-of-two-halved CAP), so halving from 2048
+                # always lands on a divisor.
+                ch_cap = max(1, (384 << 20) // max(steps * nblkmax, 1))
 
                 def densify_chunk(args):
+                    # NOTE (measured): an int8 variant (v split 4+8
+                    # bits, two s8xs8->s32 einsums) probed 19x faster
+                    # standalone but lowered to a 10x SLOWER in-graph
+                    # kernel (2798 ms vs 272 ms whole-decode) — XLA's
+                    # int8 dot path inside lax.map picks a catastrophic
+                    # layout. Keep f32 (exact: one emission per cell,
+                    # |v| < 2^11 within the default dot's ~16 mantissa
+                    # bits).
                     i_c, v_c = args                   # (CH, S)
                     hi = (i_c >> 6)[:, :, None]
                     lo = (i_c & 63)[:, :, None]
@@ -825,11 +1038,20 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                         "lsb,lsc->lbc", hv, ln,
                         preferred_element_type=jnp.float32)
 
-                loc3 = jax.lax.map(
-                    densify_chunk,
-                    (loc_i.reshape(n_chunks, CH, steps),
-                     loc_v.reshape(n_chunks, CH, steps)))
-                loc3 = loc3.reshape(L, nblkmax, 64).astype(jnp.int32)
+                def densify(bi, bv):   # (S, width) -> (width, nblkmax, 64)
+                    width = bi.shape[1]
+                    ch = 2048
+                    while ch > 1 and (ch > ch_cap or width % ch):
+                        ch //= 2
+                    nck = width // ch
+                    d3 = jax.lax.map(
+                        densify_chunk,
+                        (bi.T.reshape(nck, ch, steps),
+                         bv.T.reshape(nck, ch, steps)))
+                    return d3.reshape(width, nblkmax, 64).astype(
+                        jnp.int32)
+
+                loc3 = densify(buf_i, buf_v)
                 # global placement: block g's OWNER is the last lane
                 # whose block range starts at or before g (scatter lane
                 # block starts + cummax; pad lanes point past the range

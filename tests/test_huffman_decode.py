@@ -317,6 +317,35 @@ def test_device_kernel_exact_batch():
             native.jpeg_encode(noisy, 40)], chunk_bits=512)
 
 
+def test_device_kernel_emission_merge_full_branch():
+    """The emission-merged chunked path's FULL re-emission branch
+    (taken when the changed-entry set outgrows CAP) is unreachable at
+    CPU test sizes — force it with the 'fullemit' ablation and pin
+    exactness against both libjpeg and the default (compact) branch."""
+    import jax.numpy as jnp
+
+    from picha_tpu.ops.jpeg_huffman_decode_tpu import (build_decoder,
+                                                       split_planes)
+
+    rng = np.random.default_rng(11)
+    bufs = [native.jpeg_encode(
+        rng.integers(0, 256, (120, 200, 3), np.uint8), 85)]
+    infos = [jpeg_scan.parse_baseline(bytes(b)) for b in bufs]
+    sb = ScanBatch(infos, chunk_bits=512)
+    assert not sb.single_pass
+    args = [jnp.asarray(a) for a in sb.args()]
+    out_f, ok_f = build_decoder(*sb.static_key(), ablate="fullemit")(*args)
+    assert bool(np.asarray(ok_f))
+    out_c, ok_c = build_decoder(*sb.static_key())(*args)
+    assert bool(np.asarray(ok_c))
+    assert np.array_equal(np.asarray(out_f), np.asarray(out_c))
+    co = native.JpegCoefficients(bytes(bufs[0]))
+    planes = [np.asarray(p) for p in split_planes(out_f, sb.comp_sig)]
+    for ci in range(3):
+        assert np.array_equal(planes[ci][0],
+                              co.comps[ci]["coefs"].astype(np.int32))
+
+
 def test_device_kernel_grey_and_odd_dims():
     rng = np.random.default_rng(4)
     _exact([native.jpeg_encode(
