@@ -89,8 +89,15 @@ def enable(path: os.PathLike | str | None = None) -> bool:
     # explicit dir (argument or PICHA_COMPILE_CACHE_DIR, e.g. from
     # tests/conftest.py) opts back in, accepting the log noise for
     # faster re-runs.
-    plats = (os.environ.get("JAX_PLATFORMS")
-             or getattr(jax.config, "jax_platforms", None) or "")
+    # Prefer the CONFIG value over the env var: this environment's
+    # sitecustomize pins JAX_PLATFORMS=axon in the env for every
+    # process, and the only working way to force CPU here is
+    # jax.config.update("jax_platforms", "cpu") (CLAUDE.md) — so when
+    # the two disagree, the config reflects the platform actually in
+    # use. (Config reads "axon,cpu" in TPU processes, "cpu" after a
+    # forced update — verified.)
+    plats = (getattr(jax.config, "jax_platforms", None)
+             or os.environ.get("JAX_PLATFORMS") or "")
     if (path is None and plats.strip().lower() == "cpu"
             and not os.environ.get("PICHA_COMPILE_CACHE_DIR")):
         return False
