@@ -16,6 +16,15 @@ Call :func:`enable` before the first jit compile (safe to call any
 time; the cache dir config is consulted per-compile). The pipelines and
 ``bench.py`` call it on import. Opt out with PICHA_NO_COMPILE_CACHE=1,
 redirect with PICHA_COMPILE_CACHE_DIR.
+
+Ordering caveats (the gate reads the platform config at call time and
+latches): force the platform BEFORE importing anything that calls
+``enable`` — switching to CPU after an enabling import keeps the cache
+active; conversely a failed CPU force (config updated after a backend
+initialised, which this platform does not support) makes the gate skip
+the cache even though execution stays on the TPU. Both orderings are
+outside CLAUDE.md's documented recipe (config update first, then
+``_clear_backends``), which every in-repo caller follows.
 """
 from __future__ import annotations
 
@@ -110,13 +119,23 @@ def enable(path: os.PathLike | str | None = None) -> bool:
             # picha_tpu.pipeline); keep its thresholds too
             _enabled = True
             return True
+        explicit = (path is not None
+                    or bool(os.environ.get("PICHA_COMPILE_CACHE_DIR")))
         target = pathlib.Path(
             path or os.environ.get("PICHA_COMPILE_CACHE_DIR", _DEFAULT_DIR))
         target.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(target))
-        # default thresholds skip sub-second compiles; tiny graphs are
-        # exactly what the single-image ops dispatch, so cache them all
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # Threshold choice: an explicit dir (tests) caches EVERYTHING —
+        # fast re-runs trump log noise. The default (TPU-process) path
+        # keeps a small floor instead: every axon compile goes through
+        # the remote compile service (≥ seconds even for tiny graphs)
+        # so all TPU entries still cache, while the sub-second XLA:CPU
+        # compiles that mixed processes dispatch to jax.devices("cpu")
+        # (single-image ops) stay out of the cache — their AOT entries
+        # replay with spurious cpu_aot_loader ERROR lines even
+        # same-machine (jaxlib loader quirk).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.0 if explicit else 0.75)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     except Exception:  # noqa: BLE001 — cache is an optimisation only
         return False

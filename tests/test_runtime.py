@@ -37,14 +37,22 @@ def test_cpu_config_skips_cache_despite_axon_env(monkeypatch):
 
 def test_explicit_dir_opts_back_in(monkeypatch, tmp_path):
     _fresh(monkeypatch)
-    before = jax.config.jax_compilation_cache_dir
+    before = (jax.config.jax_compilation_cache_dir,
+              jax.config.jax_persistent_cache_min_compile_time_secs,
+              jax.config.jax_persistent_cache_min_entry_size_bytes)
     try:
         assert compile_cache.enable(tmp_path / "cc") is True
         assert jax.config.jax_compilation_cache_dir == str(tmp_path / "cc")
+        # explicit dirs cache everything (no compile-time floor)
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
         assert (tmp_path / "cc").is_dir()
     finally:
-        jax.config.update("jax_compilation_cache_dir", before)
-        monkeypatch.setattr(compile_cache, "_enabled", False)
+        jax.config.update("jax_compilation_cache_dir", before[0])
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", before[1])
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes", before[2])
+        compile_cache._enabled = False
 
 
 def test_no_cache_env_wins(monkeypatch, tmp_path):
