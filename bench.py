@@ -33,6 +33,82 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# ---- global wall-clock budget (VERDICT r4 #1) --------------------------
+# The driver runs `python bench.py` under a timeout; two rounds lost
+# their official number to it (r3: stdout line too long, r4: rc 124
+# before the final JSON printed). Every stage is now gated on a hard
+# deadline, and the compact JSON line is emitted by atexit/SIGTERM
+# handlers from whatever completed — a kill still yields a parseable
+# artifact.
+BENCH_T0 = time.monotonic()
+BENCH_DEADLINE_S = float(os.environ.get("PICHA_BENCH_DEADLINE_S", "1350"))
+EMIT_RESERVE_S = 25.0  # kept back for the final emit + detail write
+
+# emission state shared with the atexit/SIGTERM handlers; main() fills
+# these in place as stages complete
+_RESULT = {"detail": {}, "violations": [], "cpu_ips": None,
+           "e2e_ips": None, "emitted": False}
+
+
+def budget_left() -> float:
+    return BENCH_DEADLINE_S - (time.monotonic() - BENCH_T0)
+
+
+def emit_compact(reason: str = "") -> None:
+    """Print the ONE compact JSON line the driver parses, exactly once,
+    from whatever has been measured so far. Safe to call from atexit
+    and from a SIGTERM handler."""
+    if _RESULT["emitted"]:
+        return
+    _RESULT["emitted"] = True
+    detail = _RESULT["detail"]
+    violations = _RESULT["violations"]
+    e2e_ips = _RESULT["e2e_ips"] or 0.0
+    cpu_ips = _RESULT["cpu_ips"] or 0.0
+    mpix = BENCH_W * BENCH_H / 1e6
+    detail["strict_parity_mpix_s"] = round(e2e_ips * mpix, 1)
+    detail["bench_wall_s"] = round(time.monotonic() - BENCH_T0, 1)
+    if reason:
+        detail["emit_reason"] = reason
+    if violations:
+        detail["violations"] = violations
+        log(f"PARITY VIOLATIONS — poisoning result: {violations}")
+        e2e_ips = 0.0
+    full = {
+        "metric": "batched 1080p JPEG decode->resize(960x544 cubic)->encode "
+                  "q85, end-to-end per chip, strict <=1 LSB parity",
+        "value": round(e2e_ips * mpix, 1),
+        "unit": "Mpix/s",
+        "vs_baseline": round(e2e_ips / cpu_ips, 2) if cpu_ips else 0.0,
+        "detail": detail,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as e:
+        log(f"could not write BENCH_DETAIL.json: {e}")
+    # the driver tail-captures only the last ~2000 bytes of stdout, so
+    # the one JSON line it parses must be SMALL (BENCH_r03 was truncated
+    # to parsed=null by a ~3 KB line). Full detail goes to disk instead.
+    compact = {
+        "metric": "jpeg e2e decode->resize->encode, strict <=1 LSB",
+        "value": full["value"],
+        "unit": "Mpix/s",
+        "vs_baseline": full["vs_baseline"],
+        "p50_ms_1080p": detail.get("p50_ms_1080p"),
+        "device_only_mpix_s": detail.get("device_only_mpix_s"),
+        "device_only_norestart_mpix_s":
+            detail.get("device_only_norestart_mpix_s"),
+        "png_e2e_mpix_s": detail.get("png_e2e_mpix_s"),
+        "webp_e2e_mpix_s": detail.get("webp_e2e_mpix_s"),
+        "tiff_e2e_mpix_s": detail.get("tiff_e2e_mpix_s"),
+        "violations": len(violations),
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact), flush=True)
+
+
 def make_test_images(n: int, w: int, h: int, seed: int = 42) -> list:
     from picha_tpu.native import lib as native
 
@@ -455,6 +531,13 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
 
     if os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") != "0":
         for config in ("gap4+device", "scan+device"):
+            # each probe's watchdog is a slice of the remaining global
+            # budget (VERDICT r4 #1): never let one cold remote compile
+            # eat the format rows' share
+            probe_t = min(600.0, (budget_left() - 240) * 0.4)
+            if probe_t < 90:
+                log(f"{config} probe SKIPPED: {budget_left():.0f}s left")
+                continue
             code = (
                 "import json, sys\n"
                 "sys.path.insert(0, %r)\n"
@@ -468,7 +551,7 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
             try:
                 proc = subprocess.run(
                     [sys.executable, "-c", code], env=dict(os.environ),
-                    capture_output=True, text=True, timeout=900)
+                    capture_output=True, text=True, timeout=probe_t)
                 for line in proc.stdout.splitlines():
                     if line.startswith("RESULT "):
                         probes[config] = round(
@@ -483,6 +566,21 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     # (device chains run the fused composed operator + byte-exact
     # entropy coding — held ≤1 LSB by bench_tpu_parity and tests)
     strict = {c: v for c, v in probes.items() if diffs.get(c, 0.0) <= 1.0}
+    # hostile admission gate (VERDICT r4 #6), for EVERY candidate, not
+    # just host-fast: a config whose hostile-content parity exceeds the
+    # sub-LSB-dust re-encode floor is doing something worse than
+    # quantisation amplification and cannot carry the headline, however
+    # fast its probe. Enforced by exclusion so a future draft-path
+    # change that drifts past the floor demotes the config instead of
+    # silently publishing it.
+    hostile_excluded = []
+    if hostile_floor is not None:
+        for hc, par in sorted(hostile_parity.items()):
+            if hc in strict and par > hostile_floor:
+                log(f"{hc} EXCLUDED from the strict pool: hostile "
+                    f"parity {par} LSB > re-encode floor {hostile_floor}")
+                strict.pop(hc)
+                hostile_excluded.append(hc)
     if not strict:
         violations.append("no strict-parity config available")
         return 0.0, {"config_probes_img_s": probes}, violations
@@ -502,7 +600,15 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     # 6 rounds hit 123.8 img/s while the 20-round final published
     # 108.8), so the steal-free estimate needs windows shorter than the
     # typical inter-burst gap.
-    if "+" in winner:
+    # Budget-tight path (VERDICT r4 #1): the probes above already raced
+    # every config under the same steal controls — reuse the winner's
+    # probe instead of re-racing when the clock is short.
+    if budget_left() < 180 + EMIT_RESERVE_S:
+        log(f"final race SKIPPED ({budget_left():.0f}s left) — "
+            f"publishing {winner}'s probe result")
+        ips, d = strict[winner], {"e2e_config": winner,
+                                  "e2e_from_probe": True}
+    elif "+" in winner:
         ips, d = bench_e2e(bufs, batch, out_w, out_h, rounds=20,
                            config=winner, windows=3)
     else:
@@ -516,7 +622,7 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
     # measured 126.5 — corroboration alone can't catch consistent
     # contention). One bounded retry; if the slowness persists it is
     # real and publishes.
-    if ips < 0.8 * strict[winner]:
+    if ips < 0.8 * strict[winner] and budget_left() > 120 + EMIT_RESERVE_S:
         log(f"final race {ips:.1f} img/s fell >20% below this config's "
             f"own probe {strict[winner]:.1f} — external load suspected, "
             f"re-running once")
@@ -534,6 +640,7 @@ def bench_e2e_best(bufs, batch, out_w, out_h):
         d["hostile_parity_lsb"] = hostile_parity
     if hostile_floor is not None:
         d["hostile_reencode_floor_lsb"] = hostile_floor
+        d["hostile_gate_excluded"] = hostile_excluded
     if fast_trips:
         d["fast_guard_trips"] = fast_trips
     if guard_fallbacks:
@@ -1185,12 +1292,23 @@ def device_stages_main():
                                        "violations": violations}),
               flush=True)
 
-    stage = run_stage
+    # this subprocess gets its own deadline slice from main() so it can
+    # skip late stages gracefully instead of being watchdog-killed
+    dev_t0 = time.monotonic()
+    dev_deadline = float(os.environ.get("PICHA_BENCH_DEV_DEADLINE_S", "1e9"))
+
+    def stage(name, fn, *a, est_s=30):
+        left = dev_deadline - (time.monotonic() - dev_t0)
+        if left < est_s:
+            log(f"{name} SKIPPED (device budget: {left:.0f}s < ~{est_s}s)")
+            detail.setdefault("skipped_device", []).append(name)
+            return None
+        return run_stage(name, fn, *a)
 
     # warm the device->host path once (first readback on this tunnel can
     # take minutes; everything after is fast)
     stage("link warmup", lambda: np.asarray(
-        jax.device_put(np.zeros(1024 * 1024, np.uint8))))
+        jax.device_put(np.zeros(1024 * 1024, np.uint8))), est_s=0)
 
     link = stage("link", measure_link)
     if link:
@@ -1199,29 +1317,8 @@ def device_stages_main():
         log(f"link bandwidth: up {link[0]:.0f} MB/s, down {link[1]:.1f} MB/s")
     snapshot()
 
-    def tpu_stage(fused):
-        p = JpegBatchPipeline(width=out_w, height=out_h)
-        cos = p.entropy_decode(bufs[:batch])
-        sig, args = p.stack_bucket(cos)
-        dargs = [jax.device_put(a) for a in args]
-        return bench_tpu_stage(p, sig, dargs, batch, mpix, fused=fused)
-
-    tpu_ips = stage("tpu pixel stage (fused)", tpu_stage, True)
-    if tpu_ips:
-        detail["tpu_fused_stage_mpix_s"] = round(tpu_ips * mpix, 1)
-        log(f"TPU fused stage (dequant+IDCT+upsample+resize as 2 matmuls/comp "
-            f"+ YCbCr + pack): {tpu_ips:.1f} img/s ({tpu_ips * mpix:.0f} Mpix/s)")
-    snapshot()
-
-    staged_ips = stage("tpu pixel stage (staged)", tpu_stage, False)
-    if staged_ips:
-        detail["tpu_staged_stage_mpix_s"] = round(staged_ips * mpix, 1)
-        log(f"TPU staged stage: {staged_ips:.1f} img/s "
-            f"({staged_ips * mpix:.0f} Mpix/s)")
-    snapshot()
-
     roof = stage("device-only roofline", bench_device_roofline, bufs,
-                 batch, out_w, out_h, mpix)
+                 batch, out_w, out_h, mpix, est_s=60)
     if roof:
         roof_mpix, roof_parity, roof_single = roof
         detail["device_only_mpix_s"] = round(roof_mpix, 1)
@@ -1281,9 +1378,44 @@ def device_stages_main():
                 f"TPU fused decode parity {parity:.3f} LSB > 1.0")
     snapshot()
 
+    def tpu_stage(fused):
+        p = JpegBatchPipeline(width=out_w, height=out_h)
+        cos = p.entropy_decode(bufs[:batch])
+        sig, args = p.stack_bucket(cos)
+        dargs = [jax.device_put(a) for a in args]
+        return bench_tpu_stage(p, sig, dargs, batch, mpix, fused=fused)
+
+    tpu_ips = stage("tpu pixel stage (fused)", tpu_stage, True)
+    if tpu_ips:
+        detail["tpu_fused_stage_mpix_s"] = round(tpu_ips * mpix, 1)
+        log(f"TPU fused stage (dequant+IDCT+upsample+resize as 2 matmuls/comp "
+            f"+ YCbCr + pack): {tpu_ips:.1f} img/s ({tpu_ips * mpix:.0f} Mpix/s)")
+    snapshot()
+
+    staged_ips = stage("tpu pixel stage (staged)", tpu_stage, False)
+    if staged_ips:
+        detail["tpu_staged_stage_mpix_s"] = round(staged_ips * mpix, 1)
+        log(f"TPU staged stage: {staged_ips:.1f} img/s "
+            f"({staged_ips * mpix:.0f} Mpix/s)")
+    snapshot()
+
+
+def stage_budgeted(detail, name, est_s, fn, *a):
+    """run_stage gated on the global deadline: a stage whose estimated
+    cost doesn't fit in the remaining budget is skipped and recorded
+    (VERDICT r4 #1 — skip what doesn't fit, never blow the deadline)."""
+    left = budget_left()
+    if left < est_s + EMIT_RESERVE_S:
+        log(f"{name} SKIPPED: {left:.0f}s left < ~{est_s}s estimated")
+        detail.setdefault("skipped", []).append(name)
+        return None
+    return run_stage(name, fn, *a)
+
 
 def main():
+    import atexit
     import os
+    import signal
     import subprocess
     import sys
 
@@ -1291,28 +1423,37 @@ def main():
     mpix = W * H / 1e6
     batch = BENCH_BATCH
     bufs = make_test_images(batch, W, H)
-    log(f"generated {len(bufs)} jpegs, ~{len(bufs[0])//1024} KiB each")
+    log(f"generated {len(bufs)} jpegs, ~{len(bufs[0])//1024} KiB each; "
+        f"deadline {BENCH_DEADLINE_S:.0f}s")
 
     out_w, out_h = BENCH_OUT_W, BENCH_OUT_H
-    detail = {"host_cores": os.cpu_count() or 1}
-    violations = []
-    stage = run_stage
+    detail = _RESULT["detail"]
+    violations = _RESULT["violations"]
+    detail["host_cores"] = os.cpu_count() or 1
 
-    # device-touching stages in a watchdogged subprocess: a hung tunnel
-    # costs us the remaining device rows, not the whole bench artifact
-    # (the subprocess snapshots DEVJSON after every stage; the last
-    # snapshot carries everything measured before any hang)
-    device_ok = False
+    # even a driver kill must yield the one parseable line: atexit for
+    # normal/exception exits, SIGTERM for the `timeout` utility's kill
+    atexit.register(emit_compact)
+
+    def _on_term(signum, frame):  # noqa: ARG001
+        emit_compact(reason=f"signal {signum}")
+        os._exit(1)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    def stage(name, est_s, fn, *a):
+        return stage_budgeted(detail, name, est_s, fn, *a)
+
+    # ---- 0. device liveness (cheap; a hard-down tunnel hangs instead
+    # of erroring, so probe in a subprocess with a bounded wait) -------
     try_device = os.environ.get("PICHA_BENCH_TRY_DEVICE", "1") != "0"
     if try_device:
-        # cheap liveness probe first: when the tunnel is hard-down,
-        # backend init hangs (not errors) — without this the device
-        # subprocess would burn its whole 40-minute watchdog before the
-        # host rows even start
         try:
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                env=dict(os.environ), timeout=240, check=True,
+                env=dict(os.environ),
+                timeout=min(240, max(60, budget_left() * 0.15)),
+                check=True,
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         except Exception as e:  # noqa: BLE001 — timeout or rc != 0
             log(f"device liveness probe failed ({type(e).__name__}) — "
@@ -1321,6 +1462,7 @@ def main():
             # keep the host paths off jax entirely: their cpu-device
             # helpers would initialize the backend stack and hang
             os.environ["PICHA_NO_DEVICE"] = "1"
+            os.environ["PICHA_BENCH_TRY_DEVICE"] = "0"
             detail["device_unavailable"] = True
             # and pin every jit stage (png/webp/tiff/cmyk pipelines) to
             # XLA:CPU — no backend has initialized in this process yet,
@@ -1329,79 +1471,98 @@ def main():
             import jax
 
             jax.config.update("jax_platforms", "cpu")
-    if try_device:
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--device-stages"],
-                env=dict(os.environ), timeout=2400, text=True,
-                stdout=subprocess.PIPE, stderr=sys.stderr)
-        except subprocess.TimeoutExpired as te:
-            log("device stages TIMED OUT (tunnel hung) — keeping rows "
-                "snapshotted before the hang")
-            proc = te  # .stdout holds output captured before the kill
-        except Exception as e:  # noqa: BLE001
-            log(f"device stages failed: {type(e).__name__}: {e}")
-            proc = None
-        out_text = getattr(proc, "stdout", None) or ""
-        if isinstance(out_text, bytes):
-            out_text = out_text.decode(errors="replace")
-        for line in out_text.splitlines():
-            if line.startswith("DEVJSON "):
-                try:  # a timeout kill can truncate the last snapshot
-                    dev = json.loads(line[len("DEVJSON "):])
-                except ValueError:
-                    continue
-                detail.update(dev["detail"])
-                violations.extend(dev["violations"])
-                # tunnel proved alive if ANY device row landed —
-                # one stage's transient ABORTED must not disable the
-                # device e2e probes
-                device_ok = True
-    if not device_ok:
-        # don't spend 2x900s probing device e2e configs over a tunnel
-        # that produced nothing at all
-        os.environ["PICHA_BENCH_TRY_DEVICE"] = "0"
 
-    entropy_ips = stage("entropy", bench_entropy, bufs, batch)
+    # ---- 1. the strict-parity e2e headline (the driver metric) ------
+    # runs FIRST: whatever else the deadline eats, the value lands
+    e2e_ips = None
+    e2e = stage("e2e", 90, bench_e2e_best, bufs, batch, out_w, out_h)
+    if e2e:
+        e2e_ips, ebytes, e2e_violations = e2e
+        violations.extend(e2e_violations)
+        detail.update(ebytes)
+        _RESULT["e2e_ips"] = e2e_ips
+        log(f"e2e decode->resize->encode (pipelined): {e2e_ips:.1f} img/s "
+            f"({e2e_ips * mpix:.0f} Mpix/s)")
+
+    # ---- 2. the vs_baseline denominator (cheap, PIL-only) -----------
+    cpu_ips = stage("cpu standin", 30, bench_cpu_standin, bufs, out_w, out_h)
+    if cpu_ips:
+        detail["cpu_standin_mpix_s"] = round(cpu_ips * mpix, 1)
+        _RESULT["cpu_ips"] = cpu_ips
+        log(f"CPU stand-in (PIL single-thread): {cpu_ips:.1f} img/s "
+            f"({cpu_ips * mpix:.0f} Mpix/s)")
+
+    # ---- 3. device rooflines + train ingest, watchdogged subprocess -
+    # a hung tunnel costs the remaining device rows, not the artifact
+    # (the subprocess snapshots DEVJSON after every stage; main keeps
+    # the last snapshot). Its watchdog is a SLICE of the global budget:
+    # at least ~360s is held back for the host-side format rows.
+    if try_device:
+        dev_budget = budget_left() - 360 - EMIT_RESERVE_S
+        if dev_budget < 120:
+            log(f"device stages SKIPPED: only {budget_left():.0f}s left")
+            detail.setdefault("skipped", []).append("device stages")
+        else:
+            env = dict(os.environ)
+            env["PICHA_BENCH_DEV_DEADLINE_S"] = str(int(dev_budget))
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--device-stages"],
+                    env=env, timeout=dev_budget + 60, text=True,
+                    stdout=subprocess.PIPE, stderr=sys.stderr)
+            except subprocess.TimeoutExpired as te:
+                log("device stages TIMED OUT (tunnel hung) — keeping rows "
+                    "snapshotted before the hang")
+                proc = te  # .stdout holds output captured before the kill
+            except Exception as e:  # noqa: BLE001
+                log(f"device stages failed: {type(e).__name__}: {e}")
+                proc = None
+            out_text = getattr(proc, "stdout", None) or ""
+            if isinstance(out_text, bytes):
+                out_text = out_text.decode(errors="replace")
+            for line in out_text.splitlines():
+                if line.startswith("DEVJSON "):
+                    try:  # a timeout kill can truncate the last snapshot
+                        dev = json.loads(line[len("DEVJSON "):])
+                    except ValueError:
+                        continue
+                    detail.update(dev["detail"])
+                    violations.extend(dev["violations"])
+
+    # ---- 4. host-side stage decompositions ---------------------------
+    host_ips = stage("host stage", 40, bench_host_stage, bufs, batch,
+                     out_w, out_h)
+    if host_ips:
+        detail["host_stage_mpix_s"] = round(host_ips * mpix, 1)
+        log(f"host stage (entropy + gap8 pack + raw420 encode): "
+            f"{host_ips:.1f} img/s ({host_ips * mpix:.0f} Mpix/s)")
+        link = (detail.get("link_up_MBps"), detail.get("link_down_MBps"))
+        if all(link) and e2e_ips and detail.get("up_MB_per_batch"):
+            up_ips = link[0] * batch / detail["up_MB_per_batch"]
+            down_ips = link[1] * batch / detail["down_MB_per_batch"]
+            roof = min(up_ips, down_ips, host_ips)
+            detail["roofline_mpix_s"] = round(roof * mpix, 1)
+            detail["achieved_vs_roofline"] = round(e2e_ips / roof, 2)
+            log(f"roofline: up {up_ips:.1f} img/s, down {down_ips:.1f} "
+                f"img/s, host {host_ips:.1f} img/s -> min {roof:.1f} img/s; "
+                f"achieved {e2e_ips / roof:.0%}")
+
+    entropy_ips = stage("entropy", 30, bench_entropy, bufs, batch)
     if entropy_ips:
         detail["host_entropy_mpix_s"] = round(entropy_ips * mpix, 1)
         log(f"host entropy decode: {entropy_ips:.1f} img/s "
             f"({entropy_ips * mpix:.0f} Mpix/s)")
 
-    nat_ips = stage("entropy-native", bench_entropy_native, bufs)
+    nat_ips = stage("entropy-native", 25, bench_entropy_native, bufs)
     if nat_ips:
         detail["host_entropy_native_1t_mpix_s"] = round(nat_ips * mpix, 1)
         log(f"native segment decoder (1 thread, restart corpus): "
             f"{nat_ips:.1f} img/s ({nat_ips * mpix:.0f} Mpix/s); "
             f"scales ~linearly with threads x segments on wide hosts")
 
-    host_ips = stage("host stage", bench_host_stage, bufs, batch, out_w, out_h)
-    if host_ips:
-        detail["host_stage_mpix_s"] = round(host_ips * mpix, 1)
-        log(f"host stage (entropy + gap8 pack + raw420 encode): "
-            f"{host_ips:.1f} img/s ({host_ips * mpix:.0f} Mpix/s)")
-
-    e2e_ips = None
-    e2e = stage("e2e", bench_e2e_best, bufs, batch, out_w, out_h)
-    if e2e:
-        e2e_ips, ebytes, e2e_violations = e2e
-        violations.extend(e2e_violations)
-        detail.update(ebytes)
-        log(f"e2e decode->resize->encode (pipelined): {e2e_ips:.1f} img/s "
-            f"({e2e_ips * mpix:.0f} Mpix/s)")
-        link = (detail.get("link_up_MBps"), detail.get("link_down_MBps"))
-        if all(link) and host_ips and ebytes.get("up_MB_per_batch"):
-            up_ips = link[0] * batch / ebytes["up_MB_per_batch"]
-            down_ips = link[1] * batch / ebytes["down_MB_per_batch"]
-            roof = min(up_ips, down_ips, host_ips)
-            detail["roofline_mpix_s"] = round(roof * mpix, 1)
-            detail["achieved_vs_roofline"] = round(e2e_ips / roof, 2)
-            log(f"roofline: up {up_ips:.1f} img/s, down {down_ips:.1f} img/s, "
-                f"host {host_ips:.1f} img/s -> min {roof:.1f} img/s; "
-                f"achieved {e2e_ips / roof:.0%}")
-
-    png = stage("png e2e", bench_png_e2e, bufs, out_w, out_h)
+    # ---- 5. format rows (configs 1-4) --------------------------------
+    png = stage("png e2e", 75, bench_png_e2e, bufs, out_w, out_h)
     if png:
         png_ips, png_detail = png
         detail["png_e2e_mpix_s"] = round(png_ips * mpix, 1)
@@ -1412,16 +1573,7 @@ def main():
             f"configs {png_detail['png_configs_img_s']}, "
             f"stages {png_detail['png_stage_ms']}]")
 
-    c23 = stage("config2/3 cmyk+deep16", bench_config23, out_w, out_h)
-    if c23:
-        detail.update(c23)
-        log(f"config 2 (CMYK decode->rgb->lanczos->q85): "
-            f"{c23.get('cmyk_e2e_mpix_s')} Mpix/s "
-            f"(PIL {c23.get('cmyk_pil_standin_mpix_s')}); "
-            f"config 3 (deep16 PNG->catmulrom->grey16): "
-            f"{c23.get('deep16_mpix_s')} Mpix/s")
-
-    c4 = stage("config4 webp/tiff", bench_config4)
+    c4 = stage("config4 webp/tiff", 110, bench_config4)
     if c4:
         detail.update(c4)
         log(f"config 4 (256-img batched decode->crop->resize->encode): "
@@ -1430,7 +1582,17 @@ def main():
             f"tiff {c4.get('tiff_e2e_mpix_s')} Mpix/s "
             f"(PIL {c4.get('tiff_pil_standin_mpix_s')})")
 
-    p50 = stage("latency", bench_single_latency, bufs[0], out_w, out_h)
+    c23 = stage("config2/3 cmyk+deep16", 60, bench_config23, out_w, out_h)
+    if c23:
+        detail.update(c23)
+        log(f"config 2 (CMYK decode->rgb->lanczos->q85): "
+            f"{c23.get('cmyk_e2e_mpix_s')} Mpix/s "
+            f"(PIL {c23.get('cmyk_pil_standin_mpix_s')}); "
+            f"config 3 (deep16 PNG->catmulrom->grey16): "
+            f"{c23.get('deep16_mpix_s')} Mpix/s")
+
+    # ---- 6. stand-in latency row --------------------------------------
+    p50 = stage("latency", 20, bench_single_latency, bufs[0], out_w, out_h)
     if p50:
         detail["p50_ms_1080p"] = round(p50[0], 1)
         log(f"p50 single-image 1080p decode->resize->encode: {p50[0]:.1f} ms")
@@ -1438,54 +1600,7 @@ def main():
             detail["p50_transcode_ms_1080p"] = round(p50[1], 1)
             log(f"one-call transcodeJpegSync p50: {p50[1]:.1f} ms")
 
-    cpu_ips = stage("cpu standin", bench_cpu_standin, bufs, out_w, out_h)
-    if cpu_ips:
-        detail["cpu_standin_mpix_s"] = round(cpu_ips * mpix, 1)
-        log(f"CPU stand-in (PIL single-thread): {cpu_ips:.1f} img/s "
-            f"({cpu_ips * mpix:.0f} Mpix/s)")
-
-    e2e_ips = e2e_ips or 0.0
-    detail["strict_parity_mpix_s"] = round(e2e_ips * mpix, 1)
-    if violations:
-        # a green bench over a broken decoder would be worse than a red
-        # one: poison the artifact and exit nonzero so the driver
-        # records the failure (VERDICT r2 directive 3)
-        detail["violations"] = violations
-        log(f"PARITY VIOLATIONS — poisoning result: {violations}")
-        e2e_ips = 0.0
-    # The driver tail-captures only the last ~2000 bytes of stdout, so the
-    # one JSON line it parses must be SMALL (BENCH_r03 was truncated to
-    # parsed=null by a ~3 KB line). Full detail goes to disk instead.
-    full = {
-        "metric": "batched 1080p JPEG decode->resize(960x544 cubic)->encode "
-                  "q85, end-to-end per chip, strict <=1 LSB parity",
-        "value": round(e2e_ips * mpix, 1),
-        "unit": "Mpix/s",
-        "vs_baseline": round(e2e_ips / cpu_ips, 2) if cpu_ips else 0.0,
-        "detail": detail,
-    }
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as f:
-            json.dump(full, f, indent=1)
-    except OSError as e:
-        log(f"could not write BENCH_DETAIL.json: {e}")
-    compact = {
-        "metric": "jpeg e2e decode->resize->encode, strict <=1 LSB",
-        "value": full["value"],
-        "unit": "Mpix/s",
-        "vs_baseline": full["vs_baseline"],
-        "p50_ms_1080p": detail.get("p50_ms_1080p"),
-        "device_only_mpix_s": detail.get("device_only_mpix_s"),
-        "device_only_norestart_mpix_s":
-            detail.get("device_only_norestart_mpix_s"),
-        "png_e2e_mpix_s": detail.get("png_e2e_mpix_s"),
-        "webp_e2e_mpix_s": detail.get("webp_e2e_mpix_s"),
-        "tiff_e2e_mpix_s": detail.get("tiff_e2e_mpix_s"),
-        "violations": len(violations),
-        "detail_file": "BENCH_DETAIL.json",
-    }
-    print(json.dumps(compact), flush=True)
+    emit_compact()
     if violations:
         sys.exit(1)
 
