@@ -901,7 +901,8 @@ def gap4_pack(coefs: np.ndarray):
 
 
 def gap4_pack_batch(planes, k1_granule: int = 8192, k2_granule: int = 4096,
-                    kc_granule: int = 1024, k_floor=None):
+                    kc_granule: int = 1024, k_floor=None,
+                    headroom: float = 1.0):
     """Pack a batch of same-shape int16 coefficient planes straight
     into the padded gap4 wire rows (sparsepack.cc batch entry points):
     a count pass sizes the rows, the pack pass writes each image's
@@ -931,19 +932,26 @@ def gap4_pack_batch(planes, k1_granule: int = 8192, k2_granule: int = 4096,
 
     from ..bucketing import bucket_geometric as bucket
 
-    k1 = bucket(np1.max(), k1_granule)
-    k2 = bucket(np2.max(), k2_granule)
-    kc = bucket(max(1, int(np3.sum())), kc_granule)
-    if k_floor is not None:
-        # caller-provided high-water sizes (e.g. TrainingInput's
-        # per-signature monotone ks): content-dependent sizes feed jit
-        # static keys, and draws that land in a SMALLER bucket would
-        # otherwise mint a fresh graph — minutes each through this
-        # environment's remote compile service. Padding rows are no-op
-        # encoded, so a larger k only costs wire bytes.
-        k1 = max(k1, k_floor[0])
-        k2 = max(k2, k_floor[1])
-        kc = max(kc, k_floor[2])
+    # Content-dependent sizes feed jit static keys, and every fresh
+    # size bucket mints a new graph — minutes each through this
+    # environment's remote compile service. Two defenses (padding rows
+    # are no-op encoded, so a larger k only costs wire bytes):
+    #   * k_floor: caller's high-water sizes (TrainingInput's monotone
+    #     per-signature ks) absorb draws at or below the floor;
+    #   * headroom > 1: applied only when MINTING (no floor, or this
+    #     batch exceeded it) so the new bucket covers later, slightly
+    #     larger draws instead of chasing each one. Applying it to
+    #     every batch would make the floor a moving target.
+    def size(raw, granule, floor):
+        k = bucket(max(1, int(raw)), granule)
+        if floor is not None and k <= floor:
+            return floor
+        return bucket(max(1, int(raw * headroom)), granule)
+
+    fl = (None, None, None) if k_floor is None else k_floor
+    k1 = size(np1.max(), k1_granule, fl[0])
+    k2 = size(np2.max(), k2_granule, fl[1])
+    kc = size(np3.sum(), kc_granule, fl[2])
     prim = np.empty((nb, k1), np.uint8)
     sgaps = np.empty((nb, k2), np.uint8)
     svals = np.empty((nb, k2), np.int8)

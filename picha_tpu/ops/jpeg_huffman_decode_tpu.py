@@ -54,7 +54,8 @@ CHUNK_BITS = 4096            # C: per-lane chunk size. Jacobi passes to
 #   C=1024/2048/4096/8192 on 1080p q85 — docs/PERFORMANCE.md round 4),
 #   while per-pass wall cost is ~total-bits-bound; the real-chip sweep
 #   (tools/time_chunked.py) measured 16x1080p chunked decode at
-#   C=1024/2048/4096 -> ~3xx/320.8/282.1 ms. 4096 is the knee: beyond
+#   C=2048/4096 -> 320.8/282.1 ms (C=1024 was not re-timed on chip —
+#   its 12-pass fixpoint predicts ~>360 ms). 4096 is the knee: beyond
 #   it the densify one-hot (nblkmax grows with C) eats the pass savings.
 LANE_GRANULE = 2048          # lane-count bucket (bounds recompiles)
 WORD_GRANULE = 16384         # words-section floor granule (64 KiB)
@@ -959,8 +960,14 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                 nbi = jnp.dot(cbi.astype(jnp.float32), oh,
                               preferred_element_type=jnp.float32,
                               precision=jax.lax.Precision.HIGHEST)
+                # values are < 2^11: HIGH (bf16_3x, hi+lo covers 16
+                # mantissa bits against a 0/1 one-hot) is exact for
+                # them. Pinned explicitly — a backend whose DEFAULT dot
+                # is single-pass bf16 (~8 mantissa bits) would silently
+                # corrupt coefficients > 255 (advisor r4).
                 nbv = jnp.dot(cbv.astype(jnp.float32), oh,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGH)
                 nm = need[None, :]
                 return (jnp.where(nm, nbi.astype(jnp.int32), buf_i),
                         jnp.where(nm, nbv.astype(jnp.int32), buf_v))
@@ -1034,9 +1041,13 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                     hv = (v_c.astype(jnp.float32)[:, :, None]
                           * (hi == jnp.arange(nblkmax)[None, None, :]))
                     ln = (lo == dezig[None, None, :]).astype(jnp.float32)
+                    # |v| < 2^11 against a 0/1 one-hot: HIGH (bf16_3x)
+                    # is exact — pinned so a single-pass-bf16 DEFAULT
+                    # backend can't corrupt values > 255 (advisor r4)
                     return jnp.einsum(
                         "lsb,lsc->lbc", hv, ln,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGH)
 
                 def densify(bi, bv):   # (S, width) -> (width, nblkmax, 64)
                     width = bi.shape[1]

@@ -239,6 +239,15 @@ class ImageBatchPipeline:
         def chain(buf):
             img = decode(buf)
             self._check_crop(img.height, img.width)
+            if np.dtype(img.format.dtype) not in (np.uint8, np.uint16):
+                # the stacked path gates host-native on u8/u16
+                # (_host_eligible); dtype is unknown pre-decode here, so
+                # apply the same gate post-decode and take the stacked
+                # transform for exotic dtypes — keeps stream == stacked
+                # byte-identical for every input (advisor r4)
+                out = np.asarray(self.transform(img.to_array()[None]))[0]
+                return codec_e.encode_sync(Image.from_array(out, img.pixel),
+                                           enc_opts or {})
             if self.crop is not None:
                 cx, cy, cw, ch = self.crop
                 img = img.sub_view(cx, cy, cw, ch)

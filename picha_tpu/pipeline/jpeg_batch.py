@@ -180,7 +180,7 @@ def unpack_gap4_wire(buf, gap4_ks, comp_sig):
     return coefs, qtabs
 
 
-def stack_gap4_wire(cos, ks_floor=None):
+def stack_gap4_wire(cos, ks_floor=None, headroom: float = 1.0):
     """Host side: same-signature coefficient sets -> (gap4_ks, wire
     uint8 buffer) via the single-scan native batch packer.
 
@@ -188,7 +188,11 @@ def stack_gap4_wire(cos, ks_floor=None):
     size floor — callers whose batch content varies per step (e.g.
     TrainingInput's random ROI regions) keep a monotone high-water ks
     per signature so the jit static key converges instead of flipping
-    between buckets (each flip is a fresh remote compile)."""
+    between buckets (each flip is a fresh remote compile).
+
+    headroom: over-size factor on this batch's measured pack sizes
+    (see native.gap4_pack_batch) so the FIRST minted graph already
+    covers later, slightly-larger draws."""
     sig = signature(cos[0])
     n = len(cos[0].comps)
     nb = len(cos)
@@ -196,7 +200,8 @@ def stack_gap4_wire(cos, ks_floor=None):
     for i in range(n):
         k1, k2, kc, prim, sgaps, svals, ci, cv = native.gap4_pack_batch(
             [co.comps[i]["coefs"] for co in cos],
-            k_floor=None if ks_floor is None else ks_floor[1][i])
+            k_floor=None if ks_floor is None else ks_floor[1][i],
+            headroom=headroom)
         sections += [prim.reshape(-1), sgaps.reshape(-1),
                      svals.view(np.uint8).reshape(-1),
                      ci.view(np.uint8).reshape(-1),
@@ -495,6 +500,13 @@ class JpegBatchPipeline:
         self._fused = fused
         self._scan_byte_cap = scan_byte_cap
         self._overflow_clone = None  # lazy raw420 fallback pipeline
+        # doubled once on the first on-chip encode overflow (dense
+        # content): one retry through a larger-budget graph keeps the
+        # batch on the device path instead of cliff-dropping to the
+        # host fallback (advisor r4). Applies only to the
+        # quality-derived default cap, never to an explicit
+        # scan_byte_cap.
+        self._cap_boost = 1
         # draft-mode host decode: when the resize target is EXACTLY the
         # source/2 (or /4, /8), decode at 1/N via the reduced IDCT and
         # skip the resize — a different resampling than the cubic path
@@ -731,6 +743,7 @@ class JpegBatchPipeline:
         q = self._encode_quality
         px = ew * eh
         frac = 4 if q is None or q <= 88 else (6 if q <= 95 else 10)
+        frac *= self._cap_boost
         return max(1 << 16, -(-(px * frac // 16) // 4096) * 4096)
 
     def _stage_device(self, cos):
@@ -763,9 +776,24 @@ class JpegBatchPipeline:
         sigs = {signature(co) for co in cos}
         if len(sigs) != 1:
             return self._call_mixed(cos)
+        return self._run_with_retry(cos)
+
+    def _run_with_retry(self, cos):
+        """Run one homogeneous batch; on a device-encode overflow of the
+        quality-DERIVED cap, double the budget and retry once (a fresh,
+        larger graph — dense content stays on the device path instead
+        of cliff-dropping to host, advisor r4) before taking the raw420
+        fallback. An explicit scan_byte_cap is the caller's contract
+        and is never boosted."""
         try:
             return self._finish(*self._process(cos))
         except OverflowError:
+            if self._scan_byte_cap is None and self._cap_boost == 1:
+                self._cap_boost = 2
+                try:
+                    return self._finish(*self._process(cos))
+                except OverflowError:
+                    pass
             # device scan encode hit its compaction/byte budget (dense
             # content) — redo this batch with the raw420 backend: same
             # device decode+resize, host entropy encode, no budget
@@ -895,10 +923,7 @@ class JpegBatchPipeline:
         results = [None] * len(cos)
         for sig, idxs, group in bucket_by_signature(cos):
             padded, n = pad_group(group)
-            try:
-                out = self._finish(*self._process(padded))
-            except OverflowError:
-                out = self._overflow_fallback(padded)
+            out = self._run_with_retry(padded)
             if isinstance(out, list):
                 for j, i in enumerate(idxs):
                     results[i] = out[j]

@@ -316,7 +316,14 @@ class TrainingInput:
         from .jpeg_batch import signature, stack_gap4_wire
 
         sig0 = (signature(cos[0]), len(cos))
-        sig, ks, wire = stack_gap4_wire(cos, self._ks_high.get(sig0))
+        # 1.5x headroom on the pack sizes: random ROI draws vary per
+        # batch, and a draw that packed slightly larger than the
+        # high-water would re-mint the graph (a multi-minute remote
+        # compile landing mid-training — the r4 train_crop_ingest
+        # regression). The wire-byte cost is trivial here (regions are
+        # ~crop^2, not full frames).
+        sig, ks, wire = stack_gap4_wire(cos, self._ks_high.get(sig0),
+                                        headroom=1.5)
         self._ks_high[sig0] = ks
         fn = _jit_crop_resize_normalize(sig, self.crop, self.size,
                                         self.filter, self.fscale,

@@ -628,10 +628,20 @@ def test_native_segment_parallel_decoder_thread_scaling():
         return min(ts)
 
     best(1)  # warm (page faults, lib load)
-    t1, t2 = best(1), best(2)
-    if (os.cpu_count() or 1) >= 2:
-        assert t2 < t1 / 1.2, f"2-thread speedup only {t1 / t2:.2f}x"
-    else:
-        assert t2 < t1 * 1.5, (
-            f"2 threads on 1 core cost {t2 / t1:.2f}x serial time "
-            f"- lock contention or false sharing in the segment loop")
+    # wall-clock asserts are noisy on a loaded shared machine (advisor
+    # r4): retry the whole measurement once before failing, and keep
+    # margins generous — this is a lock-convoy tripwire, not a perf
+    # benchmark (bench.py owns the published scaling datum).
+    for attempt in (0, 1):
+        t1, t2 = best(1), best(2)
+        if (os.cpu_count() or 1) >= 2:
+            ok, msg = (t2 < t1 / 1.15,
+                       f"2-thread speedup only {t1 / t2:.2f}x")
+        else:
+            ok, msg = (t2 < t1 * 2.0,
+                       f"2 threads on 1 core cost {t2 / t1:.2f}x serial "
+                       "time - lock contention or false sharing in the "
+                       "segment loop")
+        if ok:
+            break
+    assert ok, msg

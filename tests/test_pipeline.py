@@ -945,6 +945,46 @@ def test_device_encode_overflow_falls_back():
         assert np.abs(got.astype(int) - refd.astype(int)).mean() < 4.0
 
 
+def test_device_encode_overflow_retries_with_doubled_cap():
+    """The quality-derived scan cap retries ONCE at 2x before the host
+    fallback (advisor r4: keep dense-but-compressible batches on the
+    device path); an explicit scan_byte_cap is the caller's contract
+    and must never be boosted."""
+    from picha_tpu.pipeline import JpegBatchPipeline
+
+    p = JpegBatchPipeline(width=1024, height=1024, encode_quality=85,
+                          encode_backend="device", fused=True,
+                          upload="gap4")
+    base_cap = p._scan_cap_for((2048, 2048, 3, ((1, 1), (1, 1), (1, 1))))
+    calls = []
+
+    def fake_process(cos):
+        calls.append(p._cap_boost)
+        if len(calls) == 1:
+            raise OverflowError("forced")
+        return "sig", "out"
+
+    p._process = fake_process
+    p._finish = lambda sig, out: ["ok"]
+    assert p._run_with_retry([object()]) == ["ok"]
+    assert calls == [1, 2]  # retried exactly once, at doubled budget
+    big_cap = p._scan_cap_for((2048, 2048, 3, ((1, 1), (1, 1), (1, 1))))
+    assert big_cap == 2 * base_cap
+
+    # explicit cap: no boost, straight to the fallback
+    p2 = JpegBatchPipeline(width=128, height=128, encode_quality=85,
+                           encode_backend="device", fused=True,
+                           upload="gap4", scan_byte_cap=1 << 16)
+
+    def fail(cos):
+        raise OverflowError("forced")
+
+    p2._process = fail
+    p2._overflow_fallback = lambda cos: ["fell back"]
+    assert p2._run_with_retry([object()]) == ["fell back"]
+    assert p2._cap_boost == 1
+
+
 def _resize_ref(buf, w, h):
     from picha_tpu.native import lib as native
     from picha_tpu.ops.resize import _resize_native
