@@ -922,26 +922,32 @@ def bench_png_e2e(bufs, out_w, out_h, n=10):
     size_cost = len(z1) / max(1, len(z6))
 
     # ---- config race ------------------------------------------------
-    # balanced: libdeflate level 4's lazy matcher lands at (or under)
-    # the level-6 size on PNG-filtered photographic residuals at ~1.9x
-    # the speed (measured: -0.1% size on the bench corpus) — a
-    # size-honest faster default point. Multi-core hosts additionally
-    # get the pigz-style parallel deflate; on this 1-core box
-    # deflateThreads=1 is the serial libdeflate path unchanged.
+    # default (round 5): deflate-probed filter selection + libdeflate
+    # level 4 — measured 0.98-1.01x the libpng-default size (the probe
+    # picks the filter deflate actually prefers; the MSD heuristic's
+    # paeth/avg mix ran 1-5% LARGER) while encoding ~2.3x faster and
+    # producing streams that also DECODE faster (UP-heavy filters
+    # unfilter at SIMD speed). `quality` is the libpng-parity point
+    # (exact reference defaults: MSD-adaptive + level 6) and serves as
+    # the honest SIZE BASELINE for the ≤+2% admission below. Multi-core
+    # hosts additionally get the pigz-style parallel deflate; on this
+    # 1-core box deflateThreads=1 is the serial libdeflate path.
     import os as _os
 
     nthr = _os.cpu_count() or 1
     configs = {
-        "default": {},
-        "balanced": {"compressionLevel": 4,
-                     **({"deflateThreads": nthr} if nthr > 1 else {})},
+        "default": ({"deflateThreads": nthr} if nthr > 1 else {}),
+        "quality": {"compressionLevel": 6, "filterStrategy": -1},
         "fast": {"compressionLevel": 1, "filter_strategy": 4},
     }
     rates, sizes = {}, {}
     for name, opts in configs.items():
-        sm0 = picha.resizeSync(picha.decodePngSync(pngs[0]),
-                               {"width": out_w, "height": out_h})
-        sizes[name] = len(picha.encodePngSync(sm0, opts))
+        szs = []
+        for p in pngs:
+            sm0 = picha.resizeSync(picha.decodePngSync(p),
+                                   {"width": out_w, "height": out_h})
+            szs.append(len(picha.encodePngSync(sm0, opts)))
+        sizes[name] = float(np.mean(szs))
 
         def window():
             t0 = time.perf_counter()
@@ -970,14 +976,15 @@ def bench_png_e2e(bufs, out_w, out_h, n=10):
     pil_ips = best_window(pil_window, windows=2)[0]
 
     # headline policy (same as webp): the fastest config whose output
-    # stays within 2% of the default (level-6) size; byte-costlier
-    # configs ride alongside in png_configs_img_s, never on top
+    # stays within 2% of the libpng-parity (`quality`) size;
+    # byte-costlier configs ride alongside in png_configs_img_s, never
+    # on top
     size_ok = {c for c in rates
-               if sizes[c] <= sizes["default"] * 1.02}
+               if sizes[c] <= sizes["quality"] * 1.02}
     win = max(size_ok, key=rates.get)
     detail = {"png_configs_img_s": rates, "png_e2e_config": win,
               "png_config_size_ratio": {
-                  c: round(sizes[c] / sizes["default"], 3) for c in rates},
+                  c: round(sizes[c] / sizes["quality"], 3) for c in rates},
               "png_stage_ms": stages,
               "png_zlib_backend": ("libdeflate" if native.have_libdeflate()
                                    else "zlib"),
@@ -1021,17 +1028,18 @@ def bench_config4(n=256):
 
     out = {}
     for name, corpus, encs in (
-            # webp races libwebp's method knob (0 fastest .. 6): method 0
-            # measures ~3x the encode rate of the preset default (4) at
-            # equal round-trip diff and ~+3% bytes on this corpus — the
-            # same trade the PNG fast config makes, gated below on the
-            # reference's own lossy oracle (test/webp_codec.js: < 8 LSB)
-            # default matches the PIL stand-in's settings exactly
-            # (libwebp default preset, q85, method 4) so the row is a
-            # true like-for-like race; fast trades bytes for speed and
-            # only takes the headline when its size cost is <= 5%
+            # webp default (round 5): method 3 — measured ~1.1x the
+            # libwebp-default e2e at +3.7% bytes, identical round-trip
+            # diff, bit-exact alpha (the alpha coder's effort follows
+            # `method` and is ~64% of the RGBA encode cost;
+            # codecs/webp.py docstring). `reference` is the exact
+            # libwebp-default point (method 4, the PIL stand-in's
+            # settings) and anchors the ≤+5% size gate; fast (method 0)
+            # rides alongside at ~+27% bytes. All gated on the
+            # reference's own lossy oracle (test/webp_codec.js: <8 LSB).
             ("webp", webps, {
                 "default": ("image/webp", {"quality": 85}),
+                "reference": ("image/webp", {"quality": 85, "method": 4}),
                 "fast": ("image/webp", {"quality": 85, "method": 0})}),
             ("tiff", tiffs, {
                 "default": ("image/tiff", {"compression": "lzw"})})):
@@ -1081,16 +1089,18 @@ def bench_config4(n=256):
             admissible = {"default": configs["default"]}
         winner = max(admissible, key=admissible.get)
         if len(configs) > 1:
-            size_ratio = round(sizes["fast"] / sizes["default"], 3)
-            # honest headline: a faster config that pays >5% bytes is
-            # not the same job — it rides alongside, not on top
-            if winner != "default" and size_ratio > 1.05 \
-                    and "default" in admissible:
-                winner = "default"
+            # honest headline: a faster config that pays >5% bytes over
+            # the libwebp-default (`reference`) size is not the same
+            # job — it rides alongside, never on top
+            base = sizes.get("reference", sizes["default"])
+            ratios = {c: round(sizes[c] / base, 3) for c in configs}
+            size_ok = [c for c in admissible if ratios[c] <= 1.05]
+            if size_ok:
+                winner = max(size_ok, key=admissible.get)
             out[f"{name}_configs_mpix_s"] = configs
             out[f"{name}_e2e_config"] = winner
             out[f"{name}_config_diff_lsb"] = diffs
-            out[f"{name}_fast_size_ratio"] = size_ratio
+            out[f"{name}_config_size_ratio"] = ratios
         out[f"{name}_e2e_mpix_s"] = admissible[winner]
 
         # PIL stand-in: same decode->crop->resize->encode, same formats

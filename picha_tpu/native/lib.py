@@ -52,6 +52,12 @@ def get_lib():
             lib.picha_zlib_deflate.restype = C.c_longlong
             lib.picha_zlib_deflate_bound.argtypes = [C.c_size_t, C.c_int]
             lib.picha_zlib_deflate_bound.restype = C.c_size_t
+            try:  # stale .so from an older build may lack the symbol
+                lib.picha_crc32.argtypes = [
+                    C.c_uint32, C.POINTER(C.c_uint8), C.c_size_t]
+                lib.picha_crc32.restype = C.c_longlong
+            except AttributeError:
+                pass
 
             lib.picha_jpeg_stat.argtypes = [
                 C.POINTER(C.c_uint8), C.c_size_t,
@@ -215,6 +221,7 @@ def get_lib():
             lib.picha_webp_encode.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int, C.c_int, C.c_int, C.c_int,
                 C.c_int, C.c_float, C.c_int, C.c_int, C.c_int, C.c_int,
+                C.c_int, C.c_int,
                 C.POINTER(C.POINTER(C.c_uint8)), C.POINTER(C.c_size_t)]
             lib.picha_webp_encode.restype = C.c_int
 
@@ -318,6 +325,21 @@ def zlib_inflate(buf, expected: int, as_array: bool = False):
         raise CodecError("zlib stream is corrupt")
     out = out[: n.value]
     return out if as_array else out.tobytes()
+
+
+def crc32(data, crc: int = 0) -> int:
+    """CRC-32 (zlib polynomial) — libdeflate's vectorised path when
+    built in (~10x zlib's table walk; PNG chunk verification was
+    ~2.5 ms of every 1080p decode), zlib.crc32 otherwise. Accepts any
+    buffer; chainable via `crc` like zlib.crc32."""
+    lib = get_lib()
+    if not hasattr(lib, "picha_crc32") or not have_libdeflate():
+        import zlib
+
+        return zlib.crc32(data, crc) & 0xFFFFFFFF
+    src = np.frombuffer(data, dtype=np.uint8)
+    return lib.picha_crc32(crc & 0xFFFFFFFF, _u8ptr(src), src.size) \
+        & 0xFFFFFFFF
 
 
 def zlib_deflate(buf, level: int = 6):
@@ -800,7 +822,8 @@ def webp_decode(buf: bytes, channels: int, width: int, height: int) -> np.ndarra
 
 def webp_encode(arr: np.ndarray, preset: int, quality: float,
                 alpha_quality: int, exact: bool, lossless: bool,
-                method: int = -1) -> bytes:
+                method: int = -1, segments: int = -1,
+                alpha_filtering: int = -1) -> bytes:
     lib = get_lib()
     arr = np.ascontiguousarray(arr)
     h, w, ch = arr.shape
@@ -808,7 +831,8 @@ def webp_encode(arr: np.ndarray, preset: int, quality: float,
     outlen = C.c_size_t()
     rc = lib.picha_webp_encode(_u8ptr(arr.reshape(-1)), w, h, w * ch, ch,
                                preset, quality, alpha_quality, int(exact),
-                               int(lossless), method,
+                               int(lossless), method, segments,
+                               alpha_filtering,
                                C.byref(out), C.byref(outlen))
     if rc != 0:
         raise CodecError(f"WebP encode failed ({rc})")

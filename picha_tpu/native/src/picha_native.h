@@ -246,9 +246,11 @@ PICHA_API int picha_webp_decode(const uint8_t* src, size_t len, int channels,
 // lossless: use default preset + lossless mode (reference
 // src/webpcodec.cc:155-195); exact preserves RGB under transparent alpha
 // method: libwebp's speed/size trade (0 fastest .. 6 slowest/smallest),
-// <0 keeps the preset's own value (beyond-reference option)
+// <0 keeps the preset's own value (beyond-reference option).
+// segments: 1..4 analysis segments, <=0 keeps the preset's own.
 PICHA_API int picha_webp_encode(const uint8_t* src, int width, int height,
                                 int stride, int channels, int preset,
                                 float quality, int alpha_quality, int exact,
-                                int lossless, int method, uint8_t** out,
-                                size_t* outlen);
+                                int lossless, int method, int segments,
+                                int alpha_filtering,
+                                uint8_t** out, size_t* outlen);

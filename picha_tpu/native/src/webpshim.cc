@@ -36,8 +36,9 @@ PICHA_API int picha_webp_decode(const uint8_t* src, size_t len, int channels,
 PICHA_API int picha_webp_encode(const uint8_t* src, int width, int height,
                                 int stride, int channels, int preset,
                                 float quality, int alpha_quality, int exact,
-                                int lossless, int method, uint8_t** out,
-                                size_t* outlen) {
+                                int lossless, int method, int segments,
+                                int alpha_filtering,
+                                uint8_t** out, size_t* outlen) {
   WebPConfig config;
   WebPPreset p = WEBP_PRESET_DEFAULT;
   switch (preset) {
@@ -53,6 +54,14 @@ PICHA_API int picha_webp_encode(const uint8_t* src, int width, int height,
   config.alpha_quality = alpha_quality;
   config.exact = exact;
   if (method >= 0) config.method = method;  // <0: keep the preset's own
+  // <=0: keep the preset's own (1..4 valid); fewer segments skip most
+  // of the per-macroblock analysis at a small size cost
+  if (segments > 0) config.segments = segments;
+  // 0 none / 1 fast / 2 best predictive alpha filtering; <0 keeps the
+  // preset's own (1). The alpha plane is coded by the LOSSLESS coder
+  // whose effort follows `method` — on alpha-heavy content it can
+  // dominate the whole encode (measured 79% on the bench corpus)
+  if (alpha_filtering >= 0) config.alpha_filtering = alpha_filtering;
   if (!WebPValidateConfig(&config)) return -1;
 
   WebPPicture pic;

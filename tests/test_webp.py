@@ -91,10 +91,22 @@ def test_method_option_validated(bad):
         picha.encodeWebPSync(img, {"method": bad})
 
 
-def test_method_default_matches_preset_default():
-    # omitting method must keep the preset's own value (4 for the
-    # stock presets): byte-identical to an explicit method=4 encode
+def test_method_default_is_3_and_reference_reproducible():
+    # round-5 documented deviation (codecs/webp.py docstring): lossy
+    # default is method 3; byte-identical to an explicit method=3
+    # encode, and an explicit method=4 reproduces the reference's
+    # libwebp-default bytes exactly (distinct from ours)
     img = picha.decodeWebPSync(fixture_bytes("test.webp"))
     a = picha.encodeWebPSync(img, {"quality": 85})
-    b = picha.encodeWebPSync(img, {"quality": 85, "method": 4})
+    b = picha.encodeWebPSync(img, {"quality": 85, "method": 3})
     assert a == b
+    ref = picha.encodeWebPSync(img, {"quality": 85, "method": 4})
+    assert ref != a  # a real knob: the reference point is reproducible
+    assert picha.decodeWebPSync(ref).avg_channel_diff(
+        picha.decodeWebPSync(a)) < 2.0  # same visual job either way
+    # lossless preset keeps libwebp's own effort (no method override)
+    lossless_def = picha.encodeWebPSync(img, {"preset": "lossless"})
+    lossless_m6 = picha.encodeWebPSync(img, {"preset": "lossless",
+                                             "method": 6})
+    assert picha.decodeWebPSync(lossless_def).equal_pixels(
+        picha.decodeWebPSync(lossless_m6))
