@@ -270,7 +270,14 @@ class ScanBatch:
                 f"(uint8 id space is 256); split the batch or use the "
                 f"host path")
         uid_img = uid_img.astype(np.uint8)
-        self.n_uniq = -(-len(rows) // 8) * 8  # bucket: bounds recompiles
+        # granule 4, not 8: U appears in the TWO dominant per-step
+        # selects (hv_pk U*64+64, limdelta U*33 — together ~2/3 of the
+        # decode loop's per-lane ops), and the overwhelmingly common
+        # same-tables batch (libjpeg std tables) has exactly 4 unique
+        # rows. U=8 was paying ~35% extra step cost for bucket slack.
+        # {4, 8, 12...} adds one extra graph variant vs the old
+        # {8, 16...} — bounded, and the compile cache keys on it.
+        self.n_uniq = -(-len(rows) // 4) * 4  # bucket: bounds recompiles
         self.limit = np.zeros((self.n_uniq, 16), np.int32)
         self.delta = np.zeros((self.n_uniq, 17), np.int32)
         self.hv = np.zeros((self.n_uniq, 256), np.int32)
