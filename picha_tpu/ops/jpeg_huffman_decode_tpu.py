@@ -466,20 +466,27 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             else:
                 pos, slot, z, nblk, over = state
             active = pos < bit_end
-            # one paired one-hot select fetches BOTH words covering the
-            # 32-bit window at `pos`; code bits (<=16) + value bits
-            # (<=11) fit in it, so this is the only bit fetch per symbol
+            # ONE traversal of the (L, W) window buffer yields BOTH
+            # words covering the 32-bit window at `pos` (slots wl and
+            # wl+1 — XLA fuses the two masked reductions into a single
+            # stream over `win`). The previous (L, W, 2) paired layout
+            # streamed twice the bytes per step, and the window fetch
+            # is HBM-bound: the pair ablation measured it at 28% of the
+            # fixed-trip decode. Code bits (<=16) + value bits (<=11)
+            # fit the 32-bit window, so this is the only fetch/symbol.
             if "window" in ablate:  # timing ablation: fake the window
                 w32 = (pos.astype(jnp.uint32) * jnp.uint32(2654435761))
             else:
                 wl = (pos >> 5) - word_base
-                sel = (wl[:, None] == jnp.arange(W)[None, :])
-                pair = jnp.sum(jnp.where(sel[:, :, None], win_pair, 0),
-                               axis=1)                   # (L, 2) uint32
+                ar = jnp.arange(W)[None, :]
+                wlc = wl[:, None]
+                w0 = jnp.sum(jnp.where(wlc == ar, win_pair, 0), axis=1)
+                w1 = jnp.sum(jnp.where(wlc + 1 == ar, win_pair, 0),
+                             axis=1)
                 b = (pos & 31).astype(jnp.uint32)
-                w32 = (pair[:, 0] << b) | jnp.where(
+                w32 = (w0 << b) | jnp.where(
                     b == 0, jnp.uint32(0),
-                    pair[:, 1] >> (jnp.uint32(32) - b))
+                    w1 >> (jnp.uint32(32) - b))
             P = (w32 >> jnp.uint32(16)).astype(jnp.int32)  # 16-bit peek
             tid = jnp.sum(
                 jnp.where(slot[:, None] == jnp.arange(B)[None, :],
@@ -493,20 +500,32 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                 clen = 2 + (P & 7)
                 idx = P & 255
             else:
-                # broadcast-select over the TINY unique-table set (U
-                # rows live in registers/VMEM; the per-lane (L, 6, 33)
-                # expansion this replaces streamed ~32 MB of HBM per
-                # step and was half the kernel's time)
-                u_oh = (uid[:, None] == jnp.arange(U)[None, :])
-                ld = jnp.sum(jnp.where(u_oh[:, :, None],
-                                       limdelta_u[None, :, :], 0),
-                             axis=1)                      # (L, 33)
-                clen = 1 + jnp.sum(
-                    (P[:, None] >= ld[:, :16]).astype(jnp.int32), axis=1)
-                clen = jnp.minimum(clen, 16)
-                d_sel = jnp.sum(
-                    jnp.where(clen[:, None] == jnp.arange(17)[None, :],
-                              ld[:, 16:], 0), axis=1)
+                # per-unique-row masked accumulation, unrolled over the
+                # TINY static U: every intermediate is (L, 16/17) and
+                # single-use, so XLA fuses compare->mask->reduce into
+                # one register-resident pass. The previous combined
+                # (L, U, 33) where-product fed TWO consumers (clen and
+                # d_sel) and was materialized to HBM every step —
+                # measured 28% of the fixed-trip decode, as much as the
+                # bit-window fetch itself.
+                Pm = P[:, None]
+                k16 = jnp.arange(17)[None, :]
+                cnt = jnp.zeros_like(P)
+                for u in range(U):
+                    mu = uid == u
+                    c_u = jnp.sum(
+                        (Pm >= limdelta_u[u, :16][None, :]).astype(
+                            jnp.int32), axis=1)
+                    cnt = cnt + jnp.where(mu, c_u, 0)
+                clen = jnp.minimum(1 + cnt, 16)
+                cl_oh = clen[:, None] == k16
+                d_sel = jnp.zeros_like(P)
+                for u in range(U):
+                    mu = uid == u
+                    d_u = jnp.sum(
+                        jnp.where(cl_oh, limdelta_u[u, 16:][None, :], 0),
+                        axis=1)
+                    d_sel = d_sel + jnp.where(mu, d_u, 0)
                 idx = jnp.clip((P >> (16 - clen)) + d_sel, 0, 255)
             if "gather" in ablate:  # timing ablation: fake the symbol
                 sym = idx & 127
@@ -699,14 +718,10 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
            lane_blk_base, lane_blk_limit, limit, delta, hv, lane_uid6,
            reset):
         L = n_lanes
-        win = words[(lane_word_base[:, None]
-                     + jnp.arange(W)[None, :]).astype(jnp.int32)]
-        # (L, W, 2): each slot carries (word w, word w+1) so one select
-        # per symbol yields the full crossing window
-        win_pair = jnp.stack(
-            [win, jnp.concatenate(
-                [win[:, 1:], jnp.zeros((L, 1), win.dtype)], axis=1)],
-            axis=2)
+        # (L, W) u32: the step's fused dual select reads slots wl and
+        # wl+1 from this single buffer in one traversal
+        win_pair = words[(lane_word_base[:, None]
+                          + jnp.arange(W)[None, :]).astype(jnp.int32)]
         limdelta_u = jnp.concatenate([limit, delta], axis=1)  # (U, 33)
         hv_flat = hv.reshape(-1)           # (U*256,)
         # 4 symbols packed per int32 word for the select-packed lookup

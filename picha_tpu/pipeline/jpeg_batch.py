@@ -738,11 +738,15 @@ class JpegBatchPipeline:
         # takes the loud host fallback, as it did at the old 0.5 B/px
         # cap). The device byte-stage cost (prefix-sum word assembly +
         # stuffing) is LINEAR in this cap, so budget by encode quality
-        # with ~2x headroom over natural content instead of 4x:
-        # q<=88 -> 0.25 B/px, q<=95 -> 0.375, above -> 0.625.
+        # with ~1.4x headroom over the dense end of natural content:
+        # q<=88 -> 0.1875 B/px, q<=95 -> 0.3125, above -> 0.625. A
+        # too-small cap is no longer a cliff: _run_with_retry re-mints
+        # the graph once at a DOUBLED budget before any host fallback,
+        # so dense batches pay one retry instead of everyone paying a
+        # 2x-headroom cap every batch.
         q = self._encode_quality
         px = ew * eh
-        frac = 4 if q is None or q <= 88 else (6 if q <= 95 else 10)
+        frac = 3 if q is None or q <= 88 else (5 if q <= 95 else 10)
         frac *= self._cap_boost
         return max(1 << 16, -(-(px * frac // 16) // 4096) * 4096)
 
