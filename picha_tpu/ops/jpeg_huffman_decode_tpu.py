@@ -458,35 +458,23 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
     U = n_uniq
 
-    def make_step(emit: bool, local: bool = False):
-        def step(state, win_pair, word_base, bit_end, limdelta_u, hv_flat,
-                 hv2d, hv_pk, lane_uid6, blk_base, blk_limit):
-            if emit and not local:
-                pos, slot, z, nblk, over, last = state
-            else:
-                pos, slot, z, nblk, over = state
-            active = pos < bit_end
-            # ONE traversal of the (L, W) window buffer yields BOTH
-            # words covering the 32-bit window at `pos` (slots wl and
-            # wl+1 — XLA fuses the two masked reductions into a single
-            # stream over `win`). The previous (L, W, 2) paired layout
-            # streamed twice the bytes per step, and the window fetch
-            # is HBM-bound: the pair ablation measured it at 28% of the
-            # fixed-trip decode. Code bits (<=16) + value bits (<=11)
-            # fit the 32-bit window, so this is the only fetch/symbol.
-            if "window" in ablate:  # timing ablation: fake the window
-                w32 = (pos.astype(jnp.uint32) * jnp.uint32(2654435761))
-            else:
-                wl = (pos >> 5) - word_base
-                ar = jnp.arange(W)[None, :]
-                wlc = wl[:, None]
-                w0 = jnp.sum(jnp.where(wlc == ar, win_pair, 0), axis=1)
-                w1 = jnp.sum(jnp.where(wlc + 1 == ar, win_pair, 0),
-                             axis=1)
-                b = (pos & 31).astype(jnp.uint32)
-                w32 = (w0 << b) | jnp.where(
-                    b == 0, jnp.uint32(0),
-                    w1 >> (jnp.uint32(32) - b))
+    def make_step(emit: bool, local: bool = False, pair: bool = False):
+        def fetch(pos, win, word_base, nwords):
+            # ONE traversal of the (L, W) window buffer yields every
+            # word covering the bit window at `pos` (slots wl..wl+n-1 —
+            # XLA fuses the masked reductions into a single stream over
+            # `win`). The old (L, W, 2) paired layout streamed twice
+            # the bytes per step, and the fetch is HBM-bound: the pair
+            # ablation measured it at 28% of the fixed-trip decode.
+            wl = (pos >> 5) - word_base
+            ar = jnp.arange(W)[None, :]
+            wlc = wl[:, None]
+            return [jnp.sum(jnp.where(wlc + k == ar, win, 0), axis=1)
+                    for k in range(nwords)]
+
+        def sym(w32, active, pos, slot, z, nblk, last, bit_end,
+                limdelta_u, hv_flat, hv2d, hv_pk, lane_uid6, blk_base,
+                blk_limit):
             P = (w32 >> jnp.uint32(16)).astype(jnp.int32)  # 16-bit peek
             tid = jnp.sum(
                 jnp.where(slot[:, None] == jnp.arange(B)[None, :],
@@ -528,17 +516,17 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                     d_sel = d_sel + jnp.where(mu, d_u, 0)
                 idx = jnp.clip((P >> (16 - clen)) + d_sel, 0, 255)
             if "gather" in ablate:  # timing ablation: fake the symbol
-                sym = idx & 127
+                sym_v = idx & 127
             elif "onehot" in ablate:
                 # gather-free symbol lookup: fused broadcast-compare
                 # reduction over the tiny (U, 256) table
                 sel = ((uid[:, None] == jnp.arange(U)[None, :])[:, :, None]
                        & (idx[:, None, None]
                           == jnp.arange(256)[None, None, :]))
-                sym = jnp.sum(jnp.where(sel, hv2d[None, :, :], 0),
-                              axis=(1, 2))
+                sym_v = jnp.sum(jnp.where(sel, hv2d[None, :, :], 0),
+                                axis=(1, 2))
             elif "hvgather" in ablate:
-                sym = hv_flat[uid * 256 + idx]
+                sym_v = hv_flat[uid * 256 + idx]
             else:
                 # select-PACKED symbol lookup: 4 symbols per int32 word
                 # -> U-row select + 64-wide word one-hot + byte extract.
@@ -552,9 +540,9 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                 oh64 = ((idx >> 2)[:, None]
                         == jnp.arange(64)[None, :])
                 wsel = jnp.sum(jnp.where(oh64, hr, 0), axis=1)
-                sym = (wsel >> ((idx & 3) * 8)) & 0xFF
-            run = jnp.where(z > 0, sym >> 4, 0)
-            size = sym & 15
+                sym_v = (wsel >> ((idx & 3) * 8)) & 0xFF
+            run = jnp.where(z > 0, sym_v >> 4, 0)
+            size = sym_v & 15
             # value bits: bits [clen, clen+size) of the same window
             sizem1 = jnp.maximum(size - 1, 0).astype(jnp.uint32)
             val = jnp.where(
@@ -579,9 +567,8 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             z_new = jnp.where(active, jnp.where(z_new >= 64, 0, z_new), z)
             slot_new = jnp.where(ended, (slot + 1) % B, slot)
             nblk_new = jnp.where(ended, nblk + 1, nblk)
-            over_new = over  # updated by caller on the last step
             if not emit:
-                return (pos_new, slot_new, z_new, nblk_new, over_new), None
+                return pos_new, slot_new, z_new, nblk_new, last, None
             # scatter in ZIGZAG coefficient space: z_coef is
             # non-decreasing within a block and blocks are partitioned
             # across lanes in order, so real emissions are monotone per
@@ -601,16 +588,81 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                 eidx = jnp.where(emit_ok,
                                  nblk * 64 + jnp.clip(z_coef, 0, 63), 0)
                 eval_ = jnp.where(emit_ok, val, 0)
-                return (pos_new, slot_new, z_new, nblk_new,
-                        over_new), (eidx, eval_)
+                return (pos_new, slot_new, z_new, nblk_new, last,
+                        (eidx, eval_))
             blkc = jnp.minimum(blk, blk_limit)
             eidx_raw = blkc * 64 + jnp.clip(z_coef, 0, 63)
             eidx = jnp.where(emit_ok, eidx_raw, last)
             eval_ = jnp.where(emit_ok, val, 0)
             last_new = jnp.where(emit_ok, eidx_raw, last)
-            return (pos_new, slot_new, z_new, nblk_new, over_new,
-                    last_new), (eidx, eval_)
-        return step
+            return (pos_new, slot_new, z_new, nblk_new, last_new,
+                    (eidx, eval_))
+
+        def unpack_state(state):
+            if emit and not local:
+                pos, slot, z, nblk, over, last = state
+            else:
+                (pos, slot, z, nblk, over), last = state, None
+            return pos, slot, z, nblk, over, last
+
+        def pack_state(pos, slot, z, nblk, over, last):
+            if emit and not local:
+                return (pos, slot, z, nblk, over, last)
+            return (pos, slot, z, nblk, over)
+
+        def w32_at(pos, w_lo, w_hi):
+            b = (pos & 31).astype(jnp.uint32)
+            return (w_lo << b) | jnp.where(
+                b == 0, jnp.uint32(0), w_hi >> (jnp.uint32(32) - b))
+
+        def step(state, win, word_base, bit_end, limdelta_u, hv_flat,
+                 hv2d, hv_pk, lane_uid6, blk_base, blk_limit):
+            pos, slot, z, nblk, over, last = unpack_state(state)
+            active = pos < bit_end
+            if "window" in ablate:  # timing ablation: fake the window
+                w32 = (pos.astype(jnp.uint32) * jnp.uint32(2654435761))
+            else:
+                w0, w1 = fetch(pos, win, word_base, 2)
+                w32 = w32_at(pos, w0, w1)
+            pos, slot, z, nblk, last, em = sym(
+                w32, active, pos, slot, z, nblk, last, bit_end,
+                limdelta_u, hv_flat, hv2d, hv_pk, lane_uid6, blk_base,
+                blk_limit)
+            return pack_state(pos, slot, z, nblk, over, last), em
+
+        def step2(state, win, word_base, bit_end, limdelta_u, hv_flat,
+                  hv2d, hv_pk, lane_uid6, blk_base, blk_limit):
+            # TWO symbols per fetch: one traversal of `win` yields the
+            # three words covering both bit windows (a symbol consumes
+            # <= 27 bits, so bit offsets stay inside w0..w2), and the
+            # second symbol recomputes tables from the UPDATED state —
+            # every transition pairs (DC->AC, AC->AC, EOB->DC across
+            # blocks), unlike the reverted r3 LUT pairing which could
+            # only pair same-table ACs. Halves the loop trips AND the
+            # window traffic per symbol; the table/value work per
+            # symbol is unchanged.
+            pos, slot, z, nblk, over, last = unpack_state(state)
+            active = pos < bit_end
+            w0, w1, w2 = fetch(pos, win, word_base, 3)
+            pos1, slot1, z1, nblk1, last1, em1 = sym(
+                w32_at(pos, w0, w1), active, pos, slot, z, nblk, last,
+                bit_end, limdelta_u, hv_flat, hv2d, hv_pk, lane_uid6,
+                blk_base, blk_limit)
+            # symbol 2's two words: pos1 advanced 0..27 bits, so its
+            # window starts in w0 or w1 (frozen lanes re-decode the
+            # same window; their updates are masked by active2=False)
+            crossed = (pos1 >> 5) > (pos >> 5)
+            w_lo = jnp.where(crossed, w1, w0)
+            w_hi = jnp.where(crossed, w2, w1)
+            active2 = pos1 < bit_end
+            pos2, slot2, z2, nblk2, last2, em2 = sym(
+                w32_at(pos1, w_lo, w_hi), active2, pos1, slot1, z1,
+                nblk1, last1, bit_end, limdelta_u, hv_flat, hv2d, hv_pk,
+                lane_uid6, blk_base, blk_limit)
+            return (pack_state(pos2, slot2, z2, nblk2, over, last2),
+                    (em1, em2))
+
+        return step2 if pair else step
 
     # lane emissions stay lane-LOCAL and densify via the one-hot matmul
     # below (the global sorted scatter this replaces measured 270 ms of
@@ -622,8 +674,12 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
     # cells, so the sum is exact).
     local_emit = bool(nblkmax > 0)
     M_STRADDLE = 1 if single_pass else (1665 // max(C, 1) + 2)
-    step_fn = make_step(False)
-    emit_fn = make_step(True, local_emit)
+    # paired stepping (2 symbols per loop trip, one shared window
+    # fetch): ablations and debug keep the single-symbol loop for
+    # comparability / per-step accounting
+    use_pair = not ablate and not debug and EXIT_BLOCK % 2 == 0
+    step_fn = make_step(False, pair=use_pair)
+    emit_fn = make_step(True, local_emit, pair=use_pair)
 
     def run_chunk(entries, win_pair, word_base, bit_end, limdelta_u,
                   hv_flat, hv2d, hv_pk, lane_uid6, blk_base, blk_limit):
@@ -657,8 +713,9 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
             if "fixed" in ablate:  # per-step loop for comparability
                 return (i + 1, inner(0, st))
+            trips = EXIT_BLOCK // 2 if use_pair else EXIT_BLOCK
             return (i + EXIT_BLOCK,
-                    jax.lax.fori_loop(0, EXIT_BLOCK, inner, st))
+                    jax.lax.fori_loop(0, trips, inner, st))
 
         _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
         pos, slot, z, nblk, _ = st
@@ -697,14 +754,23 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
             def inner(k, c2):
                 st, bi, bv = c2
-                st, (eidx, ev) = emit_fn(st, win_pair, word_base,
-                                         bit_end, limdelta_u, hv_flat,
-                                         hv2d, hv_pk, lane_uid6,
-                                         blk_base, blk_limit)
+                st, em = emit_fn(st, win_pair, word_base,
+                                 bit_end, limdelta_u, hv_flat,
+                                 hv2d, hv_pk, lane_uid6,
+                                 blk_base, blk_limit)
+                if use_pair:
+                    (e1, v1), (e2, v2) = em
+                    return (st,
+                            bi.at[i + 2 * k].set(e1)
+                              .at[i + 2 * k + 1].set(e2),
+                            bv.at[i + 2 * k].set(v1)
+                              .at[i + 2 * k + 1].set(v2))
+                eidx, ev = em
                 return st, bi.at[i + k].set(eidx), bv.at[i + k].set(ev)
 
+            trips = EXIT_BLOCK // 2 if use_pair else EXIT_BLOCK
             st, buf_i, buf_v = jax.lax.fori_loop(
-                0, EXIT_BLOCK, inner, (st, buf_i, buf_v))
+                0, trips, inner, (st, buf_i, buf_v))
             return (i + EXIT_BLOCK, st, buf_i, buf_v)
 
         _, st, buf_i, buf_v = jax.lax.while_loop(
@@ -915,10 +981,16 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             if debug:
                 lane_steps = lane_steps + (st[0] < bit_end).astype(
                     jnp.int32)
-            st, (eidx, ev) = emit_fn(st, win_pair, lane_word_base,
-                                     bit_end, limdelta_u, hv_flat, hv,
-                                     hv_pk, lane_uid6, blk_start,
-                                     lane_blk_limit)
+            st, em = emit_fn(st, win_pair, lane_word_base,
+                             bit_end, limdelta_u, hv_flat, hv,
+                             hv_pk, lane_uid6, blk_start,
+                             lane_blk_limit)
+            if use_pair:
+                (e1, v1), (e2, v2) = em
+                return (st, buf_i.at[i].set(e1).at[i + 1].set(e2),
+                        buf_v.at[i].set(v1).at[i + 1].set(v2),
+                        lane_steps)
+            eidx, ev = em
             return st, buf_i.at[i].set(eidx), buf_v.at[i].set(ev), \
                 lane_steps
 
@@ -928,13 +1000,16 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
                 st, buf_i, buf_v, lane_steps = emit_step(
                     i, st, buf_i, buf_v, lane_steps)
                 return (i + 1, st, buf_i, buf_v, lane_steps)
+            span = 2 if use_pair else 1
 
             def inner(k, c2):
                 st, buf_i, buf_v, lane_steps = c2
-                return emit_step(i + k, st, buf_i, buf_v, lane_steps)
+                return emit_step(i + k * span, st, buf_i, buf_v,
+                                 lane_steps)
 
             st, buf_i, buf_v, lane_steps = jax.lax.fori_loop(
-                0, EXIT_BLOCK, inner, (st, buf_i, buf_v, lane_steps))
+                0, EXIT_BLOCK // span, inner,
+                (st, buf_i, buf_v, lane_steps))
             return (i + EXIT_BLOCK, st, buf_i, buf_v, lane_steps)
 
         off, slot, z = entries
