@@ -178,8 +178,19 @@ class ScanBatch:
         seg_blk0 = np.array(seg_blk0, np.int32)
         seg_nblk = np.array(seg_nblk, np.int32)
         nseg = seg_nch.size
-        # one padded byte buffer for all segments -> u32 words
-        seg_words = seg_nch * (C // 32) + 2
+        # one padded byte buffer for all segments -> u32 words.
+        # single-pass packs segments byte-tight (word-aligned): every
+        # entry state is a pinned (0,0,0), so a lane only needs its
+        # word base — padding each segment to the C granule was 44% of
+        # the scan upload on a median-2488/C-3584 restart corpus, on a
+        # link where wire bytes ARE host cost. A lane's W-word window
+        # may now read into the NEXT segment's bytes; those reads are
+        # inert (the lane freezes at its own bit_end, and on a valid
+        # stream all blocks complete before the byte padding).
+        if self.single_pass:
+            seg_words = -(-seg_bits // 32)
+        else:
+            seg_words = seg_nch * (C // 32) + 2
         word_starts = np.concatenate(
             [[0], np.cumsum(seg_words)]).astype(np.int64)
         total_words = int(word_starts[-1])
@@ -223,8 +234,9 @@ class ScanBatch:
         trash_blk = n_img * self.nblk_img
         # dead pad lanes: pinned, pointing at the last slack words,
         # block range empty at the trash block (keeps scatter monotone)
+        tail = max(64, C // 32 + 2)  # last lane + dead lanes read W words
         self.words = np.concatenate(
-            [words_all, np.full(64, 0xFFFFFFFF, np.uint32)])
+            [words_all, np.full(tail, 0xFFFFFFFF, np.uint32)])
         dead_base = self.words.size - C // 32 - 2
 
         def padded(a, fill, dtype):
@@ -288,22 +300,15 @@ class ScanBatch:
             np.stack([info.comps[ci][2] for info in infos])[:, None, None, :]
             for ci in range(info0.ncomp)]
 
-        # DC segmented-scan reset mask: True at each component's first
-        # block of every restart segment. The first-occurrence offsets
-        # within an MCU are segment-invariant, so this is one numpy
-        # scatter per image (a python segment x slot loop measured
-        # ~780k iterations per DRI=1 1080p batch)
-        ncomp = int(self.comp_of.max()) + 1
-        first_off = np.array(
-            [int(np.nonzero(self.comp_of == ci)[0][0])
-             for ci in range(ncomp)], np.int64)
-        reset = np.zeros((n_img, self.nblk_img), bool)
-        for img, info in enumerate(infos):
-            ri = info.restart_interval or mcus
-            starts = np.arange(0, self.nblk_img, ri * B, dtype=np.int64)
-            pos = (starts[:, None] + first_off[None, :]).reshape(-1)
-            reset[img, pos[pos < self.nblk_img]] = True
-        self.reset = reset
+        # DC segmented-scan reset geometry: each component resets at its
+        # first block of every restart segment — fully determined by the
+        # per-image restart span (in blocks), so only that scalar ships
+        # on the wire and the decoder derives the (N, nblk) mask
+        # in-graph. The materialized u8 mask this replaces was 0.78 MB
+        # of every 16x1080p upload (~12% of the scan wire).
+        self.ri_blk = np.array(
+            [(info.restart_interval or mcus) * B for info in infos],
+            np.int32)
 
         # worst-case symbols per chunk under these tables. steps feeds
         # the jit static key: mb depends on the batch's Huffman table
@@ -331,7 +336,7 @@ class ScanBatch:
                 self.lane_pinned, self.lane_seg_first,
                 self.lane_blk_base, self.lane_blk_limit,
                 self.limit, self.delta, self.hv, self.lane_uid6,
-                self.reset]
+                self.ri_blk]
 
     def static_key(self):
         return (self.C, self.n_lanes, self.steps, self.B,
@@ -364,7 +369,7 @@ class ScanBatch:
                 q.astype(np.uint16)).view(np.uint8).reshape(-1))
         sections.append(self.lane_pinned.astype(np.uint8))
         sections.append(np.ascontiguousarray(self.lane_uid6).reshape(-1))
-        sections.append(self.reset.astype(np.uint8).reshape(-1))
+        sections.append(self.ri_blk.view(np.uint8).reshape(-1))
         ks = self.static_key() + (nw,)
         return ks, np.concatenate(sections)
 
@@ -406,11 +411,10 @@ def build_wire_unpack(scan_ks, ncomp: int):
             for _ in range(ncomp))
         lane_pinned = take(n_lanes, jnp.uint8) != 0
         lane_uid6 = take(n_lanes * 6, jnp.uint8).reshape(n_lanes, 6)
-        reset = take(n_img * nblk_img, jnp.uint8).reshape(
-            n_img, nblk_img) != 0
+        ri_blk = take(n_img, jnp.int32)
         return (words, lane_word_base, lane_bits, lane_pinned,
                 lane_seg_first, lane_blk_base, lane_blk_limit,
-                limit, delta, hv, lane_uid6, reset), qtabs
+                limit, delta, hv, lane_uid6, ri_blk), qtabs
 
     return unpack
 
@@ -782,7 +786,7 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
 
     def fn(words, lane_word_base, lane_bits, lane_pinned, lane_seg_first,
            lane_blk_base, lane_blk_limit, limit, delta, hv, lane_uid6,
-           reset):
+           ri_blk):
         L = n_lanes
         # (L, W) u32: the step's fused dual select reads slots wl and
         # wl+1 from this single buffer in one traversal
@@ -1209,16 +1213,23 @@ def build_decoder_core(C: int, n_lanes: int, steps: int, B: int,
             if "noperm" not in ablate:
                 out = out[:, :, jnp.asarray(np.argsort(zz))]
 
-        # DC diffs -> absolute: segmented inclusive scan per component
+        # DC diffs -> absolute: segmented inclusive scan per component.
+        # Reset positions derive from the per-image restart span: comp
+        # ci resets exactly where blk % ri_blk == its first slot offset
+        # (restart segments start on MCU boundaries, so the offsets are
+        # segment-invariant).
         comp_seq = jnp.tile(jnp.asarray(comp_of_arr), mcus)  # (nblk_img,)
+        blk_ar = jnp.arange(nblk_img, dtype=jnp.int32)
+        blk_mod = blk_ar[None, :] % ri_blk[:, None]    # (N, nblk_img)
         dc = out[:, :, 0]
         acc = jnp.zeros_like(dc)
         for ci in range(int(comp_of_arr.max()) + 1):
             if "nodc" in ablate:
                 break
+            first_off = int(np.nonzero(comp_of_arr == ci)[0][0])
             m = comp_seq == ci
             x = jnp.where(m[None, :], dc, 0)
-            f = reset & m[None, :]
+            f = (blk_mod == first_off) & m[None, :]
 
             def op(a, b):
                 av, af = a
