@@ -52,11 +52,13 @@ from .jpeg_scan import (ScanInfo, ZIGZAG, derive_tables, mcu_slot_tables,
 CHUNK_BITS = 4096            # C: per-lane chunk size. Jacobi passes to
 #   fixpoint scale ~ sync_distance/C (measured 12/7/4/3 passes at
 #   C=1024/2048/4096/8192 on 1080p q85 — docs/PERFORMANCE.md round 4),
-#   while per-pass wall cost is ~total-bits-bound; the real-chip sweep
+#   while per-pass wall cost is ~total-bits-bound; the round-4 sweep
 #   (tools/time_chunked.py) measured 16x1080p chunked decode at
 #   C=2048/4096 -> 320.8/282.1 ms (C=1024 was not re-timed on chip —
 #   its 12-pass fixpoint predicts ~>360 ms). 4096 is the knee: beyond
-#   it the densify one-hot (nblkmax grows with C) eats the pass savings.
+#   it the densify one-hot (nblkmax grows with C) eats the pass
+#   savings. RE-CONFIRMED after the round-5 paired-step/window/table
+#   rework: C=4096/6144/8192 -> 242.1/247.6/274.5 ms, parity exact.
 LANE_GRANULE = 2048          # lane-count bucket (bounds recompiles)
 WORD_GRANULE = 16384         # words-section floor granule (64 KiB)
 STEP_GRANULE = 64            # steps bucket (bounds recompiles)
